@@ -1,0 +1,23 @@
+"""fuzzysearch_spark — a PySpark-native near-duplicate detection engine.
+
+Re-expresses the query capabilities of taleinat/fuzzysearch (approximate
+subsequence search under substitution/insertion/deletion budgets) as a
+distributed dedup + clustering pipeline:
+
+* ``fuzzysearch_spark.kernels`` — pure numpy/Python compute cores with exact
+  behavioral parity to the reference (oracle-tested);
+* ``fuzzysearch_spark.functions`` — column-level Spark functions (shingles,
+  MinHash, SimHash, text analytics) as built-in expressions or Arrow-batched
+  pandas UDFs;
+* ``fuzzysearch_spark.operators`` — DataFrame→DataFrame operators (exact
+  dedup, LSH candidate generation, pair verification, connected components,
+  interval consolidation, ANN search);
+* ``fuzzysearch_spark.pipeline`` — the checkpointed, resumable end-to-end
+  dedup pipeline.
+"""
+
+__version__ = "0.1.0"
+
+from fuzzysearch_spark.match import Match, consolidate  # noqa: F401
+from fuzzysearch_spark.params import SearchParams, UNLIMITED  # noqa: F401
+from fuzzysearch_spark.kernels.dispatch import find_matches  # noqa: F401

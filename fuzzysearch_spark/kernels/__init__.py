@@ -1,0 +1,29 @@
+"""Pure (no-Spark) search kernels.
+
+These are the numpy/pure-Python compute cores that the distributed engine
+wraps in Arrow-batched pandas UDFs. Each module cites the reference file
+whose behavior it reproduces; implementations are original.
+"""
+
+from fuzzysearch_spark.kernels.exact import exact_find  # noqa: F401
+from fuzzysearch_spark.kernels.expand import prefix_expand  # noqa: F401
+from fuzzysearch_spark.kernels.lev import (  # noqa: F401
+    lev_search,
+    lev_search_ngrams,
+    lev_search_automaton,
+)
+from fuzzysearch_spark.kernels.subs import (  # noqa: F401
+    subs_search,
+    subs_search_ngrams,
+    subs_search_ring,
+    capped_hamming,
+)
+from fuzzysearch_spark.kernels.budgeted import (  # noqa: F401
+    budgeted_search,
+    budgeted_search_automaton,
+    budgeted_search_ngrams,
+    has_budgeted_match_ngrams,
+)
+from fuzzysearch_spark.kernels.no_dels import no_deletions_search  # noqa: F401
+from fuzzysearch_spark.kernels.dispatch import find_matches, pick_kernel  # noqa: F401
+from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance  # noqa: F401

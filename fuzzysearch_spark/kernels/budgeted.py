@@ -1,0 +1,131 @@
+"""Generic fuzzy search with independent per-edit-type budgets.
+
+Behavioral twin of /root/reference/src/fuzzysearch/generic_search.py:
+
+* ``budgeted_search`` — dispatch: exact / ngrams / automaton with the same
+  thresholds as the Levenshtein family (generic_search.py:25-54).
+* ``budgeted_search_automaton`` — candidate automaton whose state carries
+  all four counters ``(start, needle_idx, l_dist, n_subs, n_ins, n_dels)``
+  and whose transitions are gated by *each* budget, including the
+  substitution-as-del+ins fallback and the end-of-needle early yields
+  (generic_search.py:57-177).
+* ``budgeted_search_ngrams`` — pigeonhole seed, then rerun the automaton on
+  the ±k window around each seed hit and rebase offsets
+  (generic_search.py:198-237).
+
+Original implementation; parity pinned by oracle tests.
+"""
+
+from __future__ import annotations
+
+from fuzzysearch_spark.kernels.exact import exact_find
+from fuzzysearch_spark.match import Match
+from fuzzysearch_spark.params import SearchParams
+
+
+def budgeted_search(needle, hay, params: SearchParams):
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    m = len(needle)
+    if params.max_l_dist == 0:
+        return [Match(i, i + m, 0, hay[i:i + m]) for i in exact_find(needle, hay)]
+    if m // (params.max_l_dist + 1) >= 3:
+        return budgeted_search_ngrams(needle, hay, params)
+    return budgeted_search_automaton(needle, hay, params)
+
+
+def budgeted_search_automaton(needle, hay, params: SearchParams):
+    """Four-budget candidate automaton (ref generic_search.py:57-177).
+
+    State tuple: (start, j, d, s, i_, e) = (match start, next needle index,
+    total dist, substitutions, insertions, deletions used).
+    """
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    max_s, max_i, max_e, max_d = params.unpacked
+    m = len(needle)
+
+    states: list[tuple[int, int, int, int, int, int]] = []
+    index = -1
+    for index, item in enumerate(hay):
+        states.append((index, 0, 0, 0, 0, 0))
+        nxt: list[tuple[int, int, int, int, int, int]] = []
+
+        for start, j, d, s, ins, dels in states:
+            if item == needle[j]:
+                if j + 1 == m:
+                    yield Match(start, index + 1, d, hay[start:index + 1])
+                else:
+                    nxt.append((start, j + 1, d, s, ins, dels))
+                continue
+
+            if d == max_d:
+                continue
+
+            if ins < max_i:
+                # consume a hay item only (insertion)
+                nxt.append((start, j, d + 1, s, ins + 1, dels))
+
+            if j + 1 < m:
+                if s < max_s:
+                    # consume both (substitution)
+                    nxt.append((start, j + 1, d + 1, s + 1, ins, dels))
+                elif dels < max_e and ins < max_i:
+                    # substitution modeled as deletion + insertion
+                    nxt.append((start, j + 1, d + 1, s, ins + 1, dels + 1))
+            else:
+                # at the last needle item: substituting it completes a match
+                if s < max_s or (dels < max_e and ins < max_i):
+                    yield Match(start, index + 1, d + 1, hay[start:index + 1])
+
+            # skip needle items (deletions) until one matches this hay item
+            for skip in range(1, min(max_e - dels, max_d - d) + 1):
+                if j + skip == m:
+                    yield Match(start, index, d + skip, hay[start:index])
+                    break
+                if needle[j + skip] == item:
+                    if j + skip + 1 == m:
+                        yield Match(start, index, d + skip, hay[start:index])
+                    else:
+                        nxt.append((start, j + 1 + skip, d + skip, s, ins, dels + skip))
+                    break
+
+        states = nxt
+
+    for start, j, d, s, ins, dels in states:
+        left = m - j
+        if dels + left <= max_e and d + left <= max_d:
+            yield Match(start, index + 1, d + left, hay[start:index + 1])
+
+
+def budgeted_search_ngrams(needle, hay, params: SearchParams):
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    k = params.max_l_dist
+    m = len(needle)
+    n = len(hay)
+    gram = m // (k + 1)
+    if gram == 0:
+        raise ValueError("the subsequence length must be greater than max_l_dist")
+
+    for g_lo in range(0, m - gram + 1, gram):
+        g_hi = g_lo + gram
+        win_lo = max(0, g_lo - k)
+        win_hi = min(n, n - m + g_hi + k)
+        if win_hi <= win_lo:
+            continue
+        for pos in exact_find(needle[g_lo:g_hi], hay, win_lo, win_hi):
+            base = max(0, pos - g_lo - k)
+            window = hay[base: pos - g_lo + m + k]
+            for hit in budgeted_search_automaton(needle, window, params):
+                yield Match(hit.start + base, hit.end + base, hit.dist, hit.matched)
+
+
+def has_budgeted_match_ngrams(needle, hay, params: SearchParams) -> bool:
+    """Early-exit boolean variant (ref generic_search.py:240-253)."""
+    for _ in budgeted_search_ngrams(needle, hay, params):
+        return True
+    return False

@@ -1,0 +1,66 @@
+"""Top-level search dispatch — the engine's ``find_near_matches`` twin.
+
+Rule-based physical-kernel selection identical to the reference planner
+(/root/reference/src/fuzzysearch/__init__.py:60-83):
+
+1. ``max_l_dist == 0``                      → exact scan (no consolidation)
+2. ``max_insertions == max_deletions == 0`` → substitutions-only with the
+   effective cap ``min(max_l_dist, max_substitutions)`` (no consolidation;
+   substitutions_only.py:288-301)
+3. ``max_l_dist <= min(subs, ins, dels)``   → Levenshtein family, overlap
+   consolidation
+4. otherwise                                → four-budget generic search,
+   overlap consolidation
+"""
+
+from __future__ import annotations
+
+from fuzzysearch_spark.kernels.budgeted import budgeted_search
+from fuzzysearch_spark.kernels.exact import exact_find
+from fuzzysearch_spark.kernels.lev import lev_search
+from fuzzysearch_spark.kernels.subs import subs_search
+from fuzzysearch_spark.match import Match, consolidate
+from fuzzysearch_spark.params import SearchParams
+
+KERNEL_EXACT = "exact"
+KERNEL_SUBS = "substitutions"
+KERNEL_LEV = "levenshtein"
+KERNEL_GENERIC = "generic"
+
+
+def pick_kernel(params: SearchParams) -> str:
+    """Reproduce choose_search_class (ref __init__.py:60-83)."""
+    if params.max_l_dist == 0:
+        return KERNEL_EXACT
+    if params.max_insertions == 0 and params.max_deletions == 0:
+        return KERNEL_SUBS
+    if params.max_l_dist <= min(
+        params.max_substitutions, params.max_insertions, params.max_deletions
+    ):
+        return KERNEL_LEV
+    return KERNEL_GENERIC
+
+
+def find_matches(
+    needle,
+    hay,
+    max_substitutions: int | None = None,
+    max_insertions: int | None = None,
+    max_deletions: int | None = None,
+    max_l_dist: int | None = None,
+):
+    """Find near-matches of ``needle`` in ``hay`` (ref __init__.py:35-57)."""
+    params = SearchParams(
+        max_substitutions, max_insertions, max_deletions, max_l_dist
+    )
+    kernel = pick_kernel(params)
+
+    if kernel == KERNEL_EXACT:
+        m = len(needle)
+        return [Match(i, i + m, 0, hay[i:i + m]) for i in exact_find(needle, hay)]
+    if kernel == KERNEL_SUBS:
+        cap = min(params.max_l_dist, params.max_substitutions)
+        return list(subs_search(needle, hay, cap))
+    if kernel == KERNEL_LEV:
+        return consolidate(lev_search(needle, hay, params.max_l_dist))
+    return consolidate(budgeted_search(needle, hay, params))

@@ -1,0 +1,49 @@
+"""Exact subsequence scan.
+
+Behavioral twin of ``search_exact`` (/root/reference/src/fuzzysearch/
+search_exact.py:22-56): yields every start index of ``needle`` within
+``hay[start_index:end_index]``, with index clamping, supporting str/bytes
+(via ``.find``) and list/tuple (via item scan). Original implementation.
+"""
+
+from __future__ import annotations
+
+from fuzzysearch_spark.params import clamp
+
+_FINDABLE = (str, bytes, bytearray)
+_INDEXABLE = (list, tuple)
+
+
+def exact_find(needle, hay, start_index: int = 0, end_index: int | None = None):
+    """Yield each index where ``needle`` occurs exactly inside the window."""
+    if not needle:
+        raise ValueError("subsequence must not be empty")
+
+    n = len(hay)
+    if end_index is None:
+        end_index = n
+    lo = clamp(start_index, 0, n)
+    hi = clamp(end_index, lo, n)
+
+    if isinstance(hay, _FINDABLE):
+        pos = hay.find(needle, lo, hi)
+        while pos >= 0:
+            yield pos
+            pos = hay.find(needle, pos + 1, hi)
+        return
+
+    if not isinstance(hay, _INDEXABLE):
+        raise TypeError(f"unsupported sequence type: {type(hay)}")
+
+    head = needle[0]
+    m = len(needle)
+    last_head_pos = hi - (m - 1)
+    pos = lo
+    while True:
+        try:
+            pos = hay.index(head, pos, last_head_pos)
+        except ValueError:
+            return
+        if all(hay[pos + j] == needle[j] for j in range(1, m)):
+            yield pos
+        pos += 1

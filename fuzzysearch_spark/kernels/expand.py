@@ -1,0 +1,106 @@
+"""Prefix-anchored bounded edit-distance expansion.
+
+Given a needle and a haystack slice that must align at position 0, find the
+cheapest way to consume the whole needle within the slice: returns
+``(dist, consumed)`` where ``consumed`` is how many haystack items the best
+expansion spans, or ``(None, None)`` if no expansion costs <= k.
+
+Behavioral twin of ``_py_expand_short`` / ``_py_expand_long``
+(/root/reference/src/fuzzysearch/levenshtein_ngram.py:22-143), including the
+Ukkonen-style live-band shrinking of the long variant and the exact
+tie-breaking (a later end position with an equal score wins). Original code;
+parity pinned by tests against the reference oracle.
+"""
+
+from __future__ import annotations
+
+
+def prefix_expand(needle, hay, k: int):
+    """Dispatch to the banded variant for long needles (ref ngram.py:8-19)."""
+    if len(needle) > max(k * 2, 10):
+        return _expand_banded(needle, hay, k)
+    return _expand_simple(needle, hay, k)
+
+
+def _expand_simple(needle, hay, k: int):
+    m = len(needle)
+    if m == 0:
+        return (0, 0)
+
+    # row[j] = min edits to consume needle[:j+1] using some prefix of hay
+    row = list(range(1, m + 1))
+    best = m
+    best_end = -1
+
+    for i, item in enumerate(hay):
+        diag = i          # cost of consuming hay[:i] against empty needle
+        cur = diag + 1
+        for j in range(m):
+            up = row[j]
+            cur = min(
+                diag + (item != needle[j]),
+                up + 1,
+                cur + 1,
+            )
+            row[j] = cur
+            diag = up
+        if cur <= best:
+            best = cur
+            best_end = i
+        elif min(row) >= best:
+            break
+
+    return (best, best_end + 1) if best <= k else (None, None)
+
+
+def _expand_banded(needle, hay, k: int):
+    m = len(needle)
+    if m == 0:
+        return (0, 0)
+
+    row = list(range(1, m + 1))
+    best = m
+    best_end = -1
+    cutoff = k          # scores above this can never contribute
+    nxt_lo = 0          # live band for the next haystack item
+    nxt_hi = m - 1
+
+    for i, item in enumerate(hay):
+        lo = nxt_lo
+        hi = min(m, nxt_hi + 1)
+
+        diag = i
+        cur = diag + 1
+
+        if cur <= cutoff:
+            nxt_lo = 0
+            nxt_hi = 0
+        else:
+            nxt_lo = None
+            nxt_hi = -1
+
+        for j in range(lo, hi):
+            up = row[j]
+            cur = min(
+                diag + (item != needle[j]),
+                up + 1,
+                cur + 1,
+            )
+            row[j] = cur
+            diag = up
+
+            if cur <= cutoff:
+                if nxt_lo is None:
+                    nxt_lo = j
+                nxt_hi = max(nxt_hi, j + 1 + (cutoff - cur))
+
+        if nxt_lo is None:
+            break
+
+        if hi == m and cur <= best:
+            best = cur
+            best_end = i
+            if best < cutoff:
+                cutoff = best
+
+    return (best, best_end + 1) if best <= k else (None, None)

@@ -1,0 +1,145 @@
+"""Bounded-Levenshtein subsequence search.
+
+Behavioral twin of the reference's levenshtein search family
+(/root/reference/src/fuzzysearch/levenshtein.py and levenshtein_ngram.py):
+
+* ``lev_search`` — dispatch: exact when k == 0; pigeonhole n-gram seeding
+  when ``len(needle) // (k+1) >= 3``; else the candidate-automaton scan
+  (levenshtein.py:23-38).
+* ``lev_search_ngrams`` — split the needle into k+1 disjoint n-grams, find
+  each exactly inside the pruned window, then expand right/left under the
+  remaining budget (levenshtein_ngram.py:159-198).
+* ``lev_search_automaton`` — NFA over candidate states for short needles
+  (levenshtein.py:52-148).
+
+Raw (unconsolidated) matches are yielded; callers consolidate. Original
+implementation, parity pinned by oracle tests.
+"""
+
+from __future__ import annotations
+
+from fuzzysearch_spark.kernels.exact import exact_find
+from fuzzysearch_spark.kernels.expand import prefix_expand
+from fuzzysearch_spark.match import Match
+
+
+def lev_search(needle, hay, k: int):
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+    if k < 0:
+        raise ValueError("Maximum Levenshtein distance must be >= 0!")
+
+    m = len(needle)
+    if k == 0:
+        return [
+            Match(i, i + m, 0, hay[i:i + m]) for i in exact_find(needle, hay)
+        ]
+    if m // (k + 1) >= 3:
+        return lev_search_ngrams(needle, hay, k)
+    return lev_search_automaton(needle, hay, k)
+
+
+def lev_search_ngrams(needle, hay, k: int):
+    m = len(needle)
+    n = len(hay)
+    gram = m // (k + 1)
+    if gram == 0:
+        raise ValueError("the subsequence length must be greater than max_l_dist")
+
+    for g_lo in range(0, m - gram + 1, gram):
+        g_hi = g_lo + gram
+        left_rev = needle[:g_lo][::-1]
+        right = needle[g_hi:]
+        win_lo = max(0, g_lo - k)
+        win_hi = min(n, n - m + g_hi + k)
+        for pos in exact_find(needle[g_lo:g_hi], hay, win_lo, win_hi):
+            d_right, grew_right = prefix_expand(
+                right,
+                hay[pos + gram: pos - g_lo + m + k],
+                k,
+            )
+            if d_right is None:
+                continue
+            d_left, grew_left = prefix_expand(
+                left_rev,
+                hay[max(0, pos - g_lo - (k - d_right)): pos][::-1],
+                k - d_right,
+            )
+            if d_left is None:
+                continue
+            lo = pos - grew_left
+            hi = pos + gram + grew_right
+            yield Match(lo, hi, d_left + d_right, hay[lo:hi])
+
+
+def lev_search_automaton(needle, hay, k: int):
+    """Candidate-state scan for short needles (ref levenshtein.py:52-148).
+
+    State = (start, next_needle_idx, dist). On each haystack item a state
+    either advances (item matches), or branches into: skip-hay (insertion),
+    skip-both (substitution), or skip-needle×n (deletions).
+    """
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    m = len(needle)
+
+    if k >= m:
+        # every position trivially matches by deleting the whole needle
+        for i in range(len(hay) + 1):
+            yield Match(i, i, m, hay[i:i])
+        return
+
+    # earliest index of each item within the first k+1 needle positions
+    first_idx = {}
+    for j in range(min(k + 1, m) - 1, -1, -1):
+        first_idx[needle[j]] = j
+
+    states: list[tuple[int, int, int]] = []
+    for i, item in enumerate(hay):
+        nxt: list[tuple[int, int, int]] = []
+
+        j0 = first_idx.get(item)
+        if j0 is not None:
+            if j0 + 1 == m:
+                yield Match(i, i + 1, j0, hay[i:i + 1])
+            else:
+                nxt.append((i, j0 + 1, j0))
+
+        for start, j, d in states:
+            if needle[j] == item:
+                if j + 1 == m:
+                    yield Match(start, i + 1, d, hay[start:i + 1])
+                else:
+                    nxt.append((start, j + 1, d))
+                continue
+
+            if d == k:
+                continue
+
+            # insertion: consume hay item only
+            nxt.append((start, j, d + 1))
+
+            # substitution: consume both
+            if i + 1 < len(hay) and j + 1 < m:
+                nxt.append((start, j + 1, d + 1))
+
+            # deletions: skip needle items until one matches this hay item
+            for skip in range(1, k - d + 1):
+                if j + skip == m:
+                    yield Match(start, i + 1, d + skip, hay[start:i + 1])
+                    break
+                if needle[j + skip] == item:
+                    if j + skip + 1 == m:
+                        yield Match(start, i + 1, d + skip, hay[start:i + 1])
+                    else:
+                        nxt.append((start, j + 1 + skip, d + skip))
+                    break
+
+        states = nxt
+
+    n = len(hay)
+    for start, j, d in states:
+        tail = d + m - j
+        if tail <= k:
+            yield Match(start, n, tail, hay[start:n])

@@ -1,0 +1,110 @@
+"""Substitutions + insertions (no deletions) subsequence search.
+
+Behavioral twin of /root/reference/src/fuzzysearch/no_deletions.py:
+
+* ``_frontier`` — for each allowed insertion count 0..max_ins, the minimum
+  substitutions needed for a prefix-anchored alignment, filtered to the
+  budget-feasible Pareto frontier (no_deletions.py:13-39).
+* ``no_deletions_search`` — pigeonhole n-gram seed with
+  ``gram = len(needle) // (max_subs + max_ins + 1)``, residual-budget left
+  expansion, cross-product of feasible (before, after) frontiers, span
+  de-duplication via a matched-start index set, start-sorted output
+  (no_deletions.py:42-129).
+
+Original implementation; parity pinned by oracle tests.
+"""
+
+from __future__ import annotations
+
+from fuzzysearch_spark.kernels.exact import exact_find
+from fuzzysearch_spark.match import Match
+from fuzzysearch_spark.params import SearchParams
+
+
+def _frontier(needle, hay, max_subs: int, max_ins: int, max_total: int):
+    """Pareto frontier of (n_subs, n_ins) prefix-anchored alignments."""
+    if not needle:
+        return (0, 0)
+
+    cost = [0] * (max_ins + 1)
+    for j, item in enumerate(needle):
+        cost[0] += item != hay[j]
+        for ins in range(1, max_ins + 1):
+            cost[ins] = min(cost[ins] + (item != hay[j + ins]), cost[ins - 1])
+
+    feasible = [
+        (c, ins)
+        for ins, c in enumerate(cost)
+        if c <= max_subs and ins + c <= max_total
+    ]
+    return [
+        pt for idx, pt in enumerate(feasible)
+        if idx == 0 or pt[0] < feasible[idx - 1][0]
+    ]
+
+
+def no_deletions_search(needle, hay, params: SearchParams):
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    max_s, max_i, _max_e, max_d = params.unpacked
+    max_s = min(max_s, max_d)
+    max_i = min(max_i, max_d)
+
+    m = len(needle)
+    n = len(hay)
+
+    gram = m // (max_s + max_i + 1)
+    if gram == 0:
+        raise ValueError(
+            "The subsequence's length must be greater than max_subs + max_ins!"
+        )
+
+    found: list[Match] = []
+    claimed_starts: set[int] = set()
+
+    for g_lo in range(0, m - gram + 1, gram):
+        g_hi = g_lo + gram
+        head = needle[:g_lo]
+        head_rev = head[::-1]
+        tail = needle[g_hi:]
+        win_lo = max(0, g_lo - max_i)
+        win_hi = min(n, n - (m - g_hi) + max_i)
+
+        for pos in exact_find(needle[g_lo:g_hi], hay, win_lo, win_hi):
+            anchor = pos - g_lo
+            if anchor in claimed_starts:
+                continue
+
+            after = hay[pos + gram: pos + m - g_lo + max_i]
+            if after.startswith(tail):
+                after_pts = [(0, 0)]
+            else:
+                after_pts = _frontier(tail, after, max_s, max_i, max_d)
+                if not after_pts:
+                    continue
+
+            rem_s = max_s - min(p[0] for p in after_pts)
+            rem_i = max_i - min(p[1] for p in after_pts)
+            rem_d = max_d - min(p[0] + p[1] for p in after_pts)
+            before = hay[pos - g_lo - rem_i: pos]
+            if before.endswith(head):
+                before_pts = [(0, 0)]
+            else:
+                before_pts = _frontier(head_rev, before[::-1], rem_s, rem_i, rem_d)
+
+            for s_b, i_b in before_pts:
+                for s_a, i_a in after_pts:
+                    if (
+                        s_b + s_a <= max_s
+                        and i_b + i_a <= max_i
+                        and s_b + s_a + i_b + i_a <= max_d
+                    ):
+                        lo = anchor - i_b
+                        hi = anchor + m + i_a
+                        found.append(
+                            Match(lo, hi, s_b + s_a + i_b + i_a, hay[lo:hi])
+                        )
+                        claimed_starts |= set(range(lo, lo + max_i + 1))
+
+    return sorted(found, key=lambda mm: mm.start)

@@ -1,0 +1,108 @@
+"""Bounded whole-string edit distance — the near-dup pair verifier.
+
+This is the pair form of the fuzzysearch-derived banded verifier demanded by
+the dedup pipeline: ``bounded_edit_distance(a, b, k)`` returns the exact
+Levenshtein distance if it is <= k, else None. It anchors both ends (unlike
+the reference's substring ``_expand``, /root/reference/src/fuzzysearch/
+levenshtein_ngram.py:77-143, which anchors only the start), but applies the
+same cost-bounded early-exit ideas:
+
+1. length-difference lower bound (|len(a)-len(b)| > k → None);
+2. common prefix/suffix stripping (C-speed string compares) — for true
+   near-duplicates this collapses megabyte inputs to the tiny edited middle;
+3. row-vectorized DP over the remainder with a numpy prefix-scan handling
+   the left-neighbor (insertion) dependency, early-exiting as soon as a full
+   row exceeds k (Ukkonen's bound).
+
+All-numpy, no per-character Python loops on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def strip_common_affixes(a: bytes, b: bytes) -> tuple[bytes, bytes]:
+    """Drop the longest common prefix and suffix (edit-distance-preserving)."""
+    if a == b:
+        return b"", b""
+    # binary-search the common prefix length using C-speed slice compares
+    lo, hi = 0, min(len(a), len(b))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if a[:mid] == b[:mid]:
+            lo = mid
+        else:
+            hi = mid - 1
+    p = lo
+    a, b = a[p:], b[p:]
+    lo, hi = 0, min(len(a), len(b))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if a[len(a) - mid:] == b[len(b) - mid:]:
+            lo = mid
+        else:
+            hi = mid - 1
+    s = lo
+    return (a[:len(a) - s], b[:len(b) - s])
+
+
+def _dp_rows(a: np.ndarray, b: np.ndarray, k: int):
+    """Row-scan Levenshtein with numpy prefix-scan per row, early exit > k."""
+    la, lb = len(a), len(b)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(la):
+        # diag + substitution cost, and up + 1 (deletion from a)
+        tmp = np.minimum(prev[:-1] + (b != a[i]), prev[1:] + 1)
+        # left-neighbor (insertion) closure:
+        # cur[j] = min_{t<=j} seed[t] + (j - t), seed = [i+1, tmp...]
+        seed = np.concatenate(([i + 1], tmp))
+        cur = np.minimum.accumulate(seed - idx) + idx
+        if cur.min() > k:
+            return None
+        prev = cur
+    d = int(prev[-1])
+    return d if d <= k else None
+
+
+def bounded_edit_distance(a, b, k: int):
+    """Exact Levenshtein distance of a vs b if <= k, else None."""
+    if isinstance(a, str):
+        a = a.encode("utf-8", "surrogatepass")
+    if isinstance(b, str):
+        b = b.encode("utf-8", "surrogatepass")
+    if k < 0:
+        return None
+    if abs(len(a) - len(b)) > k:
+        return None
+    a, b = strip_common_affixes(a, b)
+    if not a and not b:
+        return 0
+    if not a or not b:
+        d = len(a) or len(b)
+        return d if d <= k else None
+    # small middles: plain python DP beats numpy call overhead
+    if len(a) * len(b) <= 256:
+        return _dp_small(a, b, k)
+    arr_a = np.frombuffer(a, dtype=np.uint8)
+    arr_b = np.frombuffer(b, dtype=np.uint8)
+    if len(arr_a) < len(arr_b):
+        arr_a, arr_b = arr_b, arr_a
+    return _dp_rows(arr_a, arr_b, k)
+
+
+def _dp_small(a: bytes, b: bytes, k: int):
+    lb = len(b)
+    prev = list(range(lb + 1))
+    for i, ca in enumerate(a):
+        cur = [i + 1] + [0] * lb
+        lowest = i + 1
+        for j, cb in enumerate(b):
+            cur[j + 1] = min(prev[j] + (ca != cb), prev[j + 1] + 1, cur[j] + 1)
+            if cur[j + 1] < lowest:
+                lowest = cur[j + 1]
+        if lowest > k:
+            return None
+        prev = cur
+    return prev[-1] if prev[-1] <= k else None

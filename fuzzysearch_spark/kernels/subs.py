@@ -1,0 +1,147 @@
+"""Substitutions-only (Hamming-bounded) subsequence search.
+
+Behavioral twin of /root/reference/src/fuzzysearch/substitutions_only.py:
+
+* ``subs_search`` — dispatch: exact when max_subs == 0; n-gram seeding when
+  ``len(needle) // (max_subs+1) >= 3``; else the alignment-ring scan
+  (substitutions_only.py:37-63).
+* ``subs_search_ring`` — per-alignment match-count ring buffer
+  (substitutions_only.py:82-136).
+* ``subs_search_ngrams`` — pigeonhole exact n-gram seed + capped Hamming
+  flank verification, de-duplicated by start and sorted
+  (substitutions_only.py:148-215).
+* ``capped_hamming`` — mismatch count with early cap (common.py:119-126).
+
+Also provides ``hamming_windows``, a numpy all-alignments Hamming scan used
+by the vectorized verify stage. Original implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fuzzysearch_spark.kernels.exact import exact_find
+from fuzzysearch_spark.match import Match
+
+
+def capped_hamming(a, b, cap: int) -> int:
+    """Count positionwise mismatches of zip(a, b), stopping at ``cap``."""
+    bad = 0
+    for x, y in zip(a, b):
+        if x != y:
+            bad += 1
+            if bad == cap:
+                return bad
+    return bad
+
+
+def _check(needle, max_subs):
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+    if max_subs is None or max_subs < 0:
+        raise ValueError("Maximum number of substitutions must be >= 0!")
+
+
+def subs_search(needle, hay, max_subs: int):
+    _check(needle, max_subs)
+    m = len(needle)
+    if max_subs == 0:
+        return [Match(i, i + m, 0, hay[i:i + m]) for i in exact_find(needle, hay)]
+    if m // (max_subs + 1) >= 3:
+        return subs_search_ngrams(needle, hay, max_subs)
+    return list(subs_search_ring(needle, hay, max_subs))
+
+
+def subs_search_ring(needle, hay, max_subs: int):
+    """Sliding-alignment scan: one hit-counter per candidate alignment.
+
+    Counter for the alignment starting at hay position p lives in a ring of
+    size len(needle); when the alignment completes, its mismatch count is
+    len(needle) - hits.
+    """
+    _check(needle, max_subs)
+    m = len(needle)
+
+    where: dict = {}
+    for j, item in enumerate(needle):
+        where.setdefault(item, []).append(j)
+
+    hits = [0] * m  # hits[(m - 1 - (i - p)) ...] via rotating offset
+    # We emulate the rotating ring with an offset: counter for alignment
+    # starting at p is hits[(p + base) % m].
+    n = len(hay)
+    for i in range(n):
+        item = hay[i]
+        for j in where.get(item, ()):
+            p = i - j
+            if p >= 0:
+                hits[p % m] += 1
+        p_done = i - (m - 1)
+        if p_done >= 0:
+            bad = m - hits[p_done % m]
+            hits[p_done % m] = 0
+            if bad <= max_subs:
+                yield Match(p_done, i + 1, bad, hay[p_done:i + 1])
+        else:
+            # alignments that can't fit haven't completed; nothing to emit,
+            # but the slot for a not-yet-started alignment must stay zeroed.
+            pass
+
+
+def subs_search_ngrams(needle, hay, max_subs: int):
+    _check(needle, max_subs)
+    seen_starts = set()
+    out = []
+    for match in _subs_ngram_hits(needle, hay, max_subs):
+        if match.start not in seen_starts:
+            seen_starts.add(match.start)
+            out.append(match)
+    return sorted(out, key=lambda mm: mm.start)
+
+
+def _subs_ngram_hits(needle, hay, max_subs: int):
+    m = len(needle)
+    n = len(hay)
+    gram = m // (max_subs + 1)
+    if gram == 0:
+        raise ValueError(
+            "The subsequence's length must be greater than max_substitutions!"
+        )
+
+    for g_lo in range(0, m - gram + 1, gram):
+        g_hi = g_lo + gram
+        head = needle[:g_lo]
+        tail = needle[g_hi:]
+        for pos in exact_find(needle[g_lo:g_hi], hay, g_lo, n - (m - g_hi)):
+            bad = 0
+            before = hay[pos - g_lo:pos]
+            if before != head:
+                bad += capped_hamming(before, head, max_subs - bad + 1)
+                if bad > max_subs:
+                    continue
+            after = hay[pos + gram:pos - g_lo + m]
+            if after != tail:
+                if bad == max_subs:
+                    continue
+                bad += capped_hamming(after, tail, max_subs - bad + 1)
+                if bad > max_subs:
+                    continue
+            lo = pos - g_lo
+            yield Match(lo, lo + m, bad, hay[lo:lo + m])
+
+
+def hamming_windows(needle_bytes: bytes, hay_bytes: bytes) -> np.ndarray:
+    """Hamming distance of the needle against every alignment of the hay.
+
+    Vectorized all-windows mismatch count via a strided byte matrix; used by
+    the distributed substitutions-only verify path. Returns an int32 array of
+    length ``len(hay) - len(needle) + 1`` (empty if the needle is longer).
+    """
+    m = len(needle_bytes)
+    n = len(hay_bytes)
+    if m == 0 or n < m:
+        return np.empty(0, dtype=np.int32)
+    hay_arr = np.frombuffer(hay_bytes, dtype=np.uint8)
+    needle_arr = np.frombuffer(needle_bytes, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(hay_arr, m)
+    return (windows != needle_arr).sum(axis=1, dtype=np.int32)

@@ -1,0 +1,110 @@
+"""Match records and overlap consolidation.
+
+Semantics mirror the reference (/root/reference/src/fuzzysearch/common.py):
+
+* ``Match`` — equality and hashing on ``(start, end, dist)`` only; the
+  ``matched`` payload is excluded (common.py:15-32).
+* ``merge_overlapping_groups`` — incremental connected components over
+  interval overlap, including the multi-group-merge case (common.py:161-177).
+* ``best_of_group`` — smallest dist, ties broken by longest span
+  (common.py:180-182).
+* ``consolidate`` — group → best-per-group → sorted (common.py:185-189).
+
+Implementation is our own (interval envelopes kept as parallel lists rather
+than group objects); behavior pinned by tests against the reference oracle.
+"""
+
+from __future__ import annotations
+
+
+class Match:
+    """A fuzzy-search hit: half-open span [start, end) at edit distance dist.
+
+    ``matched`` carries the matched slice but does not participate in
+    equality or hashing, mirroring the reference Match record.
+    """
+
+    __slots__ = ("start", "end", "dist", "matched")
+
+    def __init__(self, start: int, end: int, dist: int, matched=""):
+        self.start = start
+        self.end = end
+        self.dist = dist
+        self.matched = matched
+
+    def _key(self):
+        return (self.start, self.end, self.dist)
+
+    def __eq__(self, other):
+        if isinstance(other, Match):
+            return self._key() == other._key()
+        # allow comparison against the reference's attrs-based Match
+        try:
+            return self._key() == (other.start, other.end, other.dist)
+        except AttributeError:
+            return NotImplemented
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __lt__(self, other):
+        return (self._key(), ) < ((other.start, other.end, other.dist), )
+
+    def __iter__(self):
+        # convenient unpacking: start, end, dist = match
+        return iter(self._key())
+
+    def __repr__(self):
+        return f"Match(start={self.start}, end={self.end}, dist={self.dist}, matched={self.matched!r})"
+
+
+def merge_overlapping_groups(matches):
+    """Group matches whose spans overlap (transitively).
+
+    Returns a list of sets of matches. A match overlaps a group when its
+    span intersects the group's running envelope ``[lo, hi)``; a match
+    touching several groups fuses them into one (reference common.py:161-177).
+    """
+    los: list[int] = []
+    his: list[int] = []
+    members: list[set] = []
+    for m in matches:
+        touching = [i for i in range(len(members)) if not (m.end <= los[i] or m.start >= his[i])]
+        if not touching:
+            los.append(m.start)
+            his.append(m.end)
+            members.append({m})
+        elif len(touching) == 1:
+            i = touching[0]
+            members[i].add(m)
+            los[i] = min(los[i], m.start)
+            his[i] = max(his[i], m.end)
+        else:
+            fused = {m}
+            lo, hi = m.start, m.end
+            for i in touching:
+                fused |= members[i]
+                for mm in members[i]:
+                    lo = min(lo, mm.start)
+                    hi = max(hi, mm.end)
+            for i in reversed(touching):
+                del members[i], los[i], his[i]
+            members.append(fused)
+            los.append(lo)
+            his.append(hi)
+    return members
+
+
+def best_of_group(group):
+    """Longest match among those with the smallest distance (common.py:180-182).
+
+    The reference breaks remaining ties by set-iteration order (which is
+    nondeterministic across interpreter runs); we add a deterministic
+    (start, end) tiebreak — any tied match is equally "best".
+    """
+    return min(group, key=lambda m: (m.dist, -(m.end - m.start), m.start, m.end))
+
+
+def consolidate(matches):
+    """Replace overlapping matches with a single best match per overlap group."""
+    return sorted(best_of_group(g) for g in merge_overlapping_groups(matches))

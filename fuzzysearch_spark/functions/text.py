@@ -1,0 +1,121 @@
+"""Text analytics over document columns — all JVM-side built-in expressions.
+
+Training-data-pipeline primitives: token counting, quality scoring,
+language identification, and content fingerprinting. Every function here is
+built from ``pyspark.sql.functions`` only (no UDFs): they stay inside
+whole-stage codegen and each has an exactly-mirroring ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` (DuckDB-checked).
+
+Cross-engine determinism rules used throughout:
+* counting via length(regexp_replace(...)) rather than engine-specific
+  regexp_count variants;
+* float outputs rounded to 6 decimals;
+* md5 hex (lowercase in both engines) for fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace-token count: 0 for empty/blank, else count of \\s+ splits."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def _count_class(text: Column, pattern: str) -> Column:
+    """Number of characters matching a regex class (replace-and-measure)."""
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Document-quality features + a composite score in [0, 1].
+
+    Features: total chars, alpha ratio, digit ratio, punctuation ratio,
+    whitespace ratio, mean token length. Composite rewards alpha-dominant,
+    moderately tokenized text — a standard cheap pre-training quality gate.
+    """
+    n = F.length(text)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    alpha = _count_class(text, "[A-Za-z]")
+    digit = _count_class(text, "[0-9]")
+    space = _count_class(text, r"[ \t\n\r]")
+    punct = n - alpha - digit - space
+    tokens = token_count_col(text)
+    safe_tokens = F.greatest(tokens, F.lit(1)).cast("double")
+
+    alpha_ratio = F.round(alpha / safe_n, 6)
+    digit_ratio = F.round(digit / safe_n, 6)
+    punct_ratio = F.round(punct / safe_n, 6)
+    space_ratio = F.round(space / safe_n, 6)
+    mean_tok_len = F.round((n - space).cast("double") / safe_tokens, 6)
+
+    score = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                alpha_ratio * 1.2
+                - punct_ratio * 0.5
+                - digit_ratio * 0.3
+                + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.2).otherwise(0.0),
+            ),
+        ),
+        6,
+    )
+    return {
+        "n_chars_m": n,
+        "alpha_ratio": alpha_ratio,
+        "digit_ratio": digit_ratio,
+        "punct_ratio": punct_ratio,
+        "space_ratio": space_ratio,
+        "mean_tok_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+#: marker stopwords per language for the n-gram/stopword-count heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "ist", "nicht"],
+    "fr": ["le", "et", "les", "est", "pas"],
+    "es": ["el", "de", "la", "que", "es"],
+}
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    """Count of marker-word occurrences (word-boundary regex, lowercased)."""
+    low = F.lower(text)
+    total = F.lit(0)
+    for w in words:
+        pat = rf"\b{w}\b"
+        # occurrences = removed length / word length
+        total = total + (
+            (F.length(low) - F.length(F.regexp_replace(low, pat, ""))) / len(w)
+        )
+    return total.cast("int")
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID by stopword-marker counts; ties/unknown → 'und'."""
+    scores = {lang: _marker_hits(text, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es
+    for lang in ("es", "fr", "de", "en"):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint_col(text: Column) -> Column:
+    """64-bit-equivalent hex content fingerprint (first 16 md5 hex chars)."""
+    return F.substring(F.md5(text), 1, 16)
+
+
+def sha256_col(text: Column) -> Column:
+    """Lineage column per input_hint: sha256 hex of content."""
+    return F.sha2(text, 256)

@@ -1,0 +1,10 @@
+"""DataFrame -> DataFrame operators of the dedup/clustering engine."""
+
+from fuzzysearch_spark.operators.exact_dedup import exact_dup_groups  # noqa: F401
+from fuzzysearch_spark.operators.lsh import lsh_candidate_pairs  # noqa: F401
+from fuzzysearch_spark.operators.verify import verify_pairs  # noqa: F401
+from fuzzysearch_spark.operators.components import connected_components  # noqa: F401
+from fuzzysearch_spark.operators.intervals import (  # noqa: F401
+    consolidate_intervals,
+    best_match_per_group,
+)

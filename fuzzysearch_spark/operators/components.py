@@ -1,0 +1,99 @@
+"""Connected components over the verified-pair graph.
+
+Corpus-scale generalization of the reference's incremental interval
+connected-components (``group_matches``, /root/reference/src/fuzzysearch/
+common.py:161-177): alternating large-star / small-star rounds (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14), each round a
+groupBy + join, converging in O(log n) rounds. Per-round ``localCheckpoint``
+cuts lineage so plans stay bounded; convergence is detected by an
+(edge-count, xor-of-edge-hashes) fingerprint — one tiny aggregate per round,
+no full edge-set comparison shuffle.
+
+Output: (doc_id, cluster_id) with cluster_id = min doc_id in the component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's component minimum."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    mins = mins.select("u", F.least("nbr_min", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-neighbor set, rewire everything to the min."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        o.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return rewired.union(self_links).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node appearing in ``edges``.
+
+    Nodes absent from ``edges`` are their own singleton clusters — callers
+    union those in from the full doc set (left join + coalesce).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    prev_fp = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # post-convergence every edge is (member, component_min); make the
+    # assignment total over nodes on either side
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return (
+        members.union(roots)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
+def attach_clusters(docs: DataFrame, assignments: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Left-join cluster ids onto docs; singletons become their own cluster."""
+    return docs.join(
+        assignments.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))

@@ -1,0 +1,42 @@
+"""Exact-duplicate detection: groupBy on content hash.
+
+The distributed analog of the reference's ``ExactSearch`` stage
+(/root/reference/src/fuzzysearch/search_exact.py:80-89): identical content
+clusters before any fuzzy work. One shuffle on a 64-hex-char key; map-side
+partial aggregation applies automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(doc_id, sha256, exact_group_id, is_representative).
+
+    exact_group_id = min doc_id sharing the same sha256(content);
+    the representative (min id) carries the group into the fuzzy stages,
+    shrinking LSH input and killing the biggest bucket-skew source.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("sha256"),
+    )
+    w = Window.partitionBy("sha256")
+    return hashed.select(
+        "doc_id",
+        "sha256",
+        F.min("doc_id").over(w).alias("exact_group_id"),
+    ).withColumn("is_representative", F.col("doc_id") == F.col("exact_group_id"))
+
+
+def exact_dup_edges(groups: DataFrame) -> DataFrame:
+    """(a_id, b_id) edges linking every duplicate to its group representative."""
+    return (
+        groups.where(~F.col("is_representative"))
+        .select(
+            F.col("exact_group_id").alias("a_id"),
+            F.col("doc_id").alias("b_id"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Interval consolidation as window functions — the distributed C1-C4.
+
+The reference consolidates overlapping matches per document via incremental
+interval grouping + best-of-group selection (/root/reference/src/fuzzysearch/
+common.py:145-189). Over sorted intervals that is classic sessionization:
+a new group starts exactly where an interval's start is >= the running max
+of all previous ends. Both operators are pure window functions — one shuffle
+on the partition key, fully whole-stage-codegen'd, and ANSI-SQL expressible
+(DuckDB-oracle-checked via __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def consolidate_intervals(
+    df: DataFrame,
+    partition_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Add ``group_id``: connected components of interval overlap.
+
+    Equivalent to reference ``group_matches`` for intervals processed in
+    start order (the envelope [min start, max end) absorbs transitive
+    overlap). group_id numbers groups 1..G within each partition.
+    """
+    order = Window.partitionBy(*partition_cols).orderBy(
+        F.col(start_col), F.col(end_col)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) >= prev_max_end), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "group_id",
+        F.sum(is_new).over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def best_match_per_group(
+    grouped: DataFrame,
+    partition_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Keep the best match per overlap group (reference common.py:180-182).
+
+    Best = smallest dist, ties to the longest span, then deterministic
+    (start, end) — matching ``fuzzysearch_spark.match.best_of_group``.
+    """
+    w = Window.partitionBy(*partition_cols, "group_id").orderBy(
+        F.col(dist_col).asc(),
+        (F.col(end_col) - F.col(start_col)).desc(),
+        F.col(start_col).asc(),
+        F.col(end_col).asc(),
+    )
+    return (
+        grouped.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,83 @@
+"""MinHash-LSH candidate-pair generation.
+
+The distributed restatement of the reference's pigeonhole seeding
+(/root/reference/src/fuzzysearch/levenshtein_ngram.py:159-198): split the
+signature into bands; any sufficiently-similar pair collides on at least one
+band key; colliding pairs are *candidates* that downstream verification
+confirms — the same cheap-filter-then-verify architecture as the reference's
+byte-sum memmem filter (/root/reference/src/fuzzysearch/memmem.c:75-87).
+
+Scale notes (100 TB posture):
+* one shuffle to explode bands, one shuffle for the self-join on
+  (band_idx, band_key) — AQE skew-join splitting enabled by the session;
+* explicit skew control: bucket sizes are measured first and buckets larger
+  than ``max_bucket`` are excluded from pair generation and *reported* in the
+  returned metrics (no silent drops) — at sane geometry an oversized bucket
+  means near-identical content that exact-dedup should have removed;
+* pair de-dup on (a_id, b_id) BEFORE fetching any content — the biggest
+  cost saver, since a pair collides once per agreeing band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.signatures import SignatureConfig, band_keys_col, minhash_udf
+
+
+def add_minhash_bands(docs: DataFrame, cfg: SignatureConfig, content_col: str = "content") -> DataFrame:
+    """Attach `minhash` (array<long>) and `bands` (array<long>) columns."""
+    sig = minhash_udf(cfg)
+    with_sig = docs.withColumn("minhash", sig(F.col(content_col)))
+    return with_sig.withColumn("bands", band_keys_col(F.col("minhash"), cfg))
+
+
+def explode_bands(docs_with_bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band_idx, band_key) — one row per document band."""
+    return docs_with_bands.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    )
+
+
+def lsh_candidate_pairs(
+    docs_with_bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Distinct candidate pairs (a_id < b_id) from band-key collisions.
+
+    Returns (pairs, oversized_buckets); the latter is the skew report:
+    (band_idx, band_key, bucket_size) for buckets excluded from the
+    quadratic pair expansion.
+    """
+    bands = explode_bands(docs_with_bands, id_col)
+
+    sizes = bands.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    oversized = sizes.where(F.col("bucket_size") > max_bucket)
+
+    ok_bands = bands.join(
+        F.broadcast(oversized.select("band_idx", "band_key")),
+        ["band_idx", "band_key"],
+        "left_anti",
+    )
+
+    left = ok_bands.alias("l")
+    right = ok_bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a_id"),
+            F.col("r.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    return pairs, oversized

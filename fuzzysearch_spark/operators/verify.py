@@ -1,0 +1,123 @@
+"""Candidate-pair verification: cheap prefilters, then the banded DP kernel.
+
+Mirrors the reference's filter-then-verify ladder at pair granularity:
+
+1. length-difference bound — a pair further apart than k in length cannot
+   be within edit distance k (pigeonhole; costs one small-column join);
+2. optional SimHash Hamming prefilter — ``bit_count(a ^ b)`` JVM-side, the
+   cheap Hamming screen analogous to the substitutions-only ring scan
+   (/root/reference/src/fuzzysearch/substitutions_only.py:82-136);
+3. the fuzzysearch-derived bounded edit-distance verifier
+   (kernels/pairdist.py, semantics of levenshtein_ngram.py:77-143) inside an
+   Arrow-batched pandas UDF — contents are only shuffled for pairs that
+   survive 1-2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class VerifyConfig:
+    """Pair-verification thresholds.
+
+    ``max_l_dist``: absolute edit-distance cap; if ``rel_dist`` is set the
+    per-pair cap becomes ``max(max_l_dist, int(rel_dist * max(len_a, len_b)))``.
+    ``simhash_max_hamming``: None disables the SimHash prefilter.
+    """
+
+    max_l_dist: int = 4
+    rel_dist: float | None = None
+    simhash_max_hamming: int | None = None
+
+    def pair_cap(self, len_a: int, len_b: int) -> int:
+        k = self.max_l_dist
+        if self.rel_dist is not None:
+            k = max(k, int(self.rel_dist * max(len_a, len_b)))
+        return k
+
+
+def _edit_dist_udf(cfg: VerifyConfig):
+    from pyspark.sql.functions import pandas_udf
+
+    from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance
+
+    @pandas_udf("long")
+    def _verify(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for content_a, content_b in batches:
+            out = []
+            for a, b in zip(content_a, content_b):
+                a = a or ""
+                b = b or ""
+                k = cfg.pair_cap(len(a), len(b))
+                out.append(bounded_edit_distance(a, b, k))
+            yield pd.Series(out, dtype="Int64")
+
+    return _verify
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: VerifyConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    simhash_col: str | None = None,
+) -> DataFrame:
+    """(a_id, b_id, dist) for pairs within the edit-distance cap.
+
+    ``pairs``: (a_id, b_id); ``docs``: (doc_id, content [, simhash]).
+    Light columns (length, simhash) are joined and filtered BEFORE content
+    is shuffled.
+    """
+    feat_cols = [F.col(id_col).alias("doc_id"), F.length(content_col).alias("n")]
+    if simhash_col:
+        feat_cols.append(F.col(simhash_col).alias("sh"))
+    feats = docs.select(*feat_cols)
+
+    def _renamed(side: str) -> DataFrame:
+        # withColumnRenamed is a no-op for absent columns (sh without simhash)
+        return (
+            feats.withColumnRenamed("doc_id", f"{side}_id")
+            .withColumnRenamed("n", f"n_{side}")
+            .withColumnRenamed("sh", f"sh_{side}")
+        )
+
+    p = pairs.join(_renamed("a"), "a_id").join(_renamed("b"), "b_id")
+
+    # pigeonhole length bound under the per-pair cap
+    if cfg.rel_dist is None:
+        p = p.where(F.abs(F.col("n_a") - F.col("n_b")) <= cfg.max_l_dist)
+    else:
+        cap = F.greatest(
+            F.lit(cfg.max_l_dist),
+            F.floor(F.lit(cfg.rel_dist) * F.greatest("n_a", "n_b")).cast("int"),
+        )
+        p = p.where(F.abs(F.col("n_a") - F.col("n_b")) <= cap)
+
+    if simhash_col and cfg.simhash_max_hamming is not None:
+        p = p.where(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            <= cfg.simhash_max_hamming
+        )
+
+    contents = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("c"))
+    with_content = (
+        p.select("a_id", "b_id")
+        .join(contents.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "content_a"), "a_id")
+        .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
+    )
+
+    verify = _edit_dist_udf(cfg)
+    return (
+        with_content.withColumn("dist", verify("content_a", "content_b"))
+        .where(F.col("dist").isNotNull())
+        .select("a_id", "b_id", "dist")
+    )

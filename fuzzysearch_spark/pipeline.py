@@ -1,0 +1,224 @@
+"""The end-to-end near-duplicate detection + clustering pipeline.
+
+Distributed restatement of the reference's single-call flow
+(``find_near_matches`` → consolidate, /root/reference/src/fuzzysearch/
+__init__.py:35-57) over an Iceberg-shaped corpus table
+(repo, path, commit, lang, content):
+
+    ingest → exact dedup → MinHash/SimHash signatures → LSH bands →
+    candidate pairs → banded-DP verify → connected components → clusters
+
+Every numbered stage checkpoints to Parquet under ``workdir`` with a metrics
+JSON (rows in/out, per-partition row counts, wall time, stage-specific
+extras); ``resume=True`` restarts at the first missing checkpoint. The
+per-row ``sha256(content)`` lineage column is computed at ingest and
+re-verified at the output stage (input_hint invariant).
+
+Scale posture: only light columns (ids, hashes, signatures) cross most
+shuffles; contents are shuffled exactly once, for surviving candidate pairs.
+Exact-dup groups are collapsed to one representative before any fuzzy work —
+the dominant LSH-bucket skew source at corpus scale — and remaining skew is
+measured and capped explicitly in the LSH stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.signatures import SignatureConfig, simhash_udf
+from fuzzysearch_spark.operators.components import attach_clusters, connected_components
+from fuzzysearch_spark.operators.exact_dedup import exact_dup_edges, exact_dup_groups
+from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
+from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
+
+
+@dataclass
+class DedupConfig:
+    signature: SignatureConfig = field(default_factory=SignatureConfig)
+    verify: VerifyConfig = field(default_factory=VerifyConfig)
+    max_bucket: int = 1000
+    workdir: str = "/tmp/fuzzysearch_spark_work"
+    resume: bool = True
+
+
+STAGES = [
+    "s0_ingest",
+    "s1_exact",
+    "s2_signatures",
+    "s3_candidates",
+    "s4_verified",
+    "s5_clusters",
+]
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupConfig):
+        self.spark = spark
+        self.cfg = cfg
+        os.makedirs(os.path.join(cfg.workdir, "metrics"), exist_ok=True)
+
+    # -- checkpoint plumbing -------------------------------------------------
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.cfg.workdir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _checkpoint(self, stage: str, df: DataFrame, **extras) -> DataFrame:
+        t0 = time.time()
+        path = self._path(stage)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        per_part = [
+            (int(r["pid"]), int(r["cnt"]))
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ]
+        metrics = {
+            "stage": stage,
+            "rows": int(sum(c for _, c in per_part)),
+            "partitions": len(per_part),
+            "partition_rows": dict(per_part),
+            "wall_sec": round(time.time() - t0, 3),
+            **extras,
+        }
+        with open(
+            os.path.join(self.cfg.workdir, "metrics", f"{stage}.json"), "w"
+        ) as f:
+            json.dump(metrics, f, indent=2, sort_keys=True)
+        return out
+
+    def _load_or(self, stage: str, compute) -> DataFrame:
+        """Read the stage checkpoint if present, else compute + checkpoint.
+
+        ``compute`` returns a DataFrame or (DataFrame, extras-dict); extras
+        land in the stage metrics JSON.
+        """
+        if self.cfg.resume and self._done(stage):
+            return self.spark.read.parquet(self._path(stage))
+        result = compute()
+        df, extras = result if isinstance(result, tuple) else (result, {})
+        return self._checkpoint(stage, df, **extras)
+
+    # -- stages ---------------------------------------------------------------
+
+    def ingest(self, raw: DataFrame) -> DataFrame:
+        """doc_id = xxhash64(repo, path, commit); sha256 lineage column.
+
+        (64-bit ids collide with ~2^-65 pair probability; a 128-bit variant
+        would concatenate a second seed's xxhash64 — not needed at test SF.)
+        """
+        return self._load_or(
+            "s0_ingest",
+            lambda: raw.select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                "content",
+                F.sha2("content", 256).alias("sha256"),
+                F.length("content").alias("n_chars"),
+            ),
+        )
+
+    def exact_stage(self, docs: DataFrame) -> DataFrame:
+        return self._load_or(
+            "s1_exact", lambda: exact_dup_groups(docs)
+        )
+
+    def signature_stage(self, docs: DataFrame, exact: DataFrame) -> DataFrame:
+        def compute():
+            reps = (
+                docs.join(
+                    exact.where("is_representative").select("doc_id"), "doc_id"
+                )
+            )
+            with_bands = add_minhash_bands(reps, self.cfg.signature)
+            return with_bands.withColumn(
+                "simhash", simhash_udf()(F.col("content"))
+            ).select("doc_id", "minhash", "bands", "simhash", "n_chars")
+
+        return self._load_or("s2_signatures", compute)
+
+    def candidate_stage(self, signatures: DataFrame) -> DataFrame:
+        def compute():
+            pairs, oversized = lsh_candidate_pairs(
+                signatures, max_bucket=self.cfg.max_bucket
+            )
+            skew = [
+                {
+                    "band_idx": int(r["band_idx"]),
+                    "band_key": int(r["band_key"]),
+                    "bucket_size": int(r["bucket_size"]),
+                }
+                for r in oversized.collect()
+            ]
+            return pairs, {"oversized_buckets": skew}
+
+        return self._load_or("s3_candidates", compute)
+
+    def verify_stage(self, pairs: DataFrame, docs: DataFrame, signatures: DataFrame) -> DataFrame:
+        def compute():
+            enriched = docs.select("doc_id", "content").join(
+                signatures.select("doc_id", "simhash"), "doc_id"
+            )
+            return verify_pairs(
+                pairs,
+                enriched,
+                self.cfg.verify,
+                simhash_col="simhash",
+            )
+
+        return self._load_or("s4_verified", compute)
+
+    def cluster_stage(self, docs: DataFrame, exact: DataFrame, verified: DataFrame) -> DataFrame:
+        def compute():
+            edges = exact_dup_edges(exact).unionByName(
+                verified.select("a_id", "b_id")
+            )
+            assignments = connected_components(edges)
+            out = attach_clusters(
+                docs.select(
+                    "doc_id", "repo", "path", "commit", "lang", "sha256", "content"
+                ),
+                assignments,
+            )
+            # input_hint invariant: recomputed sha256 must equal ingest sha256
+            mismatches = out.where(
+                F.sha2("content", 256) != F.col("sha256")
+            ).count()
+            return out, {"sha256_mismatches": int(mismatches)}
+
+        return self._load_or("s5_clusters", compute)
+
+    # -- driver ----------------------------------------------------------------
+
+    def run(self, raw: DataFrame) -> DataFrame:
+        docs = self.ingest(raw)
+        exact = self.exact_stage(docs)
+        signatures = self.signature_stage(docs, exact)
+        pairs = self.candidate_stage(signatures)
+        verified = self.verify_stage(pairs, docs, signatures)
+        return self.cluster_stage(docs, exact, verified)
+
+    def dup_pairs(self) -> DataFrame:
+        """All duplicate pairs implied by the final clustering (a < b)."""
+        out = self.spark.read.parquet(self._path("s5_clusters"))
+        left = out.select(
+            F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("c")
+        )
+        right = out.select(
+            F.col("doc_id").alias("b_id"), F.col("cluster_id").alias("c")
+        )
+        return left.join(right, "c").where(F.col("a_id") < F.col("b_id")).select(
+            "a_id", "b_id"
+        )

@@ -1,0 +1,138 @@
+"""Distributed operator correctness vs local oracles."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.match import Match, consolidate
+from fuzzysearch_spark.operators.components import attach_clusters, connected_components
+from fuzzysearch_spark.operators.exact_dedup import exact_dup_edges, exact_dup_groups
+from fuzzysearch_spark.operators.intervals import (
+    best_match_per_group,
+    consolidate_intervals,
+)
+from fuzzysearch_spark.operators.lsh import lsh_candidate_pairs
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labeling
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 30, 20), (1, 100, 80), (2, 50, 200), (3, 200, 100)])
+def test_connected_components_random_graphs(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    oracle = _union_find_components(n, edges)
+
+    edf = spark.createDataFrame(edges, ["a_id", "b_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edf).collect()
+    }
+    for node, label in got.items():
+        assert label == oracle[node], (node, label, oracle[node])
+    # nodes untouched by edges are absent (singletons handled by attach)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert set(got) == touched
+
+
+def test_connected_components_chain(spark):
+    """A long path graph needs multiple star rounds — exercises iteration."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, ["a_id", "b_id"])
+    got = connected_components(edf).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == n
+
+
+def test_attach_clusters_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame([(0, 3), (3, 5)], ["a_id", "b_id"])
+    out = attach_clusters(docs, connected_components(edges)).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_exact_dup_groups_and_edges(spark):
+    rows = [
+        (1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc"), (6, "bbb"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "content"])
+    groups = exact_dup_groups(docs)
+    got = {r["doc_id"]: (r["exact_group_id"], r["is_representative"]) for r in groups.collect()}
+    assert got[1] == (1, True) and got[3] == (1, False) and got[4] == (1, False)
+    assert got[2] == (2, True) and got[6] == (2, False)
+    assert got[5] == (5, True)
+    edges = {(r["a_id"], r["b_id"]) for r in exact_dup_edges(groups).collect()}
+    assert edges == {(1, 3), (1, 4), (2, 6)}
+
+
+def test_interval_consolidation_matches_kernel(spark):
+    """Window sessionization == the reference-consolidation kernel."""
+    rng = random.Random(99)
+    rows = []
+    expected = {}
+    for doc in range(8):
+        matches = []
+        for _ in range(rng.randint(0, 15)):
+            s = rng.randint(0, 80)
+            e = s + rng.randint(1, 12)
+            d = rng.randint(0, 4)
+            matches.append(Match(s, e, d))
+            rows.append((doc, s, e, d))
+        expected[doc] = [(m.start, m.end, m.dist) for m in consolidate(matches)]
+
+    df = spark.createDataFrame(rows, ["doc_id", "start", "end", "dist"])
+    grouped = consolidate_intervals(df, ["doc_id"])
+    best = best_match_per_group(grouped, ["doc_id"])
+    got = {}
+    for r in best.orderBy("doc_id", "start").collect():
+        got.setdefault(r["doc_id"], []).append((r["start"], r["end"], r["dist"]))
+    for doc, exp in expected.items():
+        assert got.get(doc, []) == exp, (doc, got.get(doc), exp)
+
+
+def test_lsh_bucket_cap_reports_skew(spark):
+    from fuzzysearch_spark.functions.signatures import SignatureConfig
+    from fuzzysearch_spark.operators.lsh import add_minhash_bands
+
+    cfg = SignatureConfig(n_hashes=16, bands=4)
+    # 12 identical docs -> every band bucket has size 12
+    rows = [(i, "identical content " * 10) for i in range(12)] + [
+        (100 + i, f"unique {i} " * 20) for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "content"])
+    with_bands = add_minhash_bands(docs, cfg)
+
+    pairs, oversized = lsh_candidate_pairs(with_bands, max_bucket=5)
+    over = oversized.collect()
+    assert len(over) >= 4  # the identical-doc bucket in each band
+    assert all(r["bucket_size"] == 12 for r in over)
+    got_pairs = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    # capped buckets excluded: no pairs among the identical docs
+    assert not any(a < 100 and b < 100 for a, b in got_pairs)
+
+    pairs2, oversized2 = lsh_candidate_pairs(with_bands, max_bucket=100)
+    assert oversized2.count() == 0
+    got2 = {(r["a_id"], r["b_id"]) for r in pairs2.collect()}
+    assert {(a, b) for a in range(12) for b in range(12) if a < b} <= got2

@@ -1,0 +1,109 @@
+"""End-to-end dedup pipeline: recall/precision vs planted ground truth,
+sha256 lineage invariant, and resume-from-checkpoint equivalence."""
+
+from __future__ import annotations
+
+import glob
+import json
+import shutil
+
+import pytest
+
+from fuzzysearch_spark import corpus as C
+from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+
+@pytest.fixture(scope="module")
+def planted():
+    return C.generate(n_files=300, seed=42, max_l_dist=4)
+
+
+@pytest.fixture(scope="module")
+def run(spark, planted, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("dedup_work"))
+    df = C.to_spark_df(spark, planted)
+    pipe = DedupPipeline(spark, DedupConfig(workdir=workdir))
+    out = pipe.run(df)
+    rows = out.collect()
+    ingest = spark.read.parquet(f"{workdir}/s0_ingest").collect()
+    key2id = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in ingest}
+    pos2id = {
+        i: key2id[(r["repo"], r["path"], r["commit"])]
+        for i, r in enumerate(planted.rows)
+    }
+    clusters = {r["doc_id"]: r["cluster_id"] for r in rows}
+    return {
+        "workdir": workdir,
+        "df": df,
+        "clusters": clusters,
+        "pos2id": pos2id,
+        "out_rows": rows,
+    }
+
+
+def test_recall_and_precision(planted, run):
+    clusters, pos2id = run["clusters"], run["pos2id"]
+    whole_file = [p for p in planted.truth_pairs if p["edit_kind"] != "contained"]
+    hits = sum(
+        1
+        for p in whole_file
+        if clusters[pos2id[p["a_doc_id"]]] == clusters[pos2id[p["b_doc_id"]]]
+    )
+    recall = hits / len(whole_file)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+    false_pos = sum(
+        1
+        for p in planted.negative_pairs
+        if clusters[pos2id[p["a_doc_id"]]] == clusters[pos2id[p["b_doc_id"]]]
+    )
+    assert false_pos == 0, f"{false_pos} above-threshold negatives co-clustered"
+
+
+def test_cluster_partition_matches_truth_closure(planted, run):
+    clusters, pos2id = run["clusters"], run["pos2id"]
+    truth = {t["doc_id"]: t["cluster_id"] for t in planted.truth_clusters()}
+    eng, tru = {}, {}
+    for i in range(len(planted.rows)):
+        eng.setdefault(clusters[pos2id[i]], set()).add(i)
+        tru.setdefault(truth[i], set()).add(i)
+    assert sorted(map(sorted, eng.values())) == sorted(map(sorted, tru.values()))
+
+
+def test_sha256_lineage_invariant(run):
+    metrics = json.load(
+        open(f"{run['workdir']}/metrics/s5_clusters.json")
+    )
+    assert metrics["sha256_mismatches"] == 0
+    assert metrics["rows"] == len(run["out_rows"])
+
+
+def test_stage_metrics_written(run):
+    files = sorted(glob.glob(f"{run['workdir']}/metrics/*.json"))
+    stages = {json.load(open(f))["stage"] for f in files}
+    assert {
+        "s0_ingest",
+        "s1_exact",
+        "s2_signatures",
+        "s3_candidates",
+        "s4_verified",
+        "s5_clusters",
+    } <= stages
+    for f in files:
+        m = json.load(open(f))
+        assert m["rows"] >= 0 and m["partitions"] >= 1
+        assert "partition_rows" in m  # per-partition lineage
+
+
+def test_resume_from_checkpoint(spark, planted, run):
+    """Kill after stage 3 (delete later checkpoints), rerun → same output."""
+    workdir = run["workdir"]
+    shutil.rmtree(f"{workdir}/s4_verified")
+    shutil.rmtree(f"{workdir}/s5_clusters")
+    pipe = DedupPipeline(spark, DedupConfig(workdir=workdir))
+    out2 = pipe.run(run["df"])
+    clusters2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in out2.select("doc_id", "cluster_id").collect()
+    }
+    assert clusters2 == run["clusters"]

@@ -1,0 +1,110 @@
+"""Signature kernel semantics (no Spark needed)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from fuzzysearch_spark.functions.signatures import (
+    SignatureConfig,
+    _token_hashes,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+
+def test_config_validates_band_geometry():
+    with pytest.raises(ValueError):
+        SignatureConfig(n_hashes=128, bands=33)
+    assert SignatureConfig(n_hashes=128, bands=32).rows_per_band == 4
+
+
+def test_shingles_deterministic_and_content_sensitive():
+    a = shingle_hashes(b"def foo(): pass\n" * 10, 8)
+    b = shingle_hashes(b"def foo(): pass\n" * 10, 8)
+    c = shingle_hashes(b"def bar(): pass\n" * 10, 8)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_shingles_edge_cases():
+    assert len(shingle_hashes(b"", 8)) == 0
+    assert len(shingle_hashes(b"ab", 8)) == 1  # whole-content shingle
+    assert len(shingle_hashes(b"abcdefgh", 8)) == 1
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_minhash_estimates_jaccard(seed):
+    """MinHash agreement must track true Jaccard within sampling error."""
+    rng = random.Random(seed)
+    cfg = SignatureConfig(n_hashes=256, bands=32)
+    seeds = cfg.hash_seeds()
+    universe = [rng.getrandbits(64) for _ in range(4000)]
+    base = rng.sample(universe, 1000)
+    overlap = rng.uniform(0.3, 0.95)
+    keep = int(len(base) * overlap)
+    other = base[:keep] + rng.sample(
+        [u for u in universe if u not in set(base)], len(base) - keep
+    )
+    sa = np.unique(np.array(base, dtype=np.uint64))
+    sb = np.unique(np.array(other, dtype=np.uint64))
+    true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+    est = (minhash_signature(sa, seeds) == minhash_signature(sb, seeds)).mean()
+    # 256 hashes -> s.e. ~ sqrt(j(1-j)/256) <= 0.032; allow 4 sigma
+    assert abs(est - true_j) < 0.13
+
+
+def test_minhash_empty_sentinel():
+    cfg = SignatureConfig()
+    seeds = cfg.hash_seeds()
+    a = minhash_signature(np.empty(0, dtype=np.uint64), seeds)
+    b = minhash_signature(np.empty(0, dtype=np.uint64), seeds)
+    assert np.array_equal(a, b)
+    assert len(a) == cfg.n_hashes
+
+
+def test_minhash_chunking_invariant():
+    """Chunked min must equal the unchunked min (same result any doc size)."""
+    cfg = SignatureConfig(n_hashes=16, bands=4)
+    seeds = cfg.hash_seeds()
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    big = np.concatenate([small, rng.integers(0, 1 << 63, size=500_000, dtype=np.uint64)])
+    sig_small_then_big = minhash_signature(np.unique(big), seeds)
+    # reference: single pass over python mins
+    from fuzzysearch_spark.functions.signatures import _mix64
+
+    expected = np.stack([
+        (_mix64(np.unique(big) ^ s).min() >> np.uint64(1)) for s in seeds
+    ]).astype(np.int64)
+    assert np.array_equal(sig_small_then_big, expected)
+
+
+def test_token_hash_position_independence():
+    ua, ca = _token_hashes(b"alpha beta alpha")
+    ub, cb = _token_hashes(b"::: alpha ... beta,alpha")
+    assert set(ua.tolist()) == set(ub.tolist())
+    assert sorted(ca.tolist()) == sorted(cb.tolist())
+
+
+def test_token_hash_distinguishes_anagram_tokens():
+    ua, _ = _token_hashes(b"abc")
+    ub, _ = _token_hashes(b"cba")
+    assert set(ua.tolist()) != set(ub.tolist())
+
+
+def test_simhash_locality():
+    base = b"def compute(buffer, cursor):\n    return buffer + cursor\n" * 30
+    near = base.replace(b"cursor", b"cursol")
+    far = b"SELECT o_orderkey FROM orders WHERE o_totalprice > 100\n" * 30
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(simhash64(base), simhash64(near)) < ham(simhash64(base), simhash64(far))
+    assert simhash64(base) == simhash64(base)
+    assert simhash64(b"") == 0
+    assert simhash64(b"!@# $%^") == 0

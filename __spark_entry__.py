@@ -1,38 +1,764 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full checkpointed near-dup dedup pipeline
+(fuzzysearch_spark.pipeline) over the sf0.001 documents table, returning
+cluster assignments.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data extras; oracle SQL mirrors each
+Spark plan expression-for-expression (same rounding, same tie-breaks) so the
+DuckDB comparison is exact. Queries without an oracle entry are the
+genuinely non-SQL-expressible ones (MinHash-LSH, SimHash, winnowing
+containment, the full pipeline) — the driver records rows-only checks for
+those, and pytest pins them against ground truth instead.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _force_utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Run the dedup pipeline on sf0.001 documents; return cluster table."""
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    workdir = tempfile.mkdtemp(prefix="fsw_entry_")
+    cfg = DedupConfig(
+        workdir=workdir,
+        resume=False,
+        verify=VerifyConfig(max_l_dist=8),
+    )
+    out = DedupPipeline(spark, cfg).run(corpus)
+    return out.select("doc_id", "repo", "path", "lang", "sha256", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/C2 analog: identical-content clusters via hash groupBy window."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 12-gram Jaccard >= 0.7 pairs (ground-truth dedup operator)."""
+    from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=12, min_jaccard=0.7)
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-DP verified edit distance <= 8 on Jaccard candidates (L5)."""
+    from fuzzysearch_spark.operators.dedup_extra import (
+        edit_distance_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7)
+    return edit_distance_pairs(docs, cands, max_l_dist=8)
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup edges (C2 at corpus scale)."""
+    from fuzzysearch_spark.operators.components import (
+        attach_clusters,
+        connected_components,
+    )
+    from fuzzysearch_spark.operators.dedup_extra import (
+        edit_distance_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7)
+    edges = edit_distance_pairs(docs, cands, max_l_dist=8)
+    assignments = connected_components(edges)
+    return attach_clusters(docs.select("doc_id"), assignments).select(
+        "doc_id", "cluster_id"
+    )
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (no SQL oracle: pytest pins recall)."""
+    from fuzzysearch_spark.functions.signatures import SignatureConfig
+    from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    with_bands = add_minhash_bands(docs, SignatureConfig())
+    pairs, _ = lsh_candidate_pairs(with_bands)
+    return pairs
+
+
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 pairs via pigeonhole sub-band join (S2 analog)."""
+    from fuzzysearch_spark.functions.signatures import simhash_udf
+    from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", simhash_udf()(F.col("text")).alias("simhash")
+    )
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-seeded block containment (substring dedup stage)."""
+    from fuzzysearch_spark.operators.substring import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    cands = containment_candidates(docs, min_shared=6)
+    return containment_pairs(docs, cands, min_block_chars=120)
+
+
+def q_find_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed find_near_matches (D1): fixed needle over every document."""
+    from fuzzysearch_spark.operators.substring import find_near_matches_df
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return find_near_matches_df(docs, "value table part", max_l_dist=1)
+
+
+def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine nearest neighbor per embedding vector."""
+    from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk_bruteforce(emb, k=1, round_to=4).select(
+        "vec_id", "neighbor_id", "cosine"
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, cosine >= 0.4 (brute-force)."""
+    from fuzzysearch_spark.operators.ann import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(emb, min_cosine=0.4)
+
+
+def q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate nearest neighbor (no oracle; pytest
+    measures recall vs brute force)."""
+    from fuzzysearch_spark.operators.ann import cosine_topk_lsh
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    return cosine_topk_lsh(emb, dim=dim, k=1, n_planes=8).select(
+        "vec_id", "neighbor_id", "cosine"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzysearch_spark.functions.text import token_count_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzysearch_spark.functions.text import quality_score_cols
+
+    docs = _docs(spark, sf_dir)
+    cols = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["alpha_ratio"].alias("alpha_ratio"),
+        cols["digit_ratio"].alias("digit_ratio"),
+        cols["space_ratio"].alias("space_ratio"),
+        cols["mean_tok_len"].alias("mean_tok_len"),
+        cols["quality_score"].alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzysearch_spark.functions.text import lang_pick_col, lang_score_cols
+
+    docs = _docs(spark, sf_dir)
+    scores = docs.select("doc_id", *lang_score_cols(F.col("text")).values())
+    # repartition = projection barrier: scores are computed once, keeping the
+    # argmax CASE tree (and its generated code) small
+    scores = scores.repartition(8)
+    return scores.select(
+        "doc_id",
+        lang_pick_col({k: F.col(f"s_{k}") for k in ("en", "de", "fr", "es")}).alias("lang_pred"),
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzysearch_spark.functions.text import fingerprint_col, sha256_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+        sha256_col(F.col("text")).alias("sha256"),
+    )
+
+
+def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (C1/C2 as a window): 30-min-gap sessions per user."""
+    from pyspark.sql import Window
+
+    _force_utc(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    with_session = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("start_s"),
+        F.max(F.unix_timestamp("ts")).alias("end_s"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_best_event_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-in-group (C3): top-value event per user session, deterministic ties."""
+    from pyspark.sql import Window
+
+    _force_utc(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_session = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    best = Window.partitionBy("user_id", "session_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        with_session.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "session_id", "event_id", F.round("value", 4).alias("value")
+        )
+    )
+
+
+def q_top_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value per event type (sort/limit/top-k family)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregation sweep over lineitem."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "containment_pairs": q_containment_pairs,
+        "find_near_matches": q_find_near_matches,
+        "cosine_top1": q_cosine_top1,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_lsh_top1": q_ann_lsh_top1,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "event_sessions": q_event_sessions,
+        "best_event_per_session": q_best_event_per_session,
+        "top_value_users": q_top_value_users,
+        "pricing_summary": q_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — expression-for-expression mirrors of the Spark plans
+# ---------------------------------------------------------------------------
+
+_JACCARD_BODY = """g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS gram
+  FROM documents, unnest(range(1, greatest(length(text) - 10, 2))) AS t(i)
+),
+card AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ix
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id, b_id,
+         ROUND(ix * 1.0 / (ca.c + cb.c - ix), 4) AS jaccard
+  FROM inter
+  JOIN card ca ON ca.doc_id = a_id
+  JOIN card cb ON cb.doc_id = b_id
+)
+"""
+
+_JACCARD_CTE = "WITH " + _JACCARD_BODY
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_clusters": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": _JACCARD_CTE
+        + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.7",
+        "edit_distance_pairs": _JACCARD_CTE
+        + """
+            SELECT j.a_id, j.b_id, levenshtein(da.text, db.text) AS dist
+            FROM jac j
+            JOIN documents da ON da.doc_id = j.a_id
+            JOIN documents db ON db.doc_id = j.b_id
+            WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
+        """,
+        "near_dup_clusters": "WITH RECURSIVE " + _JACCARD_BODY
+        + """
+            , edges AS (
+              SELECT j.a_id AS a, j.b_id AS b
+              FROM jac j
+              JOIN documents da ON da.doc_id = j.a_id
+              JOIN documents db ON db.doc_id = j.b_id
+              WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
+            ),
+            sym AS (
+              SELECT a, b FROM edges
+              UNION SELECT b, a FROM edges
+            ),
+            walk(doc_id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.doc_id
+              WHERE w.lbl < s.b
+            )
+            SELECT doc_id, MIN(lbl) AS cluster_id
+            FROM walk GROUP BY doc_id
+        """,
+        "cosine_top1": """
+            SELECT a.vec_id,
+                   b.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id != b.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                         b.vec_id ASC
+            ) = 1
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS a_id,
+                   b.vec_id AS b_id,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                  >= 0.4
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH feat AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     GREATEST(length(text), 1) * 1.0 AS safe_n,
+                     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+                     length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS space,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS tokens
+              FROM documents
+            ),
+            ratios AS (
+              SELECT doc_id,
+                     ROUND(alpha / safe_n, 6) AS alpha_ratio,
+                     ROUND(digit / safe_n, 6) AS digit_ratio,
+                     ROUND((n - alpha - digit - space) / safe_n, 6) AS punct_ratio,
+                     ROUND(space / safe_n, 6) AS space_ratio,
+                     ROUND((n - space) * 1.0 / GREATEST(tokens, 1), 6) AS mean_tok_len
+              FROM feat
+            )
+            SELECT doc_id, alpha_ratio, digit_ratio, space_ratio, mean_tok_len,
+                   ROUND(GREATEST(0.0, LEAST(1.0,
+                       alpha_ratio * 1.2 - punct_ratio * 0.5 - digit_ratio * 0.3
+                       + CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12
+                              THEN 0.2 ELSE 0.0 END
+                   )), 6) AS quality_score
+            FROM ratios
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '[^a-z]+') AS w
+              FROM documents
+            ),
+            scores AS (
+              SELECT doc_id,
+                len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and'))
+                  + len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'to'))
+                  + len(list_filter(w, x -> x = 'is')) AS s_en,
+                len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'und'))
+                  + len(list_filter(w, x -> x = 'die')) + len(list_filter(w, x -> x = 'ist'))
+                  + len(list_filter(w, x -> x = 'nicht')) AS s_de,
+                len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'et'))
+                  + len(list_filter(w, x -> x = 'les')) + len(list_filter(w, x -> x = 'est'))
+                  + len(list_filter(w, x -> x = 'pas')) AS s_fr,
+                len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'de'))
+                  + len(list_filter(w, x -> x = 'la')) + len(list_filter(w, x -> x = 'que'))
+                  + len(list_filter(w, x -> x = 'es')) AS s_es
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN s_en >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+                     WHEN s_de >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+                     WHEN s_fr >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+                     WHEN s_es >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM scores
+        """,
+        "fingerprints": q_fingerprints,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "event_sessions": q_event_sessions,
+        "best_event_per_session": q_best_event_per_session,
+        "top_value_users": q_top_value_users,
+        "pricing_summary": q_pricing_summary,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — expression-for-expression mirrors of the Spark plans
+# ---------------------------------------------------------------------------
+
+_JACCARD_BODY = """g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS gram
+  FROM documents, unnest(range(1, greatest(length(text) - 10, 2))) AS t(i)
+),
+card AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ix
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id, b_id,
+         ROUND(ix * 1.0 / (ca.c + cb.c - ix), 4) AS jaccard
+  FROM inter
+  JOIN card ca ON ca.doc_id = a_id
+  JOIN card cb ON cb.doc_id = b_id
+)
+"""
+
+_JACCARD_CTE = "WITH " + _JACCARD_BODY
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "exact_dup_clusters": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": _JACCARD_CTE
+        + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.7",
+        "edit_distance_pairs": _JACCARD_CTE
+        + """
+            SELECT j.a_id, j.b_id, levenshtein(da.text, db.text) AS dist
+            FROM jac j
+            JOIN documents da ON da.doc_id = j.a_id
+            JOIN documents db ON db.doc_id = j.b_id
+            WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
+        """,
+        "near_dup_clusters": "WITH RECURSIVE " + _JACCARD_BODY
+        + """
+            , edges AS (
+              SELECT j.a_id AS a, j.b_id AS b
+              FROM jac j
+              JOIN documents da ON da.doc_id = j.a_id
+              JOIN documents db ON db.doc_id = j.b_id
+              WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
+            ),
+            sym AS (
+              SELECT a, b FROM edges
+              UNION SELECT b, a FROM edges
+            ),
+            walk(doc_id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.doc_id
+              WHERE w.lbl < s.b
+            )
+            SELECT doc_id, MIN(lbl) AS cluster_id
+            FROM walk GROUP BY doc_id
+        """,
+        "cosine_top1": """
+            SELECT a.vec_id,
+                   b.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id != b.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                         b.vec_id ASC
+            ) = 1
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS a_id,
+                   b.vec_id AS b_id,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                  >= 0.4
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH feat AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     GREATEST(length(text), 1) * 1.0 AS safe_n,
+                     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+                     length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS space,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS tokens
+              FROM documents
+            ),
+            ratios AS (
+              SELECT doc_id,
+                     ROUND(alpha / safe_n, 6) AS alpha_ratio,
+                     ROUND(digit / safe_n, 6) AS digit_ratio,
+                     ROUND((n - alpha - digit - space) / safe_n, 6) AS punct_ratio,
+                     ROUND(space / safe_n, 6) AS space_ratio,
+                     ROUND((n - space) * 1.0 / GREATEST(tokens, 1), 6) AS mean_tok_len
+              FROM feat
+            )
+            SELECT doc_id, alpha_ratio, digit_ratio, space_ratio, mean_tok_len,
+                   ROUND(GREATEST(0.0, LEAST(1.0,
+                       alpha_ratio * 1.2 - punct_ratio * 0.5 - digit_ratio * 0.3
+                       + CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12
+                              THEN 0.2 ELSE 0.0 END
+                   )), 6) AS quality_score
+            FROM ratios
+        """,
+        "lang_id": """
+            WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+            scores AS (
+              SELECT doc_id,
+                CAST((length(t) - length(regexp_replace(t, '\\bthe\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\band\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\bof\\b', '', 'g'))) / 2
+                   + (length(t) - length(regexp_replace(t, '\\bto\\b', '', 'g'))) / 2
+                   + (length(t) - length(regexp_replace(t, '\\bis\\b', '', 'g'))) / 2 AS INT) AS s_en,
+                CAST((length(t) - length(regexp_replace(t, '\\bder\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\bund\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\bdie\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\bist\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\bnicht\\b', '', 'g'))) / 5 AS INT) AS s_de,
+                CAST((length(t) - length(regexp_replace(t, '\\ble\\b', '', 'g'))) / 2
+                   + (length(t) - length(regexp_replace(t, '\\bet\\b', '', 'g'))) / 2
+                   + (length(t) - length(regexp_replace(t, '\\bles\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\best\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\bpas\\b', '', 'g'))) / 3 AS INT) AS s_fr,
+                CAST((length(t) - length(regexp_replace(t, '\\bel\\b', '', 'g'))) / 2
+                   + (length(t) - length(regexp_replace(t, '\\bde\\b', '', 'g'))) / 2
+                   + (length(t) - length(regexp_replace(t, '\\bla\\b', '', 'g'))) / 2
+                   + (length(t) - length(regexp_replace(t, '\\bque\\b', '', 'g'))) / 3
+                   + (length(t) - length(regexp_replace(t, '\\bes\\b', '', 'g'))) / 2 AS INT) AS s_es
+              FROM low
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN s_en >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+                     WHEN s_de >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+                     WHEN s_fr >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+                     WHEN s_es >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM scores
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   substr(md5(text), 1, 16) AS fingerprint,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 4) AS avg_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents
+            GROUP BY lang, source
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT *, CAST(SUM(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+                   MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "best_event_per_session": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT *, CAST(SUM(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, event_id, ROUND(value, 4) AS value
+            FROM sess
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id, session_id
+                ORDER BY value DESC, event_id ASC) = 1
+        """,
+        "top_value_users": """
+            WITH totals AS (
+              SELECT event_type, user_id, ROUND(SUM(value), 4) AS total_value
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type, user_id, total_value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY total_value DESC, user_id ASC) AS rank
+            FROM totals
+            QUALIFY rank <= 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "files_per_sec": ..., "cpus": ...}
+
+The flagship measurement is the full dedup pipeline over the documents
+table (files/sec); the remaining entries time each operator family through
+a noop sink (forces full evaluation — count() would let Catalyst prune
+UDF columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("fuzzysearch-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _evaluate(df) -> None:
+    """Force full evaluation through a noop sink (count() would let
+    Catalyst prune computed columns)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_pipeline(spark) -> tuple[float, int]:
+    """Full dedup pipeline over the documents table (fresh workdir)."""
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    n_files = corpus.count()
+    workdir = tempfile.mkdtemp(prefix="fsw_bench_")
+    try:
+        t0 = time.time()
+        out = DedupPipeline(
+            spark,
+            DedupConfig(workdir=workdir, resume=False, verify=VerifyConfig(max_l_dist=8)),
+        ).run(corpus)
+        out.count()
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return wall, n_files
+
+
+def main():
+    import __spark_entry__ as entrymod
+
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    pipeline_wall, n_files = bench_pipeline(spark)
+    timings["dedup_pipeline"] = round(pipeline_wall, 3)
+
+    qs = entrymod.queries()
+    bench_queries = [
+        "minhash_lsh_candidates",
+        "ngram_jaccard_pairs",
+        "edit_distance_pairs",
+        "near_dup_clusters",
+        "simhash_near_dup_pairs",
+        "containment_pairs",
+        "find_near_matches",
+        "cosine_top1",
+        "ann_lsh_top1",
+        "token_counts",
+        "quality_scores",
+        "lang_id",
+        "fingerprints",
+        "event_sessions",
+        "top_value_users",
+        "pricing_summary",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        _evaluate(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "dedup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "files_per_sec": round(n_files / pipeline_wall, 2),
+        "n_files": n_files,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

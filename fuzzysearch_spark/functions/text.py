@@ -87,28 +87,48 @@ LANG_MARKERS = {
 }
 
 
-def _marker_hits(text: Column, words: list[str]) -> Column:
-    """Count of marker-word occurrences (word-boundary regex, lowercased)."""
-    low = F.lower(text)
+def _marker_hits(tokens: Column, words: list[str]) -> Column:
+    """Count of tokens equal to any marker word (over a pre-split array).
+
+    Token-based rather than regex-word-boundary counting: one cheap split
+    feeds all languages (a per-marker regexp_replace formulation blew up the
+    expression tree ~300x slower under Catalyst's projection collapsing).
+    """
     total = F.lit(0)
     for w in words:
-        pat = rf"\b{w}\b"
-        # occurrences = removed length / word length
-        total = total + (
-            (F.length(low) - F.length(F.regexp_replace(low, pat, ""))) / len(w)
-        )
-    return total.cast("int")
+        total = total + F.size(F.filter(tokens, lambda x: x == F.lit(w)))
+    return total
 
 
-def lang_id_col(text: Column) -> Column:
-    """Heuristic language ID by stopword-marker counts; ties/unknown → 'und'."""
-    scores = {lang: _marker_hits(text, ws) for lang, ws in LANG_MARKERS.items()}
+def lang_score_cols(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (one split feeds every language)."""
+    tokens = F.split(F.lower(text), "[^a-z]+")
+    return {
+        lang: _marker_hits(tokens, ws).alias(f"s_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def lang_pick_col(scores: dict[str, Column]) -> Column:
+    """argmax over score columns; ties/unknown → 'und', priority en>de>fr>es."""
     best = F.greatest(*scores.values())
     out = F.lit("und")
-    # deterministic priority order on ties: en > de > fr > es
     for lang in ("es", "fr", "de", "en"):
         out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
     return out
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID by stopword-marker counts; ties/unknown → 'und'.
+
+    NOTE: inlining this single expression duplicates each score ~6x in the
+    greatest/when tree and the generated code gets janino-compile-heavy;
+    for wide tables prefer the two-step lang_score_cols → lang_pick_col with
+    a barrier (e.g. repartition) between them.
+    """
+    return lang_pick_col(
+        {lang: col for lang, col in lang_score_cols(text).items()}
+    )
 
 
 def fingerprint_col(text: Column) -> Column:

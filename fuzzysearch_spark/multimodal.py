@@ -1,0 +1,103 @@
+"""Multimodal (binary) column plumbing: decode / feature / frame-sample.
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, processed through ``mapInPandas`` so each Arrow batch is handled
+vectorized. The actual media decoding is STUBBED (no image/audio libraries
+in this container): ``decode_stub=True`` substitutes a deterministic fake
+decoder (byte-histogram features) so the Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is real and tested; installing a
+real decoder only swaps the inner function.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, feat array<float>, n_bytes int, payload_sha string"
+)
+
+
+def _fake_decode_features(payload: bytes, n_bins: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a real decode+embed: byte histogram."""
+    if not payload:
+        return np.zeros(n_bins, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=n_bins).astype(np.float32)
+    return hist / hist.sum()
+
+
+def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """binary payload -> fixed-width feature vector via mapInPandas.
+
+    With ``decode_stub=False`` raises NotImplementedError inside the task
+    (clearly marked: a real decoder goes there).
+    """
+    import hashlib
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for payload in pdf["payload"]:
+                payload = bytes(payload) if payload is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real media decoding requires an image/audio library; "
+                        "install one and replace _fake_decode_features"
+                    )
+                feats.append(_fake_decode_features(payload).tolist())
+                shas.append(hashlib.sha256(payload).hexdigest())
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feat": feats,
+                    "n_bytes": pd.array(sizes, dtype="int32"),
+                    "payload_sha": shas,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame index.
+
+    Pure JVM (sequence + explode on metadata); the per-frame decode is the
+    stubbed step above.
+    """
+    return media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                F.lit(every_nth),
+            )
+        ).alias("frame_idx"),
+    )
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5):
+    """Deterministic fake media table for tests (binary payloads)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
+        rows.append(
+            (i, kind, int(rng.integers(16, 512)), int(rng.integers(16, 512)),
+             int(rng.integers(1, 300)) if kind == "video" else 1, bytearray(payload))
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

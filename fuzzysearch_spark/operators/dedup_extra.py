@@ -1,0 +1,155 @@
+"""Additional dedup operators over generic document tables.
+
+Complements the MinHash-LSH pipeline with the other standard dedup families
+a training-data pipeline needs, each as a DataFrame transform:
+
+* ``char_ngram_shingles`` / ``ngram_jaccard_pairs`` — *exact* n-gram Jaccard
+  via explode + self-join; fully SQL-expressible (DuckDB-oracle-checked),
+  the ground truth the approximate paths are judged against.
+* ``simhash_near_dup_pairs`` — SimHash Hamming-ball pairs; bucketed by
+  16-bit sub-bands (pigeonhole: hamming <= 3 over 4 bands guarantees an
+  exact sub-band match — the same seeding idea as the reference's n-gram
+  split, /root/reference/src/fuzzysearch/levenshtein_ngram.py:163).
+* ``edit_distance_pairs`` — shared-shingle candidates + the banded DP
+  verifier; Spark side of the DuckDB ``levenshtein`` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
+
+
+def char_ngram_shingles(
+    docs: DataFrame, n: int = 12, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gram) — distinct character n-grams, JVM-side only.
+
+    sequence+explode+substring stays in whole-stage codegen; at 100 TB this
+    is the one deliberately expensive exact operator (the approximate paths
+    exist to avoid it), so it is kept for ground-truth/audit queries.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            # last valid 1-based start of an n-gram is len - n + 1 (inclusive)
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(text_col) - (n - 1), F.lit(1)),
+                )
+            ).alias("i"),
+            F.col(text_col).alias("_t"),
+        )
+        .select("doc_id", F.expr(f"substring(_t, i, {n})").alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 12,
+    min_jaccard: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_id, b_id, jaccard) for pairs with exact n-gram Jaccard >= threshold."""
+    grams = char_ngram_shingles(docs, n, id_col, text_col)
+    card = grams.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("ix"))
+    )
+    return (
+        inter.join(
+            card.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "ca"),
+            "a_id",
+        )
+        .join(
+            card.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "cb"),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("ix") / (F.col("ca") + F.col("cb") - F.col("ix")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs_with_simhash: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    simhash_col: str = "simhash",
+) -> DataFrame:
+    """(a_id, b_id, hamming) pairs within a SimHash Hamming ball.
+
+    Pigeonhole bucketing: split the 64-bit simhash into ``max_hamming + 1``
+    sub-bands; any pair within the ball agrees exactly on >= 1 band, so the
+    candidate join is an equi-join on (band_idx, band_value), never a cross
+    join. Exact JVM-side bit_count verification after.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    sh = F.col(simhash_col).cast("long")
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(sh, i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = docs_with_simhash.select(
+        F.col(id_col).alias("doc_id"),
+        sh.alias("sh"),
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    max_l_dist: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_id, b_id, dist) — banded-DP verified edit distances for candidates."""
+    return verify_pairs(
+        candidates.select("a_id", "b_id"),
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")),
+        VerifyConfig(max_l_dist=max_l_dist),
+    )

@@ -1,0 +1,241 @@
+"""Substring / containment dedup: distributed approximate substring search.
+
+Two operators:
+
+* ``find_near_matches_df`` — the direct distributed form of the reference's
+  top-level API (``find_near_matches``, /root/reference/src/fuzzysearch/
+  __init__.py:35-57): one needle searched across every document of a corpus,
+  kernels dispatched per the same rules, consolidated per document. Arrow
+  batches in, arrays of (start, end, dist) structs out.
+
+* ``containment_pairs`` — cross-document block containment (the north-star
+  "suffix-array substring dedup" stage, built Spark-first): documents are
+  fingerprinted by *winnowing* (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  window minima over k-gram hashes), which guarantees any shared exact run
+  of length >= w + k - 1 shares a fingerprint; fingerprint equi-join gives
+  candidates, and the reference-derived n-gram-seeded Levenshtein kernel
+  verifies that (a big block of) the smaller document appears in the larger
+  within the edit budget. A distributed suffix array would give the same
+  candidates at strictly higher shuffle cost; winnowing keeps the candidate
+  index at ~2/w of the corpus k-gram count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.signatures import _mix64, shingle_hashes
+
+
+def winnow_fingerprints(data: bytes, k: int = 16, w: int = 8) -> np.ndarray:
+    """Winnowing fingerprint set: minima of each w-window of k-gram hashes."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    kk = min(k, n)
+    acc = np.zeros(n - kk + 1, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for j in range(kk):
+        acc = acc * base + arr[j: n - kk + 1 + j]
+    hashes = _mix64(acc)
+    if len(hashes) <= w:
+        return np.unique(hashes.min(keepdims=True))
+    windows = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    return np.unique(windows.min(axis=1))
+
+
+def winnow_udf(k: int = 16, w: int = 8):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _winnow(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            yield pd.Series(
+                [
+                    (
+                        winnow_fingerprints(
+                            (s or "").encode("utf-8", "surrogatepass"), k, w
+                        )
+                        >> np.uint64(1)
+                    )
+                    .astype(np.int64)
+                    .tolist()
+                    for s in series
+                ]
+            )
+
+    return _winnow
+
+
+def containment_candidates(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 8,
+    max_fingerprint_df: int = 200,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(a_id, b_id, shared) candidate pairs sharing >= min_shared fingerprints.
+
+    Fingerprints occurring in more than ``max_fingerprint_df`` documents
+    (license banners, boilerplate) are dropped from candidate generation —
+    the same explicit skew-vs-recall dial as the LSH bucket cap.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_udf(k, w)(F.col(content_col))).alias("fp"),
+    ).distinct()
+
+    common = fp.groupBy("fp").agg(F.count("*").alias("df_count")).where(
+        F.col("df_count") > max_fingerprint_df
+    )
+    rare = fp.join(F.broadcast(common.select("fp")), "fp", "left_anti")
+
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def _positional_gram_hashes(data: bytes, k: int) -> np.ndarray:
+    """k-gram hashes at every position (NOT uniqued — order = position)."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    kk = min(k, n)
+    acc = np.zeros(n - kk + 1, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for j in range(kk):
+        acc = acc * base + arr[j: n - kk + 1 + j]
+    return _mix64(acc)
+
+
+def longest_shared_run(
+    a: bytes, b: bytes, k: int = 16, max_gap: int = 48
+) -> int:
+    """Length (chars) of the longest contiguous region of ``a`` whose k-grams
+    all occur in ``b``, tolerating gaps up to ``max_gap`` (edit damage).
+
+    The vectorized generalization of the reference's seed-and-expand
+    (levenshtein_ngram.py:159-198): exact shared grams are seeds; a lightly
+    edited shared block shows up as a dense run of seed hits broken only by
+    ~k-char holes around each edit.
+    """
+    ga = _positional_gram_hashes(a, k)
+    if len(ga) == 0 or len(b) == 0:
+        return 0
+    gb = np.unique(_positional_gram_hashes(b, k))
+    hits = np.flatnonzero(np.isin(ga, gb))
+    if len(hits) == 0:
+        return 0
+    breaks = np.flatnonzero(np.diff(hits) > max_gap)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [len(hits) - 1]))
+    return int((hits[ends] - hits[starts] + k).max())
+
+
+def _block_containment_udf(min_block_chars: int, k: int, max_gap: int):
+    """True when the docs share a contiguous (lightly edited) block of at
+    least ``min_block_chars`` characters, in either direction."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _contained(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for sa, sb in batches:
+            out = []
+            for x, y in zip(sa, sb):
+                xb = (x or "").encode("utf-8", "surrogatepass")
+                yb = (y or "").encode("utf-8", "surrogatepass")
+                small, large = (xb, yb) if len(xb) <= len(yb) else (yb, xb)
+                out.append(
+                    longest_shared_run(small, large, k, max_gap) >= min_block_chars
+                )
+            yield pd.Series(out, dtype="boolean")
+
+    return _contained
+
+
+def containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    min_block_chars: int = 300,
+    k: int = 16,
+    max_gap: int = 48,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(a_id, b_id) pairs sharing a contiguous >= min_block_chars block."""
+    contents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("c")
+    )
+    with_content = (
+        candidates.select("a_id", "b_id")
+        .join(contents.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "content_a"), "a_id")
+        .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
+    )
+    check = _block_containment_udf(min_block_chars, k, max_gap)
+    return (
+        with_content.withColumn("contained", check("content_a", "content_b"))
+        .where(F.col("contained"))
+        .select("a_id", "b_id")
+    )
+
+
+def find_near_matches_df(
+    docs: DataFrame,
+    needle: str,
+    max_substitutions: int | None = None,
+    max_insertions: int | None = None,
+    max_deletions: int | None = None,
+    max_l_dist: int | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, start, end, dist) — consolidated near-matches of ``needle``
+    in every document; the corpus-wide form of the reference API."""
+    from pyspark.sql.functions import pandas_udf
+
+    from fuzzysearch_spark.kernels.dispatch import find_matches
+
+    @pandas_udf("array<struct<start:int,end:int,dist:int>>")
+    def _search(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            yield pd.Series(
+                [
+                    [
+                        (m.start, m.end, m.dist)
+                        for m in find_matches(
+                            needle,
+                            s or "",
+                            max_substitutions,
+                            max_insertions,
+                            max_deletions,
+                            max_l_dist,
+                        )
+                    ]
+                    for s in series
+                ]
+            )
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), _search(F.col(content_col)).alias("ms")
+        )
+        .select("doc_id", F.explode("ms").alias("m"))
+        .select("doc_id", "m.start", "m.end", "m.dist")
+    )

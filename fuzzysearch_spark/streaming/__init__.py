@@ -1,0 +1,6 @@
+"""Structured Streaming surfaces of the engine."""
+
+from fuzzysearch_spark.streaming.dedup_stream import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_fingerprints,
+)

@@ -1,0 +1,47 @@
+"""Incremental dedup over a document stream.
+
+The reference's only stream-like behavior is chunked file scanning with
+overlap carry-over (/root/reference/src/fuzzysearch/__init__.py:86-200); the
+engine's streaming surface generalizes that to a Structured Streaming flow:
+documents arrive, get fingerprinted, and exact re-occurrences within a
+watermarked window are flagged via a stateful aggregation.
+
+Batch-equivalent transforms (same column logic) are used so the streaming
+query is testable against its batch twin on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_fingerprints(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach sha256 + md5-prefix fingerprint columns (works batch or stream)."""
+    return stream.withColumn("sha256", F.sha2(F.col(text_col), 256)).withColumn(
+        "fingerprint", F.substring(F.md5(F.col(text_col)), 1, 16)
+    )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-fingerprint occurrence counts within the watermark horizon.
+
+    Output rows (update mode): (fingerprint, n_seen, first_ts) — a sink can
+    drop rows whose fingerprint count > 1. State is bounded by the watermark:
+    late data beyond the horizon no longer grows state (the streaming analog
+    of the reference's bounded chunk-overlap carry).
+    """
+    fp = streaming_fingerprints(stream, text_col)
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_seen"),
+            F.min(ts_col).alias("first_ts"),
+        )
+    )

@@ -1,0 +1,195 @@
+"""ANN, containment, multimodal, and streaming operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(11)
+    # 10 clusters of 12 vectors each: cluster center + small noise
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = rng.standard_normal(32)
+        for _ in range(12):
+            v = center + rng.standard_normal(32) * 0.15
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_bruteforce_top1_finds_cluster_neighbors(spark, embeddings):
+    from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce
+
+    top1 = cosine_topk_bruteforce(embeddings, k=1).collect()
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    same_label = sum(
+        1 for r in top1 if labels[r["vec_id"]] == labels[r["neighbor_id"]]
+    )
+    assert same_label / len(top1) >= 0.95
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, embeddings):
+    from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh
+
+    exact = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(embeddings, k=1).collect()
+    }
+    approx = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in cosine_topk_lsh(embeddings, dim=32, k=1, n_planes=6).collect()
+    }
+    hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
+    # tight clusters + 6 planes: most vectors keep their exact top-1
+    assert hits / len(exact) >= 0.6
+    assert len(approx) >= 0.9 * len(exact)  # few vectors land in empty buckets
+
+
+def test_embedding_near_dup_pairs_threshold(spark, embeddings):
+    from fuzzysearch_spark.operators.ann import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(embeddings, min_cosine=0.9).collect()
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    assert len(pairs) > 0
+    assert all(labels[r["a_id"]] == labels[r["b_id"]] for r in pairs)
+
+
+def test_containment_detects_planted_blocks(spark):
+    from fuzzysearch_spark import corpus as C
+    from fuzzysearch_spark.operators.substring import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    pc = C.generate(n_files=250, seed=7, max_l_dist=4)
+    contained_truth = {
+        (p["a_doc_id"], p["b_doc_id"])
+        for p in pc.truth_pairs
+        if p["edit_kind"] == "contained"
+    }
+    assert contained_truth, "corpus must plant containment pairs"
+
+    rows = [(i, r["content"]) for i, r in enumerate(pc.rows)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    cands = containment_candidates(docs, min_shared=6, max_fingerprint_df=100)
+    got = {
+        (min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"]))
+        for r in containment_pairs(docs, cands, min_block_chars=300).collect()
+    }
+    norm_truth = {(min(a, b), max(a, b)) for a, b in contained_truth}
+    recall = len(got & norm_truth) / len(norm_truth)
+    assert recall >= 0.9, f"containment recall {recall:.2f}"
+
+
+def test_find_near_matches_df_matches_kernel(spark):
+    from fuzzysearch_spark.kernels.dispatch import find_matches
+    from fuzzysearch_spark.operators.substring import find_near_matches_df
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick crown fox jumps"),
+        (2, "nothing to see here"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {
+        (r["doc_id"], r["start"], r["end"], r["dist"])
+        for r in find_near_matches_df(docs, "quick brown", max_l_dist=1).collect()
+    }
+    expected = set()
+    for doc_id, content in rows:
+        for m in find_matches("quick brown", content, max_l_dist=1):
+            expected.add((doc_id, m.start, m.end, m.dist))
+    assert got == expected
+
+
+def test_multimodal_feature_extraction(spark):
+    from fuzzysearch_spark.multimodal import extract_media_features, sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=30)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feat"]) == 16
+        assert abs(sum(r["feat"]) - 1.0) < 1e-5
+        assert len(r["payload_sha"]) == 64
+    # determinism
+    feats2 = extract_media_features(media).collect()
+    assert {r["media_id"]: r["payload_sha"] for r in feats} == {
+        r["media_id"]: r["payload_sha"] for r in feats2
+    }
+
+    frames = sample_frames(media, every_nth=50).collect()
+    assert all(r["frame_idx"] % 50 == 0 for r in frames)
+
+
+def test_multimodal_stub_raises_without_decoder(spark):
+    from fuzzysearch_spark.multimodal import extract_media_features, synthetic_media
+    from py4j.protocol import Py4JJavaError
+
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception) as exc_info:
+        extract_media_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "real media decoding" in str(exc_info.value)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming fingerprint dedup == its batch twin on the same data."""
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00",
+                 "2026-01-01 00:03:00", "2026-01-01 00:04:00"]
+            ),
+            "text": ["aaa", "bbb", "aaa", "ccc", "aaa"],
+        }
+    )
+    # Spark can't read nanosecond parquet timestamps; force microseconds
+    rows.to_parquet(
+        src / "part0.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+
+    from fuzzysearch_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    # parquet pandas timestamps read as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    batch_df = spark.read.parquet(str(src)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        )
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["fingerprint"]: r["n_seen"]
+        for r in spark.sql("SELECT * FROM dedup_counts").collect()
+    }
+    batch = {
+        r["fingerprint"]: r["n_seen"]
+        for r in streaming_exact_dedup(batch_df).collect()
+    }
+    assert got == batch
+    assert sorted(got.values()) == [1, 1, 3]

@@ -480,172 +480,6 @@ def oracle_sql() -> dict[str, str]:
             FROM ratios
         """,
         "lang_id": """
-            WITH toks AS (
-              SELECT doc_id,
-                     regexp_split_to_array(lower(text), '[^a-z]+') AS w
-              FROM documents
-            ),
-            scores AS (
-              SELECT doc_id,
-                len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and'))
-                  + len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'to'))
-                  + len(list_filter(w, x -> x = 'is')) AS s_en,
-                len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'und'))
-                  + len(list_filter(w, x -> x = 'die')) + len(list_filter(w, x -> x = 'ist'))
-                  + len(list_filter(w, x -> x = 'nicht')) AS s_de,
-                len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'et'))
-                  + len(list_filter(w, x -> x = 'les')) + len(list_filter(w, x -> x = 'est'))
-                  + len(list_filter(w, x -> x = 'pas')) AS s_fr,
-                len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'de'))
-                  + len(list_filter(w, x -> x = 'la')) + len(list_filter(w, x -> x = 'que'))
-                  + len(list_filter(w, x -> x = 'es')) AS s_es
-              FROM toks
-            )
-            SELECT doc_id,
-                   CASE
-                     WHEN s_en >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
-                     WHEN s_de >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
-                     WHEN s_fr >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
-                     WHEN s_es >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
-                     ELSE 'und'
-                   END AS lang_pred
-            FROM scores
-        """,
-        "fingerprints": q_fingerprints,
-        "doc_stats_by_lang": q_doc_stats_by_lang,
-        "event_sessions": q_event_sessions,
-        "best_event_per_session": q_best_event_per_session,
-        "top_value_users": q_top_value_users,
-        "pricing_summary": q_pricing_summary,
-    }
-
-
-# ---------------------------------------------------------------------------
-# DuckDB oracles — expression-for-expression mirrors of the Spark plans
-# ---------------------------------------------------------------------------
-
-_JACCARD_BODY = """g AS (
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS gram
-  FROM documents, unnest(range(1, greatest(length(text) - 10, 2))) AS t(i)
-),
-card AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ix
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT a_id, b_id,
-         ROUND(ix * 1.0 / (ca.c + cb.c - ix), 4) AS jaccard
-  FROM inter
-  JOIN card ca ON ca.doc_id = a_id
-  JOIN card cb ON cb.doc_id = b_id
-)
-"""
-
-_JACCARD_CTE = "WITH " + _JACCARD_BODY
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        "exact_dup_clusters": """
-            SELECT doc_id,
-                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
-            FROM documents
-        """,
-        "ngram_jaccard_pairs": _JACCARD_CTE
-        + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.7",
-        "edit_distance_pairs": _JACCARD_CTE
-        + """
-            SELECT j.a_id, j.b_id, levenshtein(da.text, db.text) AS dist
-            FROM jac j
-            JOIN documents da ON da.doc_id = j.a_id
-            JOIN documents db ON db.doc_id = j.b_id
-            WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
-        """,
-        "near_dup_clusters": "WITH RECURSIVE " + _JACCARD_BODY
-        + """
-            , edges AS (
-              SELECT j.a_id AS a, j.b_id AS b
-              FROM jac j
-              JOIN documents da ON da.doc_id = j.a_id
-              JOIN documents db ON db.doc_id = j.b_id
-              WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
-            ),
-            sym AS (
-              SELECT a, b FROM edges
-              UNION SELECT b, a FROM edges
-            ),
-            walk(doc_id, lbl) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.doc_id
-              WHERE w.lbl < s.b
-            )
-            SELECT doc_id, MIN(lbl) AS cluster_id
-            FROM walk GROUP BY doc_id
-        """,
-        "cosine_top1": """
-            SELECT a.vec_id,
-                   b.vec_id AS neighbor_id,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-                       AS cosine
-            FROM embeddings a
-            JOIN embeddings b ON a.vec_id != b.vec_id
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY a.vec_id
-                ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC,
-                         b.vec_id ASC
-            ) = 1
-        """,
-        "embedding_near_dups": """
-            SELECT a.vec_id AS a_id,
-                   b.vec_id AS b_id,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-                       AS cosine
-            FROM embeddings a
-            JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-                  >= 0.4
-        """,
-        "token_counts": """
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS n_tokens
-            FROM documents
-        """,
-        "quality_scores": """
-            WITH feat AS (
-              SELECT doc_id,
-                     length(text) AS n,
-                     GREATEST(length(text), 1) * 1.0 AS safe_n,
-                     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
-                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
-                     length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS space,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                     END AS tokens
-              FROM documents
-            ),
-            ratios AS (
-              SELECT doc_id,
-                     ROUND(alpha / safe_n, 6) AS alpha_ratio,
-                     ROUND(digit / safe_n, 6) AS digit_ratio,
-                     ROUND((n - alpha - digit - space) / safe_n, 6) AS punct_ratio,
-                     ROUND(space / safe_n, 6) AS space_ratio,
-                     ROUND((n - space) * 1.0 / GREATEST(tokens, 1), 6) AS mean_tok_len
-              FROM feat
-            )
-            SELECT doc_id, alpha_ratio, digit_ratio, space_ratio, mean_tok_len,
-                   ROUND(GREATEST(0.0, LEAST(1.0,
-                       alpha_ratio * 1.2 - punct_ratio * 0.5 - digit_ratio * 0.3
-                       + CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12
-                              THEN 0.2 ELSE 0.0 END
-                   )), 6) AS quality_score
-            FROM ratios
-        """,
-        "lang_id": """
             WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
             scores AS (
               SELECT doc_id,

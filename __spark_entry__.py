@@ -23,8 +23,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata table at >= defaultParallelism partitions.
+
+    The small-SF parquet files are single row-groups (one input split); the
+    guard repartitions them so UDF-heavy stages use every core, and is a
+    no-op for any input that already scans wide.
+    """
+    from fuzzysearch_spark.util import ensure_min_partitions
+
+    return ensure_min_partitions(
+        spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read(spark, sf_dir, "documents")
 
 
 def _force_utc(spark: SparkSession) -> None:
@@ -158,7 +172,7 @@ def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor per embedding vector."""
     from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(emb, k=1, round_to=4).select(
         "vec_id", "neighbor_id", "cosine"
     )
@@ -168,7 +182,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs, cosine >= 0.4 (brute-force)."""
     from fuzzysearch_spark.operators.ann import embedding_near_dup_pairs
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, min_cosine=0.4)
 
 
@@ -177,7 +191,7 @@ def q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures recall vs brute force)."""
     from fuzzysearch_spark.operators.ann import cosine_topk_lsh
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     return cosine_topk_lsh(emb, dim=dim, k=1, n_planes=8).select(
         "vec_id", "neighbor_id", "cosine"
@@ -248,7 +262,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _force_utc(spark)
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     with_flag = ev.withColumn(
@@ -274,7 +288,7 @@ def q_best_event_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _force_utc(spark)
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     with_session = ev.withColumn(
@@ -299,7 +313,7 @@ def q_top_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 users by total value per event type (sort/limit/top-k family)."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _read(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
         F.round(F.sum("value"), 4).alias("total_value")
     )
@@ -314,7 +328,7 @@ def q_top_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style aggregation sweep over lineitem."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _read(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(

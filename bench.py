@@ -13,6 +13,13 @@ UDF columns).
 
 from __future__ import annotations
 
+import os
+
+# single-threaded BLAS in every Spark python worker (forked from this
+# process's env): task-level parallelism only, no nested thread pools
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 import json
 import os
 import shutil

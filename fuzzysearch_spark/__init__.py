@@ -16,6 +16,17 @@ distributed dedup + clustering pipeline:
   dedup pipeline.
 """
 
+import os as _os
+
+# One task = one core: BLAS-internal thread pools (the simhash mat-vec, any
+# numpy dot) silently oversubscribe executors running many Arrow-UDF tasks —
+# measured 2-3x kernel slowdown at 16 concurrent workers. Effective only if
+# this package is imported before numpy first loads (true for spark-submit
+# driver scripts and freshly-forked Python workers); on clusters also set
+# spark.executorEnv.OPENBLAS_NUM_THREADS=1.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 __version__ = "0.1.0"
 
 from fuzzysearch_spark.match import Match, consolidate  # noqa: F401

@@ -122,12 +122,20 @@ def _apply_edits(rng: random.Random, text: str, n_subs: int, n_ins: int, n_dels:
     return "".join(chars)
 
 
-def generate(n_files: int = 500, seed: int = 42, max_l_dist: int = 4) -> PlantedCorpus:
+def generate(
+    n_files: int = 500,
+    seed: int = 42,
+    max_l_dist: int = 4,
+    funcs_per_file: tuple[int, int] = (3, 12),
+) -> PlantedCorpus:
     """Build a corpus of ``n_files`` with ~30% planted relationships.
 
     ``max_l_dist`` is the dedup threshold the pipeline will be run with;
     near-dups are planted at <= max_l_dist edits, negatives at
     max_l_dist + 1 (to pin precision as well as recall).
+    ``funcs_per_file`` controls file size (~90 chars per function); the
+    scaling benchmark raises it so per-file kernel compute dominates
+    scheduling overhead, matching real source-file sizes (KBs).
     """
     rng = random.Random(seed)
     corpus = PlantedCorpus()
@@ -135,7 +143,7 @@ def generate(n_files: int = 500, seed: int = 42, max_l_dist: int = 4) -> Planted
     n_base = max(1, int(n_files * 0.70))
     for i in range(n_base):
         lang = rng.choice(_LANGS)
-        content = _gen_file(rng, lang, rng.randint(3, 12))
+        content = _gen_file(rng, lang, rng.randint(*funcs_per_file))
         corpus.rows.append(_mk_row(rng, i, lang, content))
 
     i = n_base

@@ -66,6 +66,58 @@ def _dp_rows(a: np.ndarray, b: np.ndarray, k: int):
     return d if d <= k else None
 
 
+def _snake(a: bytes, b: bytes, i: int, j: int) -> int:
+    """Longest s with a[i:i+s] == b[j:j+s], by binary-searched slice
+    compares — each probe is one C-speed memcmp, so a multi-KB common run
+    costs O(log n) compares instead of a per-char Python loop."""
+    lo, hi = 0, min(len(a) - i, len(b) - j)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if a[i:i + mid] == b[j:j + mid]:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def _ukkonen_diagonal(a: bytes, b: bytes, k: int):
+    """Ukkonen's O(k·d) diagonal method (Inf. Control 64, 1985): track, per
+    cost d and diagonal p = j - i, the furthest row reachable, extending
+    along equal-character runs ("snakes"). Total work O(k²) snake probes —
+    independent of document length outside the memcmp probes — vs O(n·m)
+    for row DP. Returns the exact distance if <= k, else None."""
+    n, m = len(a), len(b)
+    target_p = m - n  # the diagonal containing cell (n, m)
+    # f[p + k] = furthest row i on diagonal p for the previous cost level
+    NEG = -(1 << 30)
+    f = [NEG] * (2 * k + 1)
+    i0 = _snake(a, b, 0, 0)
+    if i0 >= n and i0 + 0 >= m:
+        return 0
+    f[k] = i0
+    for d in range(1, k + 1):
+        nf = [NEG] * (2 * k + 1)
+        lo = max(-d, target_p - (k - d), -k)
+        hi = min(d, target_p + (k - d), k)
+        for p in range(lo, hi + 1):
+            best = f[p + k] + 1  # substitution: same diagonal, next row
+            if p + 1 <= k and f[p + k + 1] != NEG:
+                best = max(best, f[p + k + 1] + 1)  # deletion of a[i]
+            if p - 1 >= -k and f[p + k - 1] != NEG:
+                best = max(best, f[p + k - 1])  # insertion of b[j]
+            if best < 0:
+                continue
+            i = min(best, n, m - p) if m - p >= 0 else NEG
+            if i < 0 or i == NEG:
+                continue
+            i += _snake(a, b, i, i + p) if i < n and i + p < m else 0
+            if p == target_p and i >= n:
+                return d
+            nf[p + k] = i
+        f = nf
+    return None
+
+
 def bounded_edit_distance(a, b, k: int):
     """Exact Levenshtein distance of a vs b if <= k, else None."""
     if isinstance(a, str):
@@ -82,9 +134,13 @@ def bounded_edit_distance(a, b, k: int):
     if not a or not b:
         d = len(a) or len(b)
         return d if d <= k else None
-    # small middles: plain python DP beats numpy call overhead
+    # small middles: plain python DP beats per-diagonal bookkeeping
     if len(a) * len(b) <= 256:
         return _dp_small(a, b, k)
+    # diagonal method wins while the k x k frontier is small; for very
+    # large budgets the vectorized row DP has better constants
+    if k <= 256:
+        return _ukkonen_diagonal(a, b, k)
     arr_a = np.frombuffer(a, dtype=np.uint8)
     arr_b = np.frombuffer(b, dtype=np.uint8)
     if len(arr_a) < len(arr_b):

@@ -75,7 +75,9 @@ def connected_components(
 
     prev_fp = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy localCheckpoint: the fingerprint aggregate materializes it in
+        # the same Spark job (eager would cost a second job per round)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = _fingerprint(e)
         if fp == prev_fp:
             break

@@ -23,14 +23,23 @@ from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
 
 
 def char_ngram_shingles(
-    docs: DataFrame, n: int = 12, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, gram) — distinct character n-grams, JVM-side only.
 
     sequence+explode+substring stays in whole-stage codegen; at 100 TB this
     is the one deliberately expensive exact operator (the approximate paths
     exist to avoid it), so it is kept for ground-truth/audit queries.
+
+    ``hashed=True`` replaces each gram with xxhash64(gram) *before* the
+    distinct, so both the dedup shuffle and any downstream equi-join move
+    8-byte longs instead of n-char strings (collision odds ~ |grams|²/2⁶⁴).
     """
+    gram = F.expr(f"substring(_t, i, {n})")
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -43,7 +52,7 @@ def char_ngram_shingles(
             ).alias("i"),
             F.col(text_col).alias("_t"),
         )
-        .select("doc_id", F.expr(f"substring(_t, i, {n})").alias("gram"))
+        .select("doc_id", (F.xxhash64(gram) if hashed else gram).alias("gram"))
         .distinct()
     )
 
@@ -56,7 +65,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(a_id, b_id, jaccard) for pairs with exact n-gram Jaccard >= threshold."""
-    grams = char_ngram_shingles(docs, n, id_col, text_col)
+    grams = char_ngram_shingles(docs, n, id_col, text_col, hashed=True)
     card = grams.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = grams.alias("a")
     b = grams.alias("b")

@@ -115,6 +115,12 @@ def verify_pairs(
         .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
     )
 
+    # over-partition the DP stage (tasks >> cores): per-pair kernel cost
+    # varies by orders of magnitude (affix-stripped near-dups vs full-length
+    # false candidates), so byte-balanced AQE partitions still straggle
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    with_content = with_content.repartition(4 * par)
+
     verify = _edit_dist_udf(cfg)
     return (
         with_content.withColumn("dist", verify("content_a", "content_b"))

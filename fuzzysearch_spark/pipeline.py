@@ -31,20 +31,32 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fuzzysearch_spark.functions.signatures import SignatureConfig, simhash_udf
+from fuzzysearch_spark.functions.signatures import (
+    SignatureConfig,
+    band_keys_col,
+    signature_struct_udf,
+)
 from fuzzysearch_spark.operators.components import attach_clusters, connected_components
 from fuzzysearch_spark.operators.exact_dedup import exact_dup_edges, exact_dup_groups
-from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
+from fuzzysearch_spark.operators.lsh import lsh_candidate_pairs
 from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
+from fuzzysearch_spark.util import ensure_min_partitions
 
 
 @dataclass
 class DedupConfig:
+    """``checkpoint_mode``: 'parquet' (default) persists every stage for
+    resume-from-failure; 'memory' replaces the parquet round-trip with
+    persist() + materialize — no resumability, used when measuring pure
+    compute scaling (or for small interactive runs) where a shared local
+    disk would serialize stages that scalable cluster storage would not."""
+
     signature: SignatureConfig = field(default_factory=SignatureConfig)
     verify: VerifyConfig = field(default_factory=VerifyConfig)
     max_bucket: int = 1000
     workdir: str = "/tmp/fuzzysearch_spark_work"
     resume: bool = True
+    checkpoint_mode: str = "parquet"
 
 
 STAGES = [
@@ -73,15 +85,29 @@ class DedupPipeline:
 
     def _checkpoint(self, stage: str, df: DataFrame, **extras) -> DataFrame:
         t0 = time.time()
+        if self.cfg.checkpoint_mode == "memory":
+            out = df.persist()
+            rows = out.count()
+            metrics = {
+                "stage": stage,
+                "rows": int(rows),
+                "partitions": out.rdd.getNumPartitions(),
+                "wall_sec": round(time.time() - t0, 3),
+                **extras,
+            }
+            with open(
+                os.path.join(self.cfg.workdir, "metrics", f"{stage}.json"), "w"
+            ) as f:
+                json.dump(metrics, f, indent=2, sort_keys=True)
+            return out
         path = self._path(stage)
         df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        per_part = [
-            (int(r["pid"]), int(r["cnt"]))
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        ]
+        # re-read so downstream plans cut lineage at the checkpoint; the
+        # min-partitions guard matters here: Spark bin-packs the checkpoint's
+        # small files into ~1 input split at test SF, which would serialize
+        # every UDF stage after the read (no-op at production sizes)
+        out = ensure_min_partitions(self.spark.read.parquet(path))
+        per_part = self._partition_rows(path)
         metrics = {
             "stage": stage,
             "rows": int(sum(c for _, c in per_part)),
@@ -96,6 +122,20 @@ class DedupPipeline:
             json.dump(metrics, f, indent=2, sort_keys=True)
         return out
 
+    @staticmethod
+    def _partition_rows(path: str) -> list[tuple[int, int]]:
+        """Per-output-file row counts from parquet footers (driver-side
+        metadata reads — no second scan job over the checkpoint)."""
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        return [
+            (i, pq.ParquetFile(os.path.join(path, f)).metadata.num_rows)
+            for i, f in enumerate(files)
+        ]
+
     def _load_or(self, stage: str, compute) -> DataFrame:
         """Read the stage checkpoint if present, else compute + checkpoint.
 
@@ -103,7 +143,7 @@ class DedupPipeline:
         land in the stage metrics JSON.
         """
         if self.cfg.resume and self._done(stage):
-            return self.spark.read.parquet(self._path(stage))
+            return ensure_min_partitions(self.spark.read.parquet(self._path(stage)))
         result = compute()
         df, extras = result if isinstance(result, tuple) else (result, {})
         return self._checkpoint(stage, df, **extras)
@@ -118,7 +158,7 @@ class DedupPipeline:
         """
         return self._load_or(
             "s0_ingest",
-            lambda: raw.select(
+            lambda: ensure_min_partitions(raw).select(
                 F.xxhash64("repo", "path", "commit").alias("doc_id"),
                 "repo",
                 "path",
@@ -142,9 +182,20 @@ class DedupPipeline:
                     exact.where("is_representative").select("doc_id"), "doc_id"
                 )
             )
-            with_bands = add_minhash_bands(reps, self.cfg.signature)
-            return with_bands.withColumn(
-                "simhash", simhash_udf()(F.col("content"))
+            # over-partition the kernel stage (tasks >> cores) so stragglers
+            # load-balance; the signature UDF is the pipeline's dominant CPU
+            # cost, and one long task would idle the rest of the executor
+            par = self.spark.sparkContext.defaultParallelism
+            reps = reps.repartition(4 * par)
+            sig = signature_struct_udf(self.cfg.signature)
+            with_sig = reps.withColumn("sig", sig(F.col("content"))).select(
+                "doc_id",
+                F.col("sig.minhash").alias("minhash"),
+                F.col("sig.simhash").alias("simhash"),
+                "n_chars",
+            )
+            return with_sig.withColumn(
+                "bands", band_keys_col(F.col("minhash"), self.cfg.signature)
             ).select("doc_id", "minhash", "bands", "simhash", "n_chars")
 
         return self._load_or("s2_signatures", compute)

@@ -1,0 +1,22 @@
+"""Partitioning utilities shared by pipeline stages and entry points."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the plan has fewer.
+
+    Small benchmark inputs arrive as a single parquet row-group (one input
+    split), which would serialize every downstream Arrow-UDF stage onto one
+    core. At production scale the scan already has >= cores partitions and
+    this is a no-op — the guard never coalesces, so it cannot add a shuffle
+    to a large input.
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df

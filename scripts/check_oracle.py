@@ -11,6 +11,13 @@ Usage: python scripts/check_oracle.py [query ...]
 from __future__ import annotations
 
 import os
+
+# single-threaded BLAS in every Spark python worker (forked from this
+# process's env): task-level parallelism only, no nested thread pools
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import os
 import sys
 import time
 

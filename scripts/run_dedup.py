@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the near-duplicate detection pipeline.
+
+Cluster usage (package the engine for the executors with --py-files):
+
+    cd /root/repo && zip -qr /tmp/fuzzysearch_spark.zip fuzzysearch_spark
+    spark-submit --py-files /tmp/fuzzysearch_spark.zip \
+        scripts/run_dedup.py \
+        --input  <parquet-or-iceberg path with (repo,path,commit,lang,content)> \
+        --workdir <checkpoint dir>  --output <final cluster parquet> \
+        [--max-l-dist 4] [--no-resume]
+
+Local sandbox smoke run (single JVM standing in for a cluster):
+
+    spark-submit --master 'local[8]' --py-files /tmp/fuzzysearch_spark.zip \
+        scripts/run_dedup.py --input ... --workdir ... --output ...
+
+The script only touches the SparkSession the cluster hands it — every config
+that matters at scale (shuffle partitions, AQE, memory) belongs to the
+spark-submit invocation, not the code.
+"""
+
+from __future__ import annotations
+
+import os
+
+# single-threaded BLAS in every Spark python worker (forked from this
+# process's env): task-level parallelism only, no nested thread pools
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--max-l-dist", type=int, default=4)
+    ap.add_argument("--rel-dist", type=float, default=None)
+    ap.add_argument("--max-bucket", type=int, default=1000)
+    ap.add_argument("--shingle-k", type=int, default=8)
+    ap.add_argument("--n-hashes", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from fuzzysearch_spark.functions.signatures import SignatureConfig
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    spark = SparkSession.builder.appName("fuzzysearch-spark-dedup").getOrCreate()
+
+    cfg = DedupConfig(
+        signature=SignatureConfig(
+            shingle_k=args.shingle_k, n_hashes=args.n_hashes, bands=args.bands
+        ),
+        verify=VerifyConfig(max_l_dist=args.max_l_dist, rel_dist=args.rel_dist),
+        max_bucket=args.max_bucket,
+        workdir=args.workdir,
+        resume=not args.no_resume,
+    )
+    raw = spark.read.parquet(args.input).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    out = DedupPipeline(spark, cfg).run(raw)
+    out.write.mode("overwrite").parquet(args.output)
+
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "output": args.output}), file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,3 +78,52 @@ def test_identical_and_empty():
 
 def test_length_gap_short_circuits():
     assert bounded_edit_distance("a" * 10, "a" * 100, 5) is None
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_diagonal_vs_row_dp_long_inputs(seed):
+    """The Ukkonen diagonal path must agree with the vectorized row DP on
+    multi-KB near-dups and non-dups (both well above the small-DP cutoff)."""
+    import numpy as np
+
+    from fuzzysearch_spark.kernels.pairdist import _dp_rows, _ukkonen_diagonal
+
+    rng = random.Random(seed)
+    base = "".join(rng.choice("abcdefgh ({});\n") for _ in range(rng.randint(300, 3000)))
+    if seed % 3 == 0:
+        other = "".join(rng.choice("abcdefgh ({});\n") for _ in range(len(base)))
+    else:
+        chars = list(base)
+        for _ in range(rng.randint(1, 12)):
+            pos = rng.randrange(len(chars))
+            op = rng.choice(["sub", "ins", "del"])
+            if op == "sub":
+                chars[pos] = rng.choice("XYZ")
+            elif op == "ins":
+                chars.insert(pos, rng.choice("XYZ"))
+            else:
+                del chars[pos]
+        other = "".join(chars)
+    k = rng.choice([1, 4, 8, 16])
+
+    ab, bb = base.encode(), other.encode()
+    got = _ukkonen_diagonal(ab, bb, k)
+    if abs(len(ab) - len(bb)) > k:
+        return
+    arr_a, arr_b = np.frombuffer(ab, dtype=np.uint8), np.frombuffer(bb, dtype=np.uint8)
+    if len(arr_a) < len(arr_b):
+        arr_a, arr_b = arr_b, arr_a
+    expect = _dp_rows(arr_a, arr_b, k)
+    assert got == expect
+
+
+def test_diagonal_edge_cases():
+    from fuzzysearch_spark.kernels.pairdist import _ukkonen_diagonal
+
+    assert _ukkonen_diagonal(b"a" * 500, b"a" * 500, 3) == 0
+    assert _ukkonen_diagonal(b"a" * 500, b"a" * 499 + b"b", 3) == 1
+    assert _ukkonen_diagonal(b"x" + b"a" * 500, b"a" * 500 + b"y", 3) == 2
+    assert _ukkonen_diagonal(b"a" * 500, b"b" * 500, 8) is None
+    # pure insertions / deletions up to the budget
+    assert _ukkonen_diagonal(b"a" * 500, b"a" * 503, 3) == 3
+    assert _ukkonen_diagonal(b"a" * 503, b"a" * 500, 3) == 3

@@ -66,21 +66,39 @@ def test_minhash_empty_sentinel():
     assert len(a) == cfg.n_hashes
 
 
-def test_minhash_chunking_invariant():
-    """Chunked min must equal the unchunked min (same result any doc size)."""
+def test_minhash_set_semantics_and_oracle():
+    """The signature is a pure function of the shingle *set* (order- and
+    duplication-invariant), matches a per-bin python oracle of the OPH
+    definition, and every bin is densified (no sentinel left behind)."""
     cfg = SignatureConfig(n_hashes=16, bands=4)
     seeds = cfg.hash_seeds()
     rng = np.random.default_rng(7)
-    small = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
-    big = np.concatenate([small, rng.integers(0, 1 << 63, size=500_000, dtype=np.uint64)])
-    sig_small_then_big = minhash_signature(np.unique(big), seeds)
-    # reference: single pass over python mins
+    s = rng.integers(0, 1 << 63, size=50_000, dtype=np.uint64)
+    sig = minhash_signature(np.unique(s), seeds)
+    assert np.array_equal(sig, minhash_signature(np.unique(s)[::-1].copy(), seeds))
+
     from fuzzysearch_spark.functions.signatures import _mix64
 
-    expected = np.stack([
-        (_mix64(np.unique(big) ^ s).min() >> np.uint64(1)) for s in seeds
-    ]).astype(np.int64)
-    assert np.array_equal(sig_small_then_big, expected)
+    h = _mix64(np.unique(s) ^ seeds[0])
+    expected = []
+    for b in range(cfg.n_hashes):
+        vals = h[h % np.uint64(cfg.n_hashes) == b]
+        expected.append(int(vals.min() >> np.uint64(1)) if len(vals) else None)
+    for b, e in enumerate(expected):
+        if e is not None:
+            assert int(sig[b]) == e
+    assert (sig >= 0).all()
+    assert int(sig.max()) < (1 << 63) - 1  # all bins densified
+
+
+def test_minhash_densification_fills_empty_bins():
+    cfg = SignatureConfig(n_hashes=128, bands=16)
+    seeds = cfg.hash_seeds()
+    few = np.unique(np.arange(3, dtype=np.uint64))  # 3 shingles, 128 bins
+    sig = minhash_signature(few, seeds)
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF) >> np.uint64(1)
+    assert (sig.astype(np.uint64) != sentinel).all()
+    assert len(np.unique(sig)) <= 3  # every bin borrows one of the 3 minima
 
 
 def test_token_hash_position_independence():

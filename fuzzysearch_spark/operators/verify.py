@@ -108,18 +108,33 @@ def verify_pairs(
             <= cfg.simhash_max_hamming
         )
 
-    contents = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("c"))
+    surviving = p.select("a_id", "b_id")
+
+    # shuffle only candidate-pair contents: the broadcast id-set filter runs
+    # map-side over the corpus scan, so the (dominant) content bytes of
+    # non-candidate documents never enter the verify joins — at corpus scale
+    # candidates are a sliver of the corpus and this is the difference
+    # between shuffling gigabytes and shuffling everything. If the candidate
+    # id set ever outgrows broadcast size (extreme corpora), replace the hint
+    # with a runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter)
+    # rather than reverting to a full-corpus shuffle.
+    # derive the id set from the *input* pairs (checkpointed/cached by the
+    # caller), not the filtered plan: a slightly larger superset, but no
+    # recomputation of the filter joins on a second traversal
+    pair_ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    contents = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("c"))
+        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
+    )
     with_content = (
-        p.select("a_id", "b_id")
+        surviving
         .join(contents.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "content_a"), "a_id")
         .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
     )
-
-    # over-partition the DP stage (tasks >> cores): per-pair kernel cost
-    # varies by orders of magnitude (affix-stripped near-dups vs full-length
-    # false candidates), so byte-balanced AQE partitions still straggle
-    par = pairs.sparkSession.sparkContext.defaultParallelism
-    with_content = with_content.repartition(4 * par)
 
     verify = _edit_dist_udf(cfg)
     return (

@@ -86,12 +86,13 @@ class DedupPipeline:
     def _checkpoint(self, stage: str, df: DataFrame, **extras) -> DataFrame:
         t0 = time.time()
         if self.cfg.checkpoint_mode == "memory":
+            # lazy persist: no count barrier, so consecutive stages pipeline
+            # into one another and executors stay busy across stage seams;
+            # row counts are deferred (parquet mode carries full metrics)
             out = df.persist()
-            rows = out.count()
             metrics = {
                 "stage": stage,
-                "rows": int(rows),
-                "partitions": out.rdd.getNumPartitions(),
+                "rows": None,
                 "wall_sec": round(time.time() - t0, 3),
                 **extras,
             }
@@ -177,16 +178,16 @@ class DedupPipeline:
 
     def signature_stage(self, docs: DataFrame, exact: DataFrame) -> DataFrame:
         def compute():
-            reps = (
-                docs.join(
-                    exact.where("is_representative").select("doc_id"), "doc_id"
-                )
+            # broadcast the id-only side: the representative filter then runs
+            # map-side on the (heavy) content partitions — shuffling content
+            # here cost more than the whole signature computation
+            reps = docs.join(
+                F.broadcast(
+                    exact.where("is_representative").select("doc_id")
+                ),
+                "doc_id",
             )
-            # over-partition the kernel stage (tasks >> cores) so stragglers
-            # load-balance; the signature UDF is the pipeline's dominant CPU
-            # cost, and one long task would idle the rest of the executor
-            par = self.spark.sparkContext.defaultParallelism
-            reps = reps.repartition(4 * par)
+            reps = ensure_min_partitions(reps)
             sig = signature_struct_udf(self.cfg.signature)
             with_sig = reps.withColumn("sig", sig(F.col("content"))).select(
                 "doc_id",

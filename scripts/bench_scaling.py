@@ -71,12 +71,22 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
     from fuzzysearch_spark.operators.verify import VerifyConfig
     from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
 
+    shm = "/dev/shm/fsw-shuffle"
+    os.makedirs(shm, exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"fsw-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(4 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "24g"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # small inputs: split scans finely so every core gets work without a
+        # repartition shuffle (a production job reading TBs uses the default)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # RAM-backed shuffle dirs: the sandbox has one shared virtio disk;
+        # a real cluster's per-node NVMe shuffle storage scales with nodes
+        .config("spark.local.dir", shm)
+        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
@@ -123,7 +133,7 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
         for f in sorted(glob.glob(os.path.join(workdir, "metrics", "*.json"))):
             m = json.load(open(f))
             print(
-                f"  {m['stage']}: rows={m['rows']} parts={m['partitions']} wall={m['wall_sec']}",
+                f"  {m['stage']}: rows={m.get('rows')} parts={m.get('partitions')} wall={m['wall_sec']}",
                 file=sys.stderr,
             )
     print(

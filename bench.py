@@ -36,11 +36,21 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def _spark():
     from pyspark.sql import SparkSession
 
+    shm = "/dev/shm/fsw-shuffle"
+    os.makedirs(shm, exist_ok=True)
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("fuzzysearch-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # small-SF inputs: fine scan splits so UDF stages use every core
+        # without a repartition shuffle (TB-scale scans keep the defaults)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # RAM-backed shuffle: the sandbox's one shared virtio disk stands in
+        # for per-node NVMe shuffle storage that scales with cluster size
+        .config("spark.local.dir", shm)
         .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -177,19 +177,22 @@ class DedupPipeline:
         )
 
     def signature_stage(self, docs: DataFrame, exact: DataFrame) -> DataFrame:
+        """Signatures for EVERY document, computed map-side on the scan
+        partitions: the content column is never shuffled, collected, or
+        joined before the UDF. Exact-duplicate documents waste a little
+        signature compute (their signatures are identical to their
+        representative's), but restricting to representatives here would
+        cost either a driver-side collect+broadcast of the id set (driver-
+        bound — measured anti-scaling at 10^6 ids) or a full content
+        shuffle; the representative filter is applied downstream on the
+        *light* band table instead (candidate_stage), where it is a plain
+        scalable equi-join."""
+
         def compute():
-            # broadcast the id-only side: the representative filter then runs
-            # map-side on the (heavy) content partitions — shuffling content
-            # here cost more than the whole signature computation
-            reps = docs.join(
-                F.broadcast(
-                    exact.where("is_representative").select("doc_id")
-                ),
-                "doc_id",
-            )
-            reps = ensure_min_partitions(reps)
             sig = signature_struct_udf(self.cfg.signature)
-            with_sig = reps.withColumn("sig", sig(F.col("content"))).select(
+            with_sig = ensure_min_partitions(docs).withColumn(
+                "sig", sig(F.col("content"))
+            ).select(
                 "doc_id",
                 F.col("sig.minhash").alias("minhash"),
                 F.col("sig.simhash").alias("simhash"),
@@ -201,10 +204,16 @@ class DedupPipeline:
 
         return self._load_or("s2_signatures", compute)
 
-    def candidate_stage(self, signatures: DataFrame) -> DataFrame:
+    def candidate_stage(self, signatures: DataFrame, exact: DataFrame) -> DataFrame:
         def compute():
+            # representative filter on light columns only (ids + bands):
+            # exact-dup fuzz work collapses to one doc per sha256 group here,
+            # via a shuffle join that scales with the cluster
+            reps = signatures.join(
+                exact.where("is_representative").select("doc_id"), "doc_id"
+            )
             pairs, oversized = lsh_candidate_pairs(
-                signatures, max_bucket=self.cfg.max_bucket
+                reps, max_bucket=self.cfg.max_bucket
             )
             skew = [
                 {
@@ -238,16 +247,16 @@ class DedupPipeline:
                 verified.select("a_id", "b_id")
             )
             assignments = connected_components(edges)
-            out = attach_clusters(
-                docs.select(
-                    "doc_id", "repo", "path", "commit", "lang", "sha256", "content"
-                ),
-                assignments,
-            )
-            # input_hint invariant: recomputed sha256 must equal ingest sha256
-            mismatches = out.where(
+            # input_hint invariant, checked map-side over the ingest scan —
+            # content never enters the cluster join (the output carries the
+            # sha256 lineage column; content re-attaches by doc_id on demand)
+            mismatches = docs.where(
                 F.sha2("content", 256) != F.col("sha256")
             ).count()
+            out = attach_clusters(
+                docs.select("doc_id", "repo", "path", "commit", "lang", "sha256"),
+                assignments,
+            )
             return out, {"sha256_mismatches": int(mismatches)}
 
         return self._load_or("s5_clusters", compute)
@@ -258,7 +267,7 @@ class DedupPipeline:
         docs = self.ingest(raw)
         exact = self.exact_stage(docs)
         signatures = self.signature_stage(docs, exact)
-        pairs = self.candidate_stage(signatures)
+        pairs = self.candidate_stage(signatures, exact)
         verified = self.verify_stage(pairs, docs, signatures)
         return self.cluster_stage(docs, exact, verified)
 

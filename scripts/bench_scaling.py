@@ -34,7 +34,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_FILES = int(os.environ.get("SCALING_N_FILES", "30000"))
+N_FILES = int(os.environ.get("SCALING_N_FILES", "1000000"))
 FUNCS_LO = int(os.environ.get("SCALING_FUNCS_LO", "20"))
 FUNCS_HI = int(os.environ.get("SCALING_FUNCS_HI", "60"))
 SEED = 42
@@ -73,8 +73,22 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
 
     shm = "/dev/shm/fsw-shuffle"
     os.makedirs(shm, exist_ok=True)
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+    # local-cluster workers ignore spark.local.dir (cluster-manager rule);
+    # the env var reaches them since they fork from this process
+    os.environ["SPARK_LOCAL_DIRS"] = shm
+    mode_exec = os.environ.get("SCALING_MODE", "executors") == "executors"
+    if mode_exec:
+        # real separate executor JVMs (the faithful N-vs-4N-executor proxy:
+        # per-executor GC, shuffle clients, and Python worker pools, exactly
+        # as on a cluster — single-JVM local[k] concentrates all of that
+        # contention in one process). cpus = total cores, 4 per executor.
+        n_exec = max(1, cpus // 4)
+        exec_mem = int(os.environ.get("SCALING_EXECUTOR_MB", "16384"))
+        master = f"local-cluster[{n_exec},4,{exec_mem}]"
+    else:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
         .appName(f"fsw-scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(4 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -86,11 +100,32 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
         # RAM-backed shuffle dirs: the sandbox has one shared virtio disk;
         # a real cluster's per-node NVMe shuffle storage scales with nodes
         .config("spark.local.dir", shm)
-        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if mode_exec:
+        builder = (
+            builder.config("spark.executor.memory", f"{exec_mem - 2048}m")
+            .config("spark.executorEnv.PYTHONPATH", REPO)
+            .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+            .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        )
+    spark = builder.getOrCreate()
+    if mode_exec:
+        # distribute the engine to executors the spark-submit --py-files way
+        zip_path = os.path.join(shm, "fuzzysearch_spark.zip")
+        if not os.path.exists(zip_path):
+            import zipfile
+
+            with zipfile.ZipFile(zip_path, "w") as z:
+                pkg = os.path.join(REPO, "fuzzysearch_spark")
+                for root, _, files in os.walk(pkg):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            z.write(full, os.path.relpath(full, REPO))
+        spark.sparkContext.addPyFile(zip_path)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up JIT + Python UDF workers before timing (a long-lived cluster

@@ -55,16 +55,56 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _cc_driver(e: DataFrame) -> DataFrame:
+    """Union-find on the driver for graphs that fit comfortably in memory.
+
+    The verified-pair graph is a sliver of the corpus (candidates that
+    survived banded-LSH *and* the edit-distance verifier), so even at large
+    corpus sizes it is usually millions of edges, not billions — milliseconds
+    of driver CPU vs dozens of latency-bound shuffle rounds. The analog of
+    the reference's rule-based physical-operator choice
+    (/root/reference/src/fuzzysearch/__init__.py:60-83)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.toLocalIterator():
+        u, v = row["u"], row["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = [(node, find(node)) for node in parent]
+    spark = e.sparkSession
+    return spark.createDataFrame(rows, schema="doc_id long, cluster_id long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 25,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node appearing in ``edges``.
 
-    Nodes absent from ``edges`` are their own singleton clusters — callers
-    union those in from the full doc set (left join + coalesce).
+    Physical strategy is cost-based: graphs up to ``driver_threshold`` edges
+    run as driver union-find (exact same result, no shuffle rounds); larger
+    graphs use alternating large-star/small-star iterative joins. Nodes
+    absent from ``edges`` are their own singleton clusters — callers union
+    those in from the full doc set (left join + coalesce).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -72,6 +112,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= driver_threshold:
+        return _cc_driver(e)
 
     prev_fp = None
     for _ in range(max_iter):

@@ -34,8 +34,9 @@ def _union_find_components(n_nodes, edges):
     return {i: find(i) for i in range(n_nodes)}
 
 
+@pytest.mark.parametrize("threshold", [5_000_000, 0])  # driver / iterative paths
 @pytest.mark.parametrize("seed,n,m", [(0, 30, 20), (1, 100, 80), (2, 50, 200), (3, 200, 100)])
-def test_connected_components_random_graphs(spark, seed, n, m):
+def test_connected_components_random_graphs(spark, seed, n, m, threshold):
     rng = random.Random(seed)
     edges = [
         (rng.randrange(n), rng.randrange(n)) for _ in range(m)
@@ -46,7 +47,7 @@ def test_connected_components_random_graphs(spark, seed, n, m):
     edf = spark.createDataFrame(edges, ["a_id", "b_id"])
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(edf).collect()
+        for r in connected_components(edf, driver_threshold=threshold).collect()
     }
     for node, label in got.items():
         assert label == oracle[node], (node, label, oracle[node])
@@ -60,7 +61,7 @@ def test_connected_components_chain(spark):
     n = 64
     edges = [(i, i + 1) for i in range(n - 1)]
     edf = spark.createDataFrame(edges, ["a_id", "b_id"])
-    got = connected_components(edf).collect()
+    got = connected_components(edf, driver_threshold=0).collect()
     assert all(r["cluster_id"] == 0 for r in got)
     assert len(got) == n
 

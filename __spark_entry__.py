@@ -102,7 +102,10 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7)
+    # persist: the verify step traverses the candidate plan twice (id set +
+    # feature joins); without the persist the quadratic Jaccard plan would
+    # recompute on the second traversal
+    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
     return edit_distance_pairs(docs, cands, max_l_dist=8)
 
 
@@ -118,8 +121,10 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7)
-    edges = edit_distance_pairs(docs, cands, max_l_dist=8)
+    # persist both reused plans: the quadratic Jaccard candidates (traversed
+    # twice by verify) and the verified edges (traversed by CC + cluster join)
+    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
+    edges = edit_distance_pairs(docs, cands, max_l_dist=8).persist()
     assignments = connected_components(edges)
     return attach_clusters(docs.select("doc_id"), assignments).select(
         "doc_id", "cluster_id"
@@ -226,9 +231,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     scores = docs.select("doc_id", *lang_score_cols(F.col("text")).values())
-    # repartition = projection barrier: scores are computed once, keeping the
-    # argmax CASE tree (and its generated code) small
-    scores = scores.repartition(8)
+    # exchange = projection barrier: scores are computed once, keeping the
+    # argmax CASE tree (and its generated code) small; sized by the cluster's
+    # parallelism, never a constant width
+    scores = scores.repartition(spark.sparkContext.defaultParallelism)
     return scores.select(
         "doc_id",
         lang_pick_col({k: F.col(f"s_{k}") for k in ("en", "de", "fr", "es")}).alias("lang_pred"),

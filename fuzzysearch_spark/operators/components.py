@@ -56,39 +56,59 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def _cc_driver(e: DataFrame) -> DataFrame:
-    """Union-find on the driver for graphs that fit comfortably in memory.
+    """Vectorized union-find on the driver for graphs that fit in memory.
 
     The verified-pair graph is a sliver of the corpus (candidates that
     survived banded-LSH *and* the edit-distance verifier), so even at large
-    corpus sizes it is usually millions of edges, not billions — milliseconds
-    of driver CPU vs dozens of latency-bound shuffle rounds. The analog of
+    corpus sizes it is usually millions of edges, not billions — seconds of
+    driver CPU vs dozens of latency-bound shuffle rounds. The analog of
     the reference's rule-based physical-operator choice
-    (/root/reference/src/fuzzysearch/__init__.py:60-83)."""
-    parent: dict = {}
+    (/root/reference/src/fuzzysearch/__init__.py:60-83).
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
+    Edges arrive in one Arrow batch transfer (``toPandas``, not the
+    per-partition-RPC ``toLocalIterator``) and are solved with numpy
+    hook-to-minimum + pointer jumping — both steps array-at-a-time, so the
+    driver cost is a handful of vector passes, not a Python loop per edge.
+    Output schema mirrors the input edge column types (ids need not be long).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    for row in e.toLocalIterator():
-        u, v = row["u"], row["v"]
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            if ru < rv:
-                parent[rv] = ru
-            else:
-                parent[ru] = rv
-    rows = [(node, find(node)) for node in parent]
     spark = e.sparkSession
-    return spark.createDataFrame(rows, schema="doc_id long, cluster_id long")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", e.schema["u"].dataType, False),
+            T.StructField("cluster_id", e.schema["v"].dataType, False),
+        ]
+    )
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema=out_schema)
+
+    u = pdf["u"].to_numpy()
+    v = pdf["v"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    # nodes is sorted, so index order == id order: hooking to the minimum
+    # index is hooking to the minimum id, giving cluster_id = component min
+    parent = np.arange(len(nodes))
+    while True:
+        pu, pv = parent[ui], parent[vi]
+        if not np.any(pu != pv):
+            break
+        lo = np.minimum(pu, pv)
+        hi = np.maximum(pu, pv)
+        np.minimum.at(parent, hi, lo)
+        # pointer jumping: parent chains only point downward (lo < hi), so
+        # repeated squaring collapses them to roots in O(log n) passes
+        while True:
+            gp = parent[parent]
+            if np.array_equal(gp, parent):
+                break
+            parent = gp
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[parent]})
+    return spark.createDataFrame(out, schema=out_schema)
 
 
 def connected_components(
@@ -112,7 +132,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if e.count() <= driver_threshold:
+    # one aggregate serves both the strategy gate (count) and, were the
+    # iterative path taken, the convergence fingerprint machinery — no
+    # separate count-only job
+    n_edges, _ = _fingerprint(e)
+    if n_edges <= driver_threshold:
         return _cc_driver(e)
 
     prev_fp = None

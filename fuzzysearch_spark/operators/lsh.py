@@ -10,10 +10,17 @@ byte-sum memmem filter (/root/reference/src/fuzzysearch/memmem.c:75-87).
 Scale notes (100 TB posture):
 * one shuffle to explode bands, one shuffle for the self-join on
   (band_idx, band_key) — AQE skew-join splitting enabled by the session;
-* explicit skew control: bucket sizes are measured first and buckets larger
-  than ``max_bucket`` are excluded from pair generation and *reported* in the
-  returned metrics (no silent drops) — at sane geometry an oversized bucket
-  means near-identical content that exact-dedup should have removed;
+* explicit skew control, measured first and handled in three tiers:
+  - bucket_size <= max_bucket: plain per-bucket self-join;
+  - max_bucket < bucket_size <= salt_cap: SALTED self-join — members are
+    sub-bucketed by hash(doc_id) % n_salts on one side and replicated across
+    the n_salts sub-buckets on the other, so the bucket's quadratic pair set
+    is still produced in full but spread over n_salts tasks instead of one
+    straggler (reported as action='salted');
+  - bucket_size > salt_cap: excluded from pair generation and reported
+    (action='excluded') — at sane geometry such a bucket means
+    near-identical content that exact-dedup should have removed, and its
+    pair set would be quadratic in a way no partitioning can amortize;
 * pair de-dup on (a_id, b_id) BEFORE fetching any content — the biggest
   cost saver, since a pair collides once per agreeing band.
 """
@@ -45,39 +52,76 @@ def lsh_candidate_pairs(
     docs_with_bands: DataFrame,
     id_col: str = "doc_id",
     max_bucket: int = 1000,
+    salt_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (a_id < b_id) from band-key collisions.
 
-    Returns (pairs, oversized_buckets); the latter is the skew report:
-    (band_idx, band_key, bucket_size) for buckets excluded from the
-    quadratic pair expansion.
+    Skew tiers (see module docstring): plain join up to ``max_bucket``,
+    salted join up to ``salt_cap`` (default ``50 * max_bucket``), excluded
+    above. Returns (pairs, skew_report); the report rows are
+    (band_idx, band_key, bucket_size, action) with action in
+    {'salted', 'excluded'} — nothing is dropped silently, and no true pair
+    in a salted bucket is lost.
     """
+    if salt_cap is None:
+        salt_cap = 50 * max_bucket
     bands = explode_bands(docs_with_bands, id_col)
 
     sizes = bands.groupBy("band_idx", "band_key").agg(
         F.count("*").alias("bucket_size")
     )
-    oversized = sizes.where(F.col("bucket_size") > max_bucket)
+    oversized = sizes.where(F.col("bucket_size") > max_bucket).withColumn(
+        "action",
+        F.when(F.col("bucket_size") > salt_cap, F.lit("excluded")).otherwise(
+            F.lit("salted")
+        ),
+    )
 
-    ok_bands = bands.join(
-        F.broadcast(oversized.select("band_idx", "band_key")),
-        ["band_idx", "band_key"],
-        "left_anti",
+    # one row per oversized bucket — tiny metadata, broadcast to tag bands
+    flagged = bands.join(
+        F.broadcast(oversized), ["band_idx", "band_key"], "left"
+    )
+    ok_bands = flagged.where(F.col("action").isNull()).select(
+        "doc_id", "band_idx", "band_key"
     )
 
     left = ok_bands.alias("l")
     right = ok_bands.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a_id"),
-            F.col("r.doc_id").alias("b_id"),
-        )
-        .distinct()
+    plain_pairs = left.join(
+        right,
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("a_id"),
+        F.col("r.doc_id").alias("b_id"),
     )
+
+    # salted tier: n_salts sized from the measured bucket size so each salt
+    # group carries ~max_bucket members; the probe side keeps one salt per
+    # member, the build side replicates each member into every salt group —
+    # every (a, b) pair of the bucket meets in exactly one salt group
+    salted = flagged.where(F.col("action") == F.lit("salted")).withColumn(
+        "n_salts",
+        F.ceil(F.col("bucket_size") / F.lit(max_bucket)).cast("int"),
+    )
+    salt_left = salted.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
+    ).select("doc_id", "band_idx", "band_key", "salt")
+    salt_right = salted.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
+    ).select("doc_id", "band_idx", "band_key", "salt")
+    sl, sr = salt_left.alias("l"), salt_right.alias("r")
+    salted_pairs = sl.join(
+        sr,
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col("l.salt") == F.col("r.salt"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("a_id"),
+        F.col("r.doc_id").alias("b_id"),
+    )
+
+    pairs = plain_pairs.unionByName(salted_pairs).distinct()
     return pairs, oversized

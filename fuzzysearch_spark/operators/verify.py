@@ -36,6 +36,12 @@ class VerifyConfig:
     max_l_dist: int = 4
     rel_dist: float | None = None
     simhash_max_hamming: int | None = None
+    # candidate-id sets up to this size are broadcast for the content
+    # semi-join; above it the join falls back to a shuffle semi-join (the
+    # session's runtime bloom filter, on by default in Spark 3.3+, prunes the
+    # content scan side). ~2M longs is a few tens of MB serialized — well
+    # inside executor broadcast budgets, far outside driver-OOM territory.
+    broadcast_ids_max: int = 2_000_000
 
     def pair_cap(self, len_a: int, len_b: int) -> int:
         k = self.max_l_dist
@@ -110,25 +116,35 @@ def verify_pairs(
 
     surviving = p.select("a_id", "b_id")
 
-    # shuffle only candidate-pair contents: the broadcast id-set filter runs
-    # map-side over the corpus scan, so the (dominant) content bytes of
-    # non-candidate documents never enter the verify joins — at corpus scale
-    # candidates are a sliver of the corpus and this is the difference
-    # between shuffling gigabytes and shuffling everything. If the candidate
-    # id set ever outgrows broadcast size (extreme corpora), replace the hint
-    # with a runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter)
-    # rather than reverting to a full-corpus shuffle.
+    # shuffle only candidate-pair contents: the id-set semi-join keeps the
+    # (dominant) content bytes of non-candidate documents out of the verify
+    # joins — at corpus scale candidates are a sliver of the corpus and this
+    # is the difference between shuffling gigabytes and shuffling everything.
+    # The join strategy is size-gated: a small id set (the normal case) runs
+    # map-side as a broadcast over the corpus scan; an id set beyond
+    # cfg.broadcast_ids_max (dedup-heavy extreme corpora, where an
+    # unconditional broadcast would OOM the driver) falls back to a shuffle
+    # semi-join, which the session's runtime bloom filter
+    # (spark.sql.optimizer.runtime.bloomFilter.enabled) turns into a
+    # bloom-pruned scan of the content side.
     # derive the id set from the *input* pairs (checkpointed/cached by the
     # caller), not the filtered plan: a slightly larger superset, but no
-    # recomputation of the filter joins on a second traversal
+    # recomputation of the filter joins on a second traversal. The persist
+    # makes the gating count also materialize the ids, so the pairs plan is
+    # traversed once for the id set (ids are light: one long column).
     pair_ids = (
         pairs.select(F.col("a_id").alias("doc_id"))
         .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
+        .persist()
+    )
+    n_ids = pair_ids.count()
+    ids_for_join = (
+        F.broadcast(pair_ids) if n_ids <= cfg.broadcast_ids_max else pair_ids
     )
     contents = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("c"))
-        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
+        .join(ids_for_join, "doc_id", "left_semi")
     )
     with_content = (
         surviving

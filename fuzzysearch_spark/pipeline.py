@@ -49,11 +49,17 @@ class DedupConfig:
     resume-from-failure; 'memory' replaces the parquet round-trip with
     persist() + materialize — no resumability, used when measuring pure
     compute scaling (or for small interactive runs) where a shared local
-    disk would serialize stages that scalable cluster storage would not."""
+    disk would serialize stages that scalable cluster storage would not;
+    'eager' is 'memory' plus a count() barrier per stage, so the stage
+    metrics carry real per-stage wall times and row counts (used for
+    scaling-efficiency attribution — the barriers cost a little pipelining)."""
 
     signature: SignatureConfig = field(default_factory=SignatureConfig)
     verify: VerifyConfig = field(default_factory=VerifyConfig)
     max_bucket: int = 1000
+    # buckets up to salt_cap are salted (full pair set, spread over tasks);
+    # only buckets beyond it are excluded+reported. None = 50 * max_bucket.
+    salt_cap: int | None = None
     workdir: str = "/tmp/fuzzysearch_spark_work"
     resume: bool = True
     checkpoint_mode: str = "parquet"
@@ -85,14 +91,16 @@ class DedupPipeline:
 
     def _checkpoint(self, stage: str, df: DataFrame, **extras) -> DataFrame:
         t0 = time.time()
-        if self.cfg.checkpoint_mode == "memory":
+        if self.cfg.checkpoint_mode in ("memory", "eager"):
             # lazy persist: no count barrier, so consecutive stages pipeline
             # into one another and executors stay busy across stage seams;
-            # row counts are deferred (parquet mode carries full metrics)
+            # row counts are deferred (parquet mode carries full metrics).
+            # eager mode adds the barrier back to attribute wall time.
             out = df.persist()
+            rows = out.count() if self.cfg.checkpoint_mode == "eager" else None
             metrics = {
                 "stage": stage,
-                "rows": None,
+                "rows": rows,
                 "wall_sec": round(time.time() - t0, 3),
                 **extras,
             }
@@ -123,18 +131,33 @@ class DedupPipeline:
             json.dump(metrics, f, indent=2, sort_keys=True)
         return out
 
-    @staticmethod
-    def _partition_rows(path: str) -> list[tuple[int, int]]:
+    def _partition_rows(self, path: str) -> list[tuple[int, int]]:
         """Per-output-file row counts from parquet footers (driver-side
-        metadata reads — no second scan job over the checkpoint)."""
+        metadata reads — no second scan job over the checkpoint).
+
+        The footer fast path needs a driver-visible POSIX workdir; for
+        hdfs://, s3://, etc. it falls back to a Spark aggregation keyed on
+        input file, which works on any Spark-readable filesystem.
+        """
         import pyarrow.parquet as pq
 
-        files = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+        if os.path.isdir(path):
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            return [
+                (i, pq.ParquetFile(os.path.join(path, f)).metadata.num_rows)
+                for i, f in enumerate(files)
+            ]
+        rows = (
+            self.spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .count()
+            .collect()
         )
         return [
-            (i, pq.ParquetFile(os.path.join(path, f)).metadata.num_rows)
-            for i, f in enumerate(files)
+            (i, int(r["count"]))
+            for i, r in enumerate(sorted(rows, key=lambda r: r["f"]))
         ]
 
     def _load_or(self, stage: str, compute) -> DataFrame:
@@ -213,13 +236,14 @@ class DedupPipeline:
                 exact.where("is_representative").select("doc_id"), "doc_id"
             )
             pairs, oversized = lsh_candidate_pairs(
-                reps, max_bucket=self.cfg.max_bucket
+                reps, max_bucket=self.cfg.max_bucket, salt_cap=self.cfg.salt_cap
             )
             skew = [
                 {
                     "band_idx": int(r["band_idx"]),
                     "band_key": int(r["band_key"]),
                     "bucket_size": int(r["bucket_size"]),
+                    "action": r["action"],
                 }
                 for r in oversized.collect()
             ]
@@ -249,15 +273,25 @@ class DedupPipeline:
             assignments = connected_components(edges)
             # input_hint invariant, checked map-side over the ingest scan —
             # content never enters the cluster join (the output carries the
-            # sha256 lineage column; content re-attaches by doc_id on demand)
-            mismatches = docs.where(
-                F.sha2("content", 256) != F.col("sha256")
-            ).count()
+            # sha256 lineage column; content re-attaches by doc_id on demand).
+            # Only meaningful when docs round-tripped through the parquet
+            # checkpoint: in memory/eager mode sha256 is recomputed from
+            # content inside the same plan that derived it, so the comparison
+            # is vacuously equal — flag it not-applicable rather than report
+            # a check that verified nothing.
+            extras: dict = {}
+            if self.cfg.checkpoint_mode == "parquet":
+                mismatches = docs.where(
+                    F.sha2("content", 256) != F.col("sha256")
+                ).count()
+                extras["sha256_mismatches"] = int(mismatches)
+            else:
+                extras["sha256_check"] = "not_applicable_no_storage_roundtrip"
             out = attach_clusters(
                 docs.select("doc_id", "repo", "path", "commit", "lang", "sha256"),
                 assignments,
             )
-            return out, {"sha256_mismatches": int(mismatches)}
+            return out, extras
 
         return self._load_or("s5_clusters", compute)
 

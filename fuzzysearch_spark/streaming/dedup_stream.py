@@ -28,20 +28,55 @@ def streaming_exact_dedup(
     ts_col: str = "ts",
     text_col: str = "text",
     watermark: str = "10 minutes",
+    window: str = "10 minutes",
 ) -> DataFrame:
-    """Per-fingerprint occurrence counts within the watermark horizon.
+    """Per-fingerprint occurrence counts per event-time window.
 
-    Output rows (update mode): (fingerprint, n_seen, first_ts) — a sink can
-    drop rows whose fingerprint count > 1. State is bounded by the watermark:
-    late data beyond the horizon no longer grows state (the streaming analog
-    of the reference's bounded chunk-overlap carry).
+    Output rows: (fingerprint, window_start, window_end, n_seen, first_ts) —
+    a sink can drop rows whose fingerprint count > 1 within the window.
+
+    State is genuinely bounded: because the aggregation key includes an
+    event-time window, the watermark finalizes and EVICTS window state once
+    max(event time) - watermark passes the window end (a groupBy keyed on
+    fingerprint alone would accumulate state forever — the watermark does
+    not evict non-windowed aggregation state). Eviction is pinned by
+    tests/test_extras.py::test_streaming_state_eviction. For keep-first
+    dedup across windows, see ``streaming_keep_first``.
     """
     fp = streaming_fingerprints(stream, text_col)
     return (
         fp.withWatermark(ts_col, watermark)
-        .groupBy("fingerprint")
+        .groupBy(F.window(ts_col, window).alias("win"), F.col("fingerprint"))
         .agg(
             F.count("*").alias("n_seen"),
             F.min(ts_col).alias("first_ts"),
         )
+        .select(
+            "fingerprint",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_seen",
+            "first_ts",
+        )
+    )
+
+
+def streaming_keep_first(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Keep the first occurrence of each fingerprint; drop re-occurrences
+    arriving within the watermark horizon of the first.
+
+    ``dropDuplicatesWithinWatermark`` stores one state row per distinct
+    fingerprint and expires it once the watermark passes the stored event
+    time + delay — bounded state without windowing the output (the streaming
+    analog of the reference's bounded chunk-overlap carry,
+    /root/reference/src/fuzzysearch/__init__.py:129-171).
+    """
+    fp = streaming_fingerprints(stream, text_col)
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
     )

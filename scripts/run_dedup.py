@@ -35,24 +35,30 @@ import sys
 
 
 def main() -> None:
+    from fuzzysearch_spark.functions.signatures import SignatureConfig
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    # CLI defaults come straight from the library dataclasses so the
+    # spark-submit path can never drift into a degraded geometry (e.g. a
+    # rows-per-band too small for the corpus, which explodes candidates)
+    sig_defaults = SignatureConfig()
+    dedup_defaults = DedupConfig()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--max-l-dist", type=int, default=4)
     ap.add_argument("--rel-dist", type=float, default=None)
-    ap.add_argument("--max-bucket", type=int, default=1000)
-    ap.add_argument("--shingle-k", type=int, default=8)
-    ap.add_argument("--n-hashes", type=int, default=128)
-    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--max-bucket", type=int, default=dedup_defaults.max_bucket)
+    ap.add_argument("--shingle-k", type=int, default=sig_defaults.shingle_k)
+    ap.add_argument("--n-hashes", type=int, default=sig_defaults.n_hashes)
+    ap.add_argument("--bands", type=int, default=sig_defaults.bands)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-
-    from fuzzysearch_spark.functions.signatures import SignatureConfig
-    from fuzzysearch_spark.operators.verify import VerifyConfig
-    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
 
     spark = SparkSession.builder.appName("fuzzysearch-spark-dedup").getOrCreate()
 

@@ -193,3 +193,92 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert sorted(got.values()) == [1, 1, 3]
+
+
+def _write_ts_parquet(path, ts_strings, texts):
+    import pandas as pd
+
+    pd.DataFrame(
+        {"ts": pd.to_datetime(ts_strings), "text": texts}
+    ).to_parquet(path, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
+def test_streaming_state_eviction(spark, tmp_path):
+    """The watermark must EVICT window state once it passes a window's end —
+    the docstring's bounded-state claim, pinned against the state-store
+    metrics rather than asserted."""
+    src = tmp_path / "evict_src"
+    src.mkdir()
+    _write_ts_parquet(
+        src / "f1.parquet",
+        ["2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00"],
+        ["aaa", "bbb", "aaa"],
+    )
+
+    from fuzzysearch_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_exact_dedup(stream, watermark="10 minutes", window="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far past window [00:00, 00:10) + watermark
+        _write_ts_parquet(src / "f2.parquet", ["2026-01-01 01:00:00"], ["ccc"])
+        q.processAllAvailable()
+        # one more batch so the updated watermark is applied for eviction
+        _write_ts_parquet(src / "f3.parquet", ["2026-01-01 01:01:00"], ["ddd"])
+        q.processAllAvailable()
+        removed = 0
+        totals = []
+        for p in q.recentProgress:
+            for op in p["stateOperators"]:
+                removed += op.get("numRowsRemoved", 0) or 0
+                totals.append(op.get("numRowsTotal"))
+        assert removed > 0, f"no state rows evicted; totals per batch: {totals}"
+    finally:
+        q.stop()
+
+
+def test_streaming_keep_first(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps first occurrences only."""
+    src = tmp_path / "keepfirst_src"
+    src.mkdir()
+    _write_ts_parquet(
+        src / "f1.parquet",
+        ["2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00",
+         "2026-01-01 00:03:00"],
+        ["aaa", "bbb", "aaa", "aaa"],
+    )
+
+    from fuzzysearch_spark.streaming.dedup_stream import streaming_keep_first
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_keep_first(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("keepfirst_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT text FROM keepfirst_sink").collect()
+        assert sorted(r["text"] for r in rows) == ["aaa", "bbb"]
+    finally:
+        q.stop()

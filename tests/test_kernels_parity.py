@@ -246,8 +246,14 @@ def test_dispatch_randomized(reference, seed):
     ref = find_near_matches(needle, hay, s, i, d, t)
     mine = find_matches(needle, hay, s, i, d, t)
     assert_consolidation_equivalent(mine, ref)
-    assert keyset(mine) <= keyset(ref) or keyset(ref) <= keyset(mine) or True
-    assert sorted(m.start for m in mine) is not None
+    # exact keyset equality can legitimately differ on which of several tied
+    # candidates a group's representative is (set-iteration order in the
+    # reference's pick-best), so the tie-aware check above is the parity
+    # assertion; what must hold unconditionally is that every reported span
+    # is a genuine haystack slice
+    for m in mine:
+        assert 0 <= m.start <= m.end <= len(hay)
+        assert m.matched == hay[m.start:m.end]
 
 
 @pytest.mark.parametrize("seed", range(20))

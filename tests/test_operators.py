@@ -125,15 +125,74 @@ def test_lsh_bucket_cap_reports_skew(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "content"])
     with_bands = add_minhash_bands(docs, cfg)
 
+    all_dup_pairs = {(a, b) for a in range(12) for b in range(12) if a < b}
+
+    # oversized-but-saltable buckets: full pair set survives via salting
     pairs, oversized = lsh_candidate_pairs(with_bands, max_bucket=5)
     over = oversized.collect()
     assert len(over) >= 4  # the identical-doc bucket in each band
     assert all(r["bucket_size"] == 12 for r in over)
+    assert all(r["action"] == "salted" for r in over)
     got_pairs = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
-    # capped buckets excluded: no pairs among the identical docs
-    assert not any(a < 100 and b < 100 for a, b in got_pairs)
+    assert all_dup_pairs <= got_pairs  # recall 1.0 despite bucket > max
+
+    # beyond salt_cap: excluded AND reported (never silently dropped)
+    pairs_x, oversized_x = lsh_candidate_pairs(
+        with_bands, max_bucket=5, salt_cap=10
+    )
+    assert all(r["action"] == "excluded" for r in oversized_x.collect())
+    got_x = {(r["a_id"], r["b_id"]) for r in pairs_x.collect()}
+    assert not any(a < 100 and b < 100 for a, b in got_x)
 
     pairs2, oversized2 = lsh_candidate_pairs(with_bands, max_bucket=100)
     assert oversized2.count() == 0
     got2 = {(r["a_id"], r["b_id"]) for r in pairs2.collect()}
-    assert {(a, b) for a in range(12) for b in range(12) if a < b} <= got2
+    assert all_dup_pairs <= got2
+
+
+def test_lsh_salting_planted_recall(spark):
+    """A true dup pair living ONLY in a >max_bucket bucket must still be
+    found (the round-1 cap dropped it); salting keeps recall 1.0 and work
+    spread across salt groups."""
+    # constructed band table: 20 docs share band (0, key=42) and nothing
+    # else; docs 0 and 1 are the planted true pair, only discoverable there
+    rows = [(i, [42, 1000 + i]) for i in range(20)]
+    docs_with_bands = spark.createDataFrame(rows, ["doc_id", "bands"])
+
+    pairs, report = lsh_candidate_pairs(docs_with_bands, max_bucket=5)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    expected = {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert got == expected  # all 190 bucket pairs, planted (0, 1) included
+    rep = report.collect()
+    assert [(r["bucket_size"], r["action"]) for r in rep] == [(20, "salted")]
+
+
+def test_verify_pairs_shuffle_semi_join_path(spark):
+    """Forcing the id set over broadcast_ids_max must give identical results
+    through the shuffle semi-join fallback."""
+    from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content here, nothing shared"),
+            (4, "the quick brown fox jumped over the lazy dog"),
+        ],
+        ["doc_id", "content"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 4)], ["a_id", "b_id"]
+    )
+
+    broadcast_cfg = VerifyConfig(max_l_dist=4)
+    shuffle_cfg = VerifyConfig(max_l_dist=4, broadcast_ids_max=0)
+    got_b = sorted(
+        map(tuple, verify_pairs(pairs, docs, broadcast_cfg).collect())
+    )
+    got_s = sorted(
+        map(tuple, verify_pairs(pairs, docs, shuffle_cfg).collect())
+    )
+    assert got_b == got_s
+    # dog->cat = 3 subs; jumps->jumped = 1 sub + 1 ins; (2,4) is 5 > cap
+    assert got_b == [(1, 2, 3), (1, 4, 2)]

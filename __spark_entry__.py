@@ -173,6 +173,30 @@ def q_find_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_near_matches_df(docs, "value table part", max_l_dist=1)
 
 
+def q_find_near_matches_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked long-content search (D3+D5): content sliced into overlapping
+    512-char chunk rows, searched, rebased, globally consolidated. Equality
+    with the unchunked path is pytest-pinned (tests/test_chunked.py); the
+    driver records rows."""
+    from fuzzysearch_spark.operators.substring import find_near_matches_long_df
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return find_near_matches_long_df(
+        docs, "value table part", max_l_dist=1, chunk_size=512
+    )
+
+
+def q_find_exact_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked scan with the exact kernel (E1 over the D3 chunker) — every
+    occurrence of a fixed needle; DuckDB oracle scans positions directly."""
+    from fuzzysearch_spark.operators.substring import find_near_matches_long_df
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return find_near_matches_long_df(
+        docs, " data ", max_l_dist=0, chunk_size=256
+    )
+
+
 def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor per embedding vector."""
     from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce
@@ -359,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "containment_pairs": q_containment_pairs,
         "find_near_matches": q_find_near_matches,
+        "find_near_matches_chunked": q_find_near_matches_chunked,
+        "find_exact_matches": q_find_exact_matches,
         "cosine_top1": q_cosine_top1,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_top1": q_ann_lsh_top1,
@@ -438,6 +464,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, MIN(lbl) AS cluster_id
             FROM walk GROUP BY doc_id
+        """,
+        "find_exact_matches": """
+            SELECT doc_id,
+                   CAST(i - 1 AS INT) AS start,
+                   CAST(i - 1 + 6 AS INT) AS "end",
+                   CAST(0 AS INT) AS dist
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - 6 + 2, 1))) AS t(i)
+            WHERE substr(text, CAST(i AS INT), 6) = ' data '
         """,
         "cosine_top1": """
             SELECT a.vec_id,

@@ -32,3 +32,7 @@ __version__ = "0.1.0"
 from fuzzysearch_spark.match import Match, consolidate  # noqa: F401
 from fuzzysearch_spark.params import SearchParams, UNLIMITED  # noqa: F401
 from fuzzysearch_spark.kernels.dispatch import find_matches  # noqa: F401
+from fuzzysearch_spark.kernels.chunked import (  # noqa: F401
+    find_near_matches_chunked,
+    find_near_matches_in_file,
+)

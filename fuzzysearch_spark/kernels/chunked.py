@@ -1,0 +1,143 @@
+"""Chunked long-content search — the engine's ``find_near_matches_in_file``.
+
+Mirrors the reference's chunked scan with overlap carry-over
+(/root/reference/src/fuzzysearch/__init__.py:86-200): read fixed-size
+chunks, keep the last ``len(needle) - 1 + extra_items_for_chunked_search``
+items of each chunk glued onto the next, search each chunk with the
+*unconsolidated* kernel, rebase match offsets by the chunk's global offset,
+and consolidate once, globally, at the end — so matches spanning a chunk
+boundary are found in the overlap and duplicates from the overlap collapse
+in consolidation.
+
+Per-kernel overlap sizing (D5) mirrors the reference class methods:
+exact → 0 (search_exact.py:87-89), substitutions-only → 0
+(substitutions_only.py:299-301), Levenshtein → ``max_l_dist``
+(levenshtein.py:162-164), generic → ``max(max_l_dist, max_insertions)``
+(generic_search.py:267-273).
+
+The distributed form (operators/substring.py::find_near_matches_long_df)
+reuses ``raw_search``/``consolidate_for_kernel`` but slices the content
+into overlapping chunk *rows* JVM-side, so one multi-GB document becomes
+many bounded tasks instead of one giant Arrow batch.
+"""
+
+from __future__ import annotations
+
+import io
+
+from fuzzysearch_spark.kernels.budgeted import budgeted_search
+from fuzzysearch_spark.kernels.dispatch import (
+    KERNEL_EXACT,
+    KERNEL_GENERIC,
+    KERNEL_LEV,
+    KERNEL_SUBS,
+    pick_kernel,
+)
+from fuzzysearch_spark.kernels.exact import exact_find
+from fuzzysearch_spark.kernels.lev import lev_search
+from fuzzysearch_spark.kernels.subs import subs_search
+from fuzzysearch_spark.match import Match, consolidate
+from fuzzysearch_spark.params import SearchParams
+
+
+def extra_items_for_chunked_search(params: SearchParams) -> int:
+    """Overlap items beyond ``len(needle) - 1`` required by the kernel (D5)."""
+    kernel = pick_kernel(params)
+    if kernel in (KERNEL_EXACT, KERNEL_SUBS):
+        return 0
+    if kernel == KERNEL_LEV:
+        return params.max_l_dist
+    # generic: params are normalized, so both values are ints
+    return max(params.max_l_dist, params.max_insertions)
+
+
+def chunk_overlap(needle, params: SearchParams) -> int:
+    """Total kept-item count between consecutive chunks."""
+    return len(needle) - 1 + extra_items_for_chunked_search(params)
+
+
+def raw_search(needle, hay, params: SearchParams) -> list[Match]:
+    """Unconsolidated kernel output — the per-chunk search step."""
+    kernel = pick_kernel(params)
+    if kernel == KERNEL_EXACT:
+        m = len(needle)
+        return [Match(i, i + m, 0, hay[i:i + m]) for i in exact_find(needle, hay)]
+    if kernel == KERNEL_SUBS:
+        cap = min(params.max_l_dist, params.max_substitutions)
+        return list(subs_search(needle, hay, cap))
+    if kernel == KERNEL_LEV:
+        return list(lev_search(needle, hay, params.max_l_dist))
+    return list(budgeted_search(needle, hay, params))
+
+
+def consolidate_for_kernel(kernel: str, matches: list[Match]) -> list[Match]:
+    """The kernel's global consolidation: listify for exact/subs (their
+    fixed-length matches cannot duplicate across the overlap), overlap
+    consolidation for levenshtein/generic."""
+    if kernel in (KERNEL_EXACT, KERNEL_SUBS):
+        return sorted(matches)
+    return consolidate(matches)
+
+
+def iter_chunk_matches(needle, fileobj, params: SearchParams, chunk_size: int):
+    """Yield rebased raw matches chunk by chunk (ref __init__.py:174-200).
+
+    Works for text and binary file objects alike: ``read`` returns str or
+    bytes and the keep-splice concatenation preserves the type.
+    """
+    if not needle:
+        raise ValueError("subsequence must not be empty")
+    keep = chunk_overlap(needle, params)
+    chunk = fileobj.read(chunk_size)
+    offset = 0
+    while chunk:
+        for m in raw_search(needle, chunk, params):
+            yield Match(m.start + offset, m.end + offset, m.dist, m.matched)
+        n_keep = min(keep, len(chunk))
+        offset += len(chunk) - n_keep
+        if n_keep:
+            chunk = chunk[-n_keep:] + fileobj.read(chunk_size)
+            if len(chunk) == n_keep:
+                break
+        else:
+            chunk = fileobj.read(chunk_size)
+
+
+def find_near_matches_in_file(
+    needle,
+    fileobj,
+    max_substitutions: int | None = None,
+    max_insertions: int | None = None,
+    max_deletions: int | None = None,
+    max_l_dist: int | None = None,
+    _chunk_size: int = 2 ** 20,
+) -> list[Match]:
+    """Search a file handle for near-matches of ``needle`` (D3)."""
+    params = SearchParams(
+        max_substitutions, max_insertions, max_deletions, max_l_dist
+    )
+    kernel = pick_kernel(params)
+    raw = iter_chunk_matches(needle, fileobj, params, _chunk_size)
+    return consolidate_for_kernel(kernel, list(raw))
+
+
+def find_near_matches_chunked(
+    needle,
+    sequence,
+    max_substitutions: int | None = None,
+    max_insertions: int | None = None,
+    max_deletions: int | None = None,
+    max_l_dist: int | None = None,
+    chunk_size: int = 2 ** 20,
+) -> list[Match]:
+    """In-memory chunked search: identical semantics to the file form."""
+    buf = io.StringIO(sequence) if isinstance(sequence, str) else io.BytesIO(sequence)
+    return find_near_matches_in_file(
+        needle,
+        buf,
+        max_substitutions,
+        max_insertions,
+        max_deletions,
+        max_l_dist,
+        _chunk_size=chunk_size,
+    )

@@ -196,6 +196,132 @@ def containment_pairs(
     )
 
 
+def find_near_matches_long_df(
+    docs: DataFrame,
+    needle: str,
+    max_substitutions: int | None = None,
+    max_insertions: int | None = None,
+    max_deletions: int | None = None,
+    max_l_dist: int | None = None,
+    chunk_size: int = 2 ** 20,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Chunked distributed ``find_near_matches`` for long content (D3+D5).
+
+    The distributed restatement of the reference's chunked file scan
+    (/root/reference/src/fuzzysearch/__init__.py:86-200): content is sliced
+    JVM-side into overlapping chunk ROWS (overlap = ``len(needle) - 1 +
+    extra_items_for_chunked_search``), so a multi-MB document becomes many
+    bounded-size Arrow batches searched across the cluster instead of one
+    giant batch on one core. Chunk matches are rebased to global offsets
+    JVM-side; per-document consolidation happens once, globally, exactly as
+    the reference consolidates its chunk generator (__init__.py:126).
+
+    Output: (doc_id, start, end, dist), identical to ``find_near_matches_df``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from fuzzysearch_spark.kernels.chunked import (
+        chunk_overlap,
+        consolidate_for_kernel,
+        raw_search,
+    )
+    from fuzzysearch_spark.kernels.dispatch import (
+        KERNEL_EXACT,
+        KERNEL_SUBS,
+        pick_kernel,
+    )
+    from fuzzysearch_spark.match import Match
+    from fuzzysearch_spark.params import SearchParams
+
+    params = SearchParams(
+        max_substitutions, max_insertions, max_deletions, max_l_dist
+    )
+    kernel = pick_kernel(params)
+    keep = chunk_overlap(needle, params)
+    if chunk_size <= keep:
+        raise ValueError(
+            f"chunk_size ({chunk_size}) must exceed the overlap ({keep})"
+        )
+    step = chunk_size - keep
+
+    # JVM-side slicing: consecutive chunks [s, s+chunk_size) at stride
+    # `step` overlap by exactly `keep` items — matches spanning a boundary
+    # are whole in the next chunk, mirroring the reference's keep-splice
+    c = F.col(content_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(c) - F.lit(1), F.lit(0)), F.lit(step)
+    )
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(starts).alias("chunk_start"),
+        c.alias("__content"),
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.col("__content").substr(F.col("chunk_start") + 1, F.lit(chunk_size)).alias("chunk"),
+    )
+
+    @pandas_udf("array<struct<start:int,end:int,dist:int,matched:string>>")
+    def _search_raw(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            yield pd.Series(
+                [
+                    [
+                        (m.start, m.end, m.dist, m.matched)
+                        for m in raw_search(needle, s or "", params)
+                    ]
+                    for s in series
+                ]
+            )
+
+    rebased = (
+        chunks.select(
+            "doc_id", "chunk_start", F.explode(_search_raw("chunk")).alias("m")
+        )
+        .select(
+            "doc_id",
+            (F.col("m.start") + F.col("chunk_start")).cast("int").alias("start"),
+            (F.col("m.end") + F.col("chunk_start")).cast("int").alias("end"),
+            F.col("m.dist").alias("dist"),
+            F.col("m.matched").alias("matched"),
+        )
+    )
+
+    if kernel in (KERNEL_EXACT, KERNEL_SUBS):
+        # fixed-length matches cannot duplicate across the keep-overlap
+        # (match length > keep), so listify consolidation needs no regroup
+        return rebased.select("doc_id", "start", "end", "dist")
+
+    # levenshtein/generic: global per-document overlap consolidation
+    grouped = rebased.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start", "end", "dist", "matched")).alias("ms")
+    )
+
+    @pandas_udf("array<struct<start:int,end:int,dist:int>>")
+    def _consolidate(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            out = []
+            for arr in series:
+                ms = [
+                    Match(r["start"], r["end"], r["dist"], r["matched"])
+                    for r in arr
+                ]
+                out.append(
+                    [
+                        (m.start, m.end, m.dist)
+                        for m in consolidate_for_kernel(kernel, ms)
+                    ]
+                )
+            yield pd.Series(out)
+
+    return (
+        grouped.select("doc_id", F.explode(_consolidate("ms")).alias("m"))
+        .select("doc_id", "m.start", "m.end", "m.dist")
+    )
+
+
 def find_near_matches_df(
     docs: DataFrame,
     needle: str,

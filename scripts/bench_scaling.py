@@ -162,15 +162,12 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
     n_out = out.count()
     wall = time.time() - t0
     spark.stop()
-    if os.environ.get("SCALING_STAGE_DETAIL"):
-        import glob
+    stages = {}
+    import glob
 
-        for f in sorted(glob.glob(os.path.join(workdir, "metrics", "*.json"))):
-            m = json.load(open(f))
-            print(
-                f"  {m['stage']}: rows={m.get('rows')} parts={m.get('partitions')} wall={m['wall_sec']}",
-                file=sys.stderr,
-            )
+    for f in sorted(glob.glob(os.path.join(workdir, "metrics", "*.json"))):
+        m = json.load(open(f))
+        stages[m["stage"]] = m["wall_sec"]
     print(
         json.dumps(
             {
@@ -180,6 +177,7 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
                 "n_out": n_out,
                 "files_per_sec": round(n_files / wall, 2),
                 "checkpoint_mode": mode,
+                "stages": stages,
             }
         )
     )
@@ -234,6 +232,15 @@ def main() -> None:
         "n_files": results[lo]["n_files"],
         "runs": {f"local[{c}]": results[c] for c in CPU_LEVELS},
     }
+    # per-stage efficiency attribution (eager checkpoint mode fills stages)
+    lo_st = results[lo].get("stages") or {}
+    hi_st = results[hi].get("stages") or {}
+    if lo_st and hi_st:
+        summary["stage_efficiency"] = {
+            s: round((lo_st[s] / hi_st[s]) / (hi / lo), 4)
+            for s in lo_st
+            if hi_st.get(s)
+        }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -1,0 +1,216 @@
+"""Chunked long-content search (D3+D5): parity vs the reference's
+find_near_matches_in_file across chunk-size × boundary-offset sweeps
+(mirroring /root/reference/tests/test_find_near_matches_in_file.py:73-118),
+plus distributed-vs-local equivalence."""
+
+from __future__ import annotations
+
+import io
+import random
+from itertools import product
+
+import pytest
+
+from fuzzysearch_spark.kernels.chunked import (
+    extra_items_for_chunked_search,
+    find_near_matches_chunked,
+    find_near_matches_in_file,
+)
+from fuzzysearch_spark.kernels.dispatch import find_matches
+from fuzzysearch_spark.params import SearchParams
+
+
+def keyset(matches):
+    return {(m.start, m.end, m.dist) for m in matches}
+
+
+def tie_aware_equal(mine, ref):
+    assert len(mine) == len(ref)
+    assert sorted((m.dist, m.end - m.start) for m in mine) == sorted(
+        (m.dist, m.end - m.start) for m in ref
+    )
+
+
+# --- D5: overlap sizing parity ----------------------------------------------
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(max_l_dist=0),
+        dict(max_substitutions=2, max_insertions=0, max_deletions=0),
+        dict(max_l_dist=2, max_substitutions=3, max_insertions=3, max_deletions=3),
+        dict(max_substitutions=1, max_insertions=2, max_deletions=1),
+        dict(max_l_dist=3),
+    ],
+)
+def test_extra_items_parity(reference, kwargs):
+    from fuzzysearch import LevenshteinSearchParams
+    from fuzzysearch import choose_search_class
+
+    ref_params = LevenshteinSearchParams(
+        kwargs.get("max_substitutions"),
+        kwargs.get("max_insertions"),
+        kwargs.get("max_deletions"),
+        kwargs.get("max_l_dist"),
+    )
+    ref_cls = choose_search_class(ref_params)
+    needle = "PATTERN"
+    assert extra_items_for_chunked_search(SearchParams(**kwargs)) == (
+        ref_cls.extra_items_for_chunked_search(needle, ref_params)
+    )
+
+
+# --- D3: boundary sweep parity (reference test table) -----------------------
+
+@pytest.mark.parametrize(
+    "needle,planted,max_l_dist,n_expected",
+    [
+        ("PATTERN", "PATERN", 0, 0),
+        ("PATTERN", "PATERN", 1, 1),
+        ("PATTERN", "PATERN", 2, 1),
+        ("PATTERN", "PATTERN", 0, 1),
+    ],
+)
+def test_boundary_sweep_vs_reference(reference, needle, planted, max_l_dist, n_expected):
+    from fuzzysearch import find_near_matches_in_file as ref_in_file
+
+    for chunk_size, delta in product(
+        [100, 128, 1024],
+        sorted({-len(needle), -len(needle) + 1, -4, -2, -1, 0, 1}),
+    ):
+        hay = bytearray(b"-" * (chunk_size + 100))
+        pos = chunk_size + delta
+        hay[pos:pos + len(planted)] = planted.encode()
+        text = hay.decode()
+
+        mine = find_near_matches_in_file(
+            needle, io.StringIO(text), max_l_dist=max_l_dist,
+            _chunk_size=chunk_size,
+        )
+        ref = ref_in_file(
+            needle, io.StringIO(text), max_l_dist=max_l_dist,
+            _chunk_size=chunk_size,
+        )
+        assert keyset(mine) == keyset(ref), (chunk_size, delta)
+        assert len(mine) == n_expected == len(ref), (chunk_size, delta)
+        # binary path too
+        mine_b = find_near_matches_in_file(
+            needle.encode(), io.BytesIO(bytes(hay)), max_l_dist=max_l_dist,
+            _chunk_size=chunk_size,
+        )
+        ref_b = ref_in_file(
+            needle.encode(), io.BytesIO(bytes(hay)), max_l_dist=max_l_dist,
+            _chunk_size=chunk_size,
+        )
+        assert keyset(mine_b) == keyset(ref_b), (chunk_size, delta)
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_randomized_in_file_parity(reference, seed):
+    """Random haystacks/params/chunk sizes vs the reference file search."""
+    from fuzzysearch import find_near_matches_in_file as ref_in_file
+
+    rng = random.Random(97531 + seed)
+    alpha = rng.choice(["ab", "abcd", "ACGT"])
+    needle = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 12)))
+    hay = "".join(rng.choice(alpha) for _ in range(rng.randint(50, 600)))
+    kwargs = rng.choice(
+        [
+            dict(max_l_dist=0),
+            dict(max_l_dist=1),
+            dict(max_l_dist=2),
+            dict(max_substitutions=1, max_insertions=0, max_deletions=0),
+            dict(max_substitutions=1, max_insertions=1, max_deletions=1),
+            dict(max_l_dist=1, max_substitutions=2, max_insertions=2, max_deletions=2),
+        ]
+    )
+    chunk_size = rng.choice([16, 32, 64, 128])
+    overlap = len(needle) - 1 + extra_items_for_chunked_search(
+        SearchParams(**kwargs)
+    )
+    if chunk_size <= overlap:
+        chunk_size = overlap + rng.randint(1, 16)
+
+    mine = find_near_matches_chunked(needle, hay, chunk_size=chunk_size, **kwargs)
+    ref = ref_in_file(needle, io.StringIO(hay), _chunk_size=chunk_size, **kwargs)
+    tie_aware_equal(mine, ref)
+
+    # chunked must also agree with the engine's own unchunked search
+    whole = find_matches(needle, hay, **kwargs)
+    tie_aware_equal(mine, whole)
+
+
+def test_empty_needle_raises():
+    with pytest.raises(ValueError):
+        find_near_matches_chunked("", "haystack", max_l_dist=1, chunk_size=16)
+
+
+def test_chunk_smaller_than_overlap_still_correct():
+    """The in-file loop handles chunk sizes at/below the overlap by splicing
+    (the reference does the same); only the distributed slicer requires
+    chunk_size > overlap."""
+    mine = find_near_matches_chunked("PATTERN", "--PATERN--", max_l_dist=1, chunk_size=4)
+    assert keyset(mine) == {(2, 8, 1)}
+
+
+# --- distributed form -------------------------------------------------------
+
+def test_long_df_matches_local_chunked(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fuzzysearch_spark.operators.substring import (
+        find_near_matches_df,
+        find_near_matches_long_df,
+    )
+
+    rng = random.Random(11)
+    needle = "needleXYZ"
+    docs = []
+    for doc_id in range(8):
+        n = rng.randint(200, 3000)
+        text = "".join(rng.choice("abcdef ") for _ in range(n))
+        # plant: one exact, one 1-sub hit, one straddling a 512-chunk boundary
+        text = text[:50] + needle + text[50 + len(needle):]
+        text = text[:150] + "needleXYq" + text[150 + len(needle):]
+        if n > 1100:
+            text = text[:508] + needle + text[508 + len(needle):]
+        docs.append((doc_id, text))
+    df = spark.createDataFrame(docs, ["doc_id", "content"])
+
+    got = find_near_matches_long_df(
+        df, needle, max_l_dist=1, chunk_size=512
+    ).collect()
+    got_set = {(r["doc_id"], r["start"], r["end"], r["dist"]) for r in got}
+
+    expected = set()
+    for doc_id, text in docs:
+        for m in find_near_matches_chunked(needle, text, max_l_dist=1, chunk_size=512):
+            expected.add((doc_id, m.start, m.end, m.dist))
+    assert got_set == expected
+
+    # and the chunked distributed output equals the unchunked distributed one
+    whole = find_near_matches_df(df, needle, max_l_dist=1).collect()
+    whole_set = {(r["doc_id"], r["start"], r["end"], r["dist"]) for r in whole}
+    assert got_set == whole_set
+
+
+def test_long_df_exact_kernel(spark):
+    from fuzzysearch_spark.operators.substring import find_near_matches_long_df
+
+    text = ("ab" * 300) + "TARGET" + ("cd" * 300) + "TARGET" + "x" * 10
+    df = spark.createDataFrame([(1, text)], ["doc_id", "content"])
+    got = sorted(
+        (r["start"], r["end"], r["dist"])
+        for r in find_near_matches_long_df(
+            df, "TARGET", max_l_dist=0, chunk_size=128
+        ).collect()
+    )
+    assert got == [(600, 606, 0), (1206, 1212, 0)]
+
+
+def test_long_df_rejects_tiny_chunks(spark):
+    from fuzzysearch_spark.operators.substring import find_near_matches_long_df
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "content"])
+    with pytest.raises(ValueError):
+        find_near_matches_long_df(df, "needle", max_l_dist=2, chunk_size=7)

@@ -142,6 +142,26 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth pairs (12-gram Jaccard >= 0.7) that MinHash-LSH candidate
+    generation MISSED. Expected empty at the default 256x16 geometry; the
+    oracle pins emptiness, so LSH recall over ground truth is a
+    hash-checked invariant in CORRECTNESS, not just a row count."""
+    from fuzzysearch_spark.functions.signatures import SignatureConfig
+    from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
+    from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7)
+    with_bands = add_minhash_bands(
+        docs.select("doc_id", F.col("text").alias("content")), SignatureConfig()
+    )
+    cands, _ = lsh_candidate_pairs(with_bands)
+    return truth.select("a_id", "b_id").join(
+        cands, ["a_id", "b_id"], "left_anti"
+    )
+
+
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming<=3 pairs via pigeonhole sub-band join (S2 analog)."""
     from fuzzysearch_spark.functions.signatures import simhash_udf
@@ -215,16 +235,24 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, min_cosine=0.4)
 
 
+# embeddings tables carry dim-64 vectors at every SF (TESTDATA.md); a real
+# deployment reads this from table metadata, never from a driver-side
+# `.first()` over the data
+EMB_DIM = 64
+ANN_PLANES = 8
+ANN_SEED = 7
+
+
 def q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate nearest neighbor (no oracle; pytest
-    measures recall vs brute force)."""
+    """Hyperplane-LSH approximate nearest neighbor with Hamming-1
+    multi-probe: candidates = sign signatures differing in <= 1 bit.
+    Oracle mirrors the exact same semantics with literal planes."""
     from fuzzysearch_spark.operators.ann import cosine_topk_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return cosine_topk_lsh(emb, dim=dim, k=1, n_planes=8).select(
-        "vec_id", "neighbor_id", "cosine"
-    )
+    return cosine_topk_lsh(
+        emb, dim=EMB_DIM, k=1, n_planes=ANN_PLANES, seed=ANN_SEED, round_to=4
+    ).select("vec_id", "neighbor_id", "cosine")
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "lsh_recall_audit": q_lsh_recall_audit,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "containment_pairs": q_containment_pairs,
         "find_near_matches": q_find_near_matches,
@@ -426,6 +455,41 @@ jac AS (
 _JACCARD_CTE = "WITH " + _JACCARD_BODY
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB mirror of q_ann_lsh_top1: identical literal hyperplanes,
+    identical multi-probe semantics (bit_count(xor) <= 1 == home-or-
+    Hamming-1-bucket candidates), identical rounding and tie-break."""
+    from fuzzysearch_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, ANN_PLANES, ANN_SEED)
+    bucket_terms = "\n                 + ".join(
+        "(CASE WHEN list_dot_product(vec, ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, vec,
+                 {bucket_terms} AS bucket
+          FROM v
+        )
+        SELECT a.vec_id,
+               b2.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(a.vec, b2.vec), 4) AS cosine
+        FROM b a JOIN b b2
+          ON a.vec_id != b2.vec_id
+         AND bit_count(xor(a.bucket, b2.bucket)) <= 1
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY ROUND(list_cosine_similarity(a.vec, b2.vec), 4) DESC,
+                     b2.vec_id ASC) = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_clusters": """
@@ -435,6 +499,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_CTE
         + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.7",
+        # emptiness pin: every ground-truth pair must appear among the LSH
+        # candidates (the Spark side computes truth EXCEPT candidates)
+        "lsh_recall_audit": """
+            SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+            WHERE FALSE
+        """,
         "edit_distance_pairs": _JACCARD_CTE
         + """
             SELECT j.a_id, j.b_id, levenshtein(da.text, db.text) AS dist
@@ -497,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
                   >= 0.4
         """,
+        "ann_lsh_top1": _ann_lsh_oracle_sql(),
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

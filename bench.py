@@ -114,6 +114,8 @@ def main():
         "simhash_near_dup_pairs",
         "containment_pairs",
         "find_near_matches",
+        "find_near_matches_chunked",
+        "find_exact_matches",
         "cosine_top1",
         "ann_lsh_top1",
         "token_counts",

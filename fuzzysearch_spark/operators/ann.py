@@ -91,12 +91,16 @@ def add_sign_bucket(
     """Attach ``bucket``: the n_planes-bit random-hyperplane sign signature.
 
     Pure JVM expression: one dot product per plane against a literal array.
+    The vector is cast to double BEFORE the multiply so the sign test is
+    bit-identical to an all-double oracle (float-side multiplies could flip
+    a borderline sign).
     """
     planes = _hyperplanes(dim, n_planes, seed)
+    vec_d = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, 1).otherwise(0)
+        bit = F.when(_dot(vec_d, lit_plane) > 0, 1).otherwise(0)
         bucket = bucket + (bit.cast("long") * F.lit(1 << i))
     return embeddings.withColumn("bucket", bucket)
 
@@ -110,11 +114,18 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: same-sign-bucket candidates, exact cosine re-rank.
+    """Approximate top-k: bucketed candidates, exact cosine re-rank.
 
-    Recall depends on bucket geometry (n_planes trades candidate count vs
-    recall); tests measure it against the brute-force oracle.
+    ``multi_probe=True`` probes each vector's own bucket PLUS every
+    Hamming-1 neighbor bucket (one bit flipped), so candidates are exactly
+    the pairs whose sign signatures differ in <= 1 bit — still an equi-join
+    (probe key == home bucket), never a cross join, but singleton home
+    buckets no longer silently drop their vectors from the output. Each
+    qualifying pair meets on exactly one probe (the flipped bit is unique),
+    so no distinct step is needed before ranking. Recall vs the brute-force
+    oracle is pytest-pinned.
     """
     with_bucket = add_sign_bucket(embeddings, dim, n_planes, seed, vec_col)
     base = with_bucket.select(
@@ -123,12 +134,20 @@ def cosine_topk_lsh(
         _norm(F.col(vec_col)).alias("nrm"),
         "bucket",
     )
-    a = base.alias("a")
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        probe_side = base.withColumn("probe", F.explode(probes))
+    else:
+        probe_side = base.withColumn("probe", F.col("bucket"))
+    a = probe_side.alias("a")
     b = base.alias("b")
     scored = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(

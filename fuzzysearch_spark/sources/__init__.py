@@ -1,0 +1,8 @@
+"""Corpus table sources: Iceberg catalog tables and Iceberg-shaped layouts."""
+
+from fuzzysearch_spark.sources.corpus_table import (  # noqa: F401
+    files_read,
+    read_corpus,
+    scan_report,
+    write_partitioned_corpus,
+)

@@ -1,0 +1,122 @@
+"""Corpus-table ingestion: Iceberg catalog tables or Iceberg-shaped layouts.
+
+The input_hint names an Iceberg table of source-code repositories
+(repo, path, commit, lang, content). Two read paths:
+
+* **Iceberg catalog** — when the session has an Iceberg catalog configured
+  (``spark.sql.catalog.<name>`` + the iceberg-spark-runtime jar),
+  ``read_corpus(spark, "catalog.db.table")`` goes through
+  ``spark.read.table``; Iceberg handles partition pruning and min/max file
+  skipping from its own metadata. The jar is not shipped in this sandbox,
+  so this path is exercised only opportunistically (gated, never required).
+
+* **Iceberg-shaped parquet layout** — ``write_partitioned_corpus`` writes
+  the corpus hive-partitioned by ``lang`` (standing in for Iceberg's hidden
+  partitioning), and ``read_corpus(spark, path, langs=..., min_chars=...)``
+  reads it back with filters expressed so Catalyst turns them into
+  PartitionFilters (directory pruning — non-matching langs are never
+  listed, let alone scanned) and PushedFilters (parquet row-group skipping
+  via min/max stats). ``scan_report`` extracts the pruning evidence from
+  the physical plan so tests pin that the pushdown actually reached the
+  scan instead of trusting that it did.
+
+At 100 TB the difference is the whole game: a lang-filtered job over a
+pruned table touches only its partition's files; an unpruned one lists and
+scans everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def write_partitioned_corpus(
+    corpus: DataFrame,
+    path: str,
+    partition_col: str = "lang",
+    mode: str = "overwrite",
+) -> None:
+    """Write the Iceberg-shaped corpus layout: parquet partitioned by lang.
+
+    Mirrors how an Iceberg table of source files would be partitioned for
+    dedup workloads (language/ecosystem is both the natural query filter
+    and a good size balancer; repo would skew, content never partitions).
+    """
+    corpus.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def _is_table_identifier(source: str) -> bool:
+    """Catalog identifiers look like db.table, paths look like paths."""
+    return "/" not in source and not source.startswith(("s3:", "hdfs:", "file:"))
+
+
+def read_corpus(
+    spark: SparkSession,
+    source: str,
+    langs: list[str] | None = None,
+    min_chars: int | None = None,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Read the corpus with filters declared AT THE SCAN.
+
+    ``source`` is an Iceberg table identifier (``catalog.db.tbl``) or a
+    (partitioned) parquet path. Filters are plain Catalyst predicates —
+    lang equality prunes partitions (or Iceberg manifests), the length
+    bounds push into parquet row-group stats — so Catalyst, not this
+    function, decides the physical pruning; the same code serves both
+    backends.
+    """
+    if _is_table_identifier(source):
+        df = spark.read.table(source)
+    else:
+        df = spark.read.parquet(source)
+    if langs is not None:
+        df = df.where(F.col("lang").isin(list(langs)))
+    if min_chars is not None:
+        df = df.where(F.length("content") >= min_chars)
+    if max_chars is not None:
+        df = df.where(F.length("content") <= max_chars)
+    return df
+
+
+def scan_report(df: DataFrame) -> dict:
+    """Pruning evidence from the physical plan: the scan node's
+    PartitionFilters / PushedFilters / ReadSchema plus the files the scan
+    would actually touch. Used by tests to pin that filters reached the
+    scan, and by operators to log their I/O posture."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    report = {"partition_filters": None, "pushed_filters": None, "read_schema": None}
+    for line in plan.splitlines():
+        line = line.strip().lstrip("+-* ")
+        for key, tag in (
+            ("partition_filters", "PartitionFilters: "),
+            ("pushed_filters", "PushedFilters: "),
+            ("read_schema", "ReadSchema: "),
+        ):
+            idx = line.find(tag)
+            if idx >= 0 and report[key] is None:
+                report[key] = line[idx + len(tag):].split(", ReadSchema:")[0]
+        # FileScan nodes fold everything onto one line
+        if "FileScan" in line:
+            for key, tag in (
+                ("partition_filters", "PartitionFilters: ["),
+                ("pushed_filters", "PushedFilters: ["),
+            ):
+                idx = line.find(tag)
+                if idx >= 0:
+                    end = line.find("]", idx)
+                    report[key] = line[idx + len(tag) - 1: end + 1]
+    return report
+
+
+def files_read(df: DataFrame) -> list[str]:
+    """The files a query ACTUALLY reads (post partition pruning), measured
+    by executing the scan with ``input_file_name()`` — ``df.inputFiles()``
+    reports the unpruned file index and would overstate I/O."""
+    return sorted(
+        r["f"]
+        for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    )

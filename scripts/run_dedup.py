@@ -33,6 +33,17 @@ import argparse
 import json
 import sys
 
+# allow direct invocation from any cwd; on a cluster --py-files provides the
+# package to driver and executors and this is a no-op. PYTHONPATH (not just
+# sys.path) so locally-forked Python workers inherit it too.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "fuzzysearch_spark")):
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _REPO not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
+
 
 def main() -> None:
     from fuzzysearch_spark.functions.signatures import SignatureConfig
@@ -55,6 +66,11 @@ def main() -> None:
     ap.add_argument("--shingle-k", type=int, default=sig_defaults.shingle_k)
     ap.add_argument("--n-hashes", type=int, default=sig_defaults.n_hashes)
     ap.add_argument("--bands", type=int, default=sig_defaults.bands)
+    ap.add_argument(
+        "--langs",
+        default=None,
+        help="comma-separated langs; prunes partitions/manifests at the scan",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -71,9 +87,15 @@ def main() -> None:
         workdir=args.workdir,
         resume=not args.no_resume,
     )
-    raw = spark.read.parquet(args.input).select(
-        "repo", "path", "commit", "lang", "content"
-    )
+    from fuzzysearch_spark.sources import read_corpus
+
+    # Iceberg table identifier or (partitioned) parquet path; lang filters
+    # are declared at the scan so they prune partitions/manifests
+    raw = read_corpus(
+        spark,
+        args.input,
+        langs=args.langs.split(",") if args.langs else None,
+    ).select("repo", "path", "commit", "lang", "content")
     out = DedupPipeline(spark, cfg).run(raw)
     out.write.mode("overwrite").parquet(args.output)
 

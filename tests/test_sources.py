@@ -1,0 +1,103 @@
+"""Corpus source layer: partition pruning + predicate pushdown evidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.sources import (
+    files_read,
+    read_corpus,
+    scan_report,
+    write_partitioned_corpus,
+)
+
+
+def _corpus_df(spark):
+    rows = []
+    for i in range(60):
+        lang = ["python", "java", "go"][i % 3]
+        rows.append(
+            (
+                f"repo{i % 5}",
+                f"src/file{i}.{lang[:2]}",
+                f"c{i:04d}",
+                lang,
+                f"def f{i}(): pass\n" * (5 + i % 7),
+            )
+        )
+    return spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    path = str(tmp_path / "corpus_by_lang")
+    write_partitioned_corpus(_corpus_df(spark), path)
+
+    df = read_corpus(spark, path, langs=["python"])
+    rows = df.collect()
+    assert len(rows) == 20
+    assert {r["lang"] for r in rows} == {"python"}
+
+    report = scan_report(df)
+    # pruning must be visible AT THE SCAN: the plan carries a lang
+    # partition filter and execution touches only the python partition
+    assert report["partition_filters"] and "lang" in report["partition_filters"]
+    touched = files_read(df)
+    assert touched and all("lang=python" in f for f in touched), touched
+
+
+def test_unfiltered_read_touches_all_partitions(spark, tmp_path):
+    path = str(tmp_path / "corpus_all")
+    write_partitioned_corpus(_corpus_df(spark), path)
+    df = read_corpus(spark, path)
+    langs = {f.split("lang=")[1].split("/")[0] for f in files_read(df)}
+    assert langs == {"python", "java", "go"}
+    assert df.count() == 60
+
+
+def test_length_predicate_pushes_down(spark, tmp_path):
+    path = str(tmp_path / "corpus_len")
+    corpus = _corpus_df(spark).withColumn("n_chars", F.length("content"))
+    write_partitioned_corpus(corpus, path)
+
+    df = read_corpus(spark, path, langs=["java"]).where(F.col("n_chars") >= 100)
+    report = scan_report(df)
+    # the n_chars bound must reach the parquet reader (row-group min/max
+    # skipping), not run as a post-scan filter only
+    assert report["pushed_filters"] and "n_chars" in report["pushed_filters"], report
+
+
+def test_pipeline_runs_from_partitioned_source(spark, tmp_path):
+    """End-to-end: pruned read feeds the dedup pipeline unchanged."""
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    path = str(tmp_path / "corpus_pipe")
+    write_partitioned_corpus(_corpus_df(spark), path)
+    corpus = read_corpus(spark, path, langs=["go"]).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    out = DedupPipeline(
+        spark,
+        DedupConfig(
+            workdir=str(tmp_path / "wd"),
+            resume=False,
+            verify=VerifyConfig(max_l_dist=4),
+        ),
+    ).run(corpus)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert {r["lang"] for r in rows} == {"go"}
+
+
+def test_iceberg_catalog_path_gated(spark):
+    """Table identifiers route through spark.read.table; without an Iceberg
+    catalog configured this raises Spark's analysis error (the gate), which
+    is the documented sandbox behavior — the code path itself is the same
+    one a jar-equipped cluster uses."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        read_corpus(spark, "iceberg.db.corpus").collect()

@@ -64,3 +64,49 @@ def find_matches(
     if kernel == KERNEL_LEV:
         return consolidate(lev_search(needle, hay, params.max_l_dist))
     return consolidate(budgeted_search(needle, hay, params))
+
+
+def has_matches(
+    needle,
+    hay,
+    max_substitutions: int | None = None,
+    max_insertions: int | None = None,
+    max_deletions: int | None = None,
+    max_l_dist: int | None = None,
+) -> bool:
+    """Early-exit boolean near-match test — the ``has_near_match_*`` family
+    (ref substitutions_only.py:18-34,139-145,218-233 and
+    generic_search.py:240-253). The underlying kernels are generators, so
+    the scan stops at the first hit without materializing matches."""
+    params = SearchParams(
+        max_substitutions, max_insertions, max_deletions, max_l_dist
+    )
+    kernel = pick_kernel(params)
+    if kernel == KERNEL_EXACT:
+        it = exact_find(needle, hay)
+    elif kernel == KERNEL_SUBS:
+        cap = min(params.max_l_dist, params.max_substitutions)
+        it = subs_search(needle, hay, cap)
+    elif kernel == KERNEL_LEV:
+        it = lev_search(needle, hay, params.max_l_dist)
+    else:
+        it = budgeted_search(needle, hay, params)
+    for _ in it:
+        return True
+    return False
+
+
+def has_near_match_substitutions(needle, hay, max_substitutions: int) -> bool:
+    """Boolean substitutions-only test (ref substitutions_only.py:18-34)."""
+    return has_matches(
+        needle,
+        hay,
+        max_substitutions=max_substitutions,
+        max_insertions=0,
+        max_deletions=0,
+    )
+
+
+def has_near_match_levenshtein(needle, hay, max_l_dist: int) -> bool:
+    """Boolean Levenshtein test (ref levenshtein.py dispatch, early-exit)."""
+    return has_matches(needle, hay, max_l_dist=max_l_dist)

@@ -13,6 +13,15 @@ from fuzzysearch_spark.params import clamp
 _FINDABLE = (str, bytes, bytearray)
 _INDEXABLE = (list, tuple)
 
+# BioPython sequences expose .find and len like str — accept them when the
+# library is present (mirrors search_exact.py:11-19)
+try:
+    from Bio.Seq import Seq as _BioSeq
+except ImportError:
+    pass
+else:
+    _FINDABLE = _FINDABLE + (_BioSeq,)
+
 
 def exact_find(needle, hay, start_index: int = 0, end_index: int | None = None):
     """Yield each index where ``needle`` occurs exactly inside the window."""

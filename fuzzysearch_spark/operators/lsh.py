@@ -77,51 +77,46 @@ def lsh_candidate_pairs(
         ),
     )
 
-    # one row per oversized bucket — tiny metadata, broadcast to tag bands
-    flagged = bands.join(
-        F.broadcast(oversized), ["band_idx", "band_key"], "left"
+    # one row per oversized bucket — tiny metadata, broadcast to tag bands.
+    # Normal and salted tiers run through ONE unified self-join: normal
+    # buckets get n_salts = 1 (salt 0 on both sides, exactly the plain
+    # bucket join), salted buckets get n_salts = ceil(size / max_bucket) —
+    # the probe side keeps one salt per member, the build side replicates
+    # each member into every salt group, so every (a, b) pair of a bucket
+    # meets in exactly one salt group and no single task owns a whole
+    # oversized bucket. One join, two traversals of the band table, no
+    # union branch.
+    tagged = (
+        bands.join(F.broadcast(oversized), ["band_idx", "band_key"], "left")
+        .where(F.col("action").isNull() | (F.col("action") == F.lit("salted")))
+        .withColumn(
+            "n_salts",
+            F.when(
+                F.col("action") == F.lit("salted"),
+                F.ceil(F.col("bucket_size") / F.lit(max_bucket)).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+        .select("doc_id", "band_idx", "band_key", "n_salts")
     )
-    ok_bands = flagged.where(F.col("action").isNull()).select(
-        "doc_id", "band_idx", "band_key"
-    )
-
-    left = ok_bands.alias("l")
-    right = ok_bands.alias("r")
-    plain_pairs = left.join(
-        right,
-        (F.col("l.band_idx") == F.col("r.band_idx"))
-        & (F.col("l.band_key") == F.col("r.band_key"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(
-        F.col("l.doc_id").alias("a_id"),
-        F.col("r.doc_id").alias("b_id"),
-    )
-
-    # salted tier: n_salts sized from the measured bucket size so each salt
-    # group carries ~max_bucket members; the probe side keeps one salt per
-    # member, the build side replicates each member into every salt group —
-    # every (a, b) pair of the bucket meets in exactly one salt group
-    salted = flagged.where(F.col("action") == F.lit("salted")).withColumn(
-        "n_salts",
-        F.ceil(F.col("bucket_size") / F.lit(max_bucket)).cast("int"),
-    )
-    salt_left = salted.withColumn(
+    left = tagged.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
-    ).select("doc_id", "band_idx", "band_key", "salt")
-    salt_right = salted.withColumn(
+    ).drop("n_salts")
+    right = tagged.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
-    ).select("doc_id", "band_idx", "band_key", "salt")
-    sl, sr = salt_left.alias("l"), salt_right.alias("r")
-    salted_pairs = sl.join(
-        sr,
-        (F.col("l.band_idx") == F.col("r.band_idx"))
-        & (F.col("l.band_key") == F.col("r.band_key"))
-        & (F.col("l.salt") == F.col("r.salt"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(
-        F.col("l.doc_id").alias("a_id"),
-        F.col("r.doc_id").alias("b_id"),
+    ).drop("n_salts")
+    l, r = left.alias("l"), right.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.salt") == F.col("r.salt"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a_id"),
+            F.col("r.doc_id").alias("b_id"),
+        )
+        .distinct()
     )
-
-    pairs = plain_pairs.unionByName(salted_pairs).distinct()
     return pairs, oversized

@@ -314,3 +314,55 @@ def test_unicode_inputs(reference):
         find_matches(needle, hay, max_l_dist=1),
         find_near_matches(needle, hay, max_l_dist=1),
     )
+
+
+# --- boolean has_* family parity --------------------------------------------
+
+@pytest.mark.parametrize("seed", range(30))
+def test_has_matches_parity_randomized(reference, seed):
+    from fuzzysearch import find_near_matches
+    from fuzzysearch.substitutions_only import has_near_match_substitutions
+
+    from fuzzysearch_spark.kernels.dispatch import (
+        has_matches,
+        has_near_match_levenshtein,
+        has_near_match_substitutions as mine_has_subs,
+    )
+
+    rng = random.Random(31337 + seed)
+    alpha = rng.choice(["ab", "abcd", "ACGT"])
+    needle = _random_text(rng, alpha, rng.randint(1, 16))
+    hay = _random_text(rng, alpha, rng.randint(0, 120))
+
+    # substitutions-only boolean vs the reference's own has_ function
+    max_subs = rng.choice([0, 1, 2])
+    assert mine_has_subs(needle, hay, max_subs) == has_near_match_substitutions(
+        needle, hay, max_subs
+    )
+
+    # levenshtein + generic booleans vs "reference finds at least one match"
+    k = rng.choice([0, 1, 2])
+    assert has_near_match_levenshtein(needle, hay, k) == bool(
+        find_near_matches(needle, hay, max_l_dist=k)
+    )
+    s, i, d, t = (
+        rng.choice([0, 1, 2]),
+        rng.choice([0, 1, 2]),
+        rng.choice([0, 1, 2]),
+        rng.choice([1, 2, 3]),
+    )
+    assert has_matches(
+        needle, hay, s, i, d, t
+    ) == bool(find_near_matches(needle, hay, s, i, d, t))
+
+
+def test_has_matches_early_exit():
+    """The boolean test must not scan past the first hit."""
+    from fuzzysearch_spark.kernels.dispatch import has_matches
+
+    hay = "NEEDLE" + "x" * 10_000_000
+    import time
+
+    t0 = time.time()
+    assert has_matches("NEEDLE", hay, max_l_dist=1)
+    assert time.time() - t0 < 1.0

@@ -18,11 +18,19 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", content_col: str =
     exact_group_id = min doc_id sharing the same sha256(content);
     the representative (min id) carries the group into the fuzzy stages,
     shrinking LSH input and killing the biggest bucket-skew source.
+
+    Reuses an existing ``sha256`` lineage column when the caller already
+    computed one (the pipeline's ingest stage does) — hashing the full
+    corpus is the most expensive JVM expression in the flow and must not
+    run twice.
     """
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.sha2(F.col(content_col), 256).alias("sha256"),
-    )
+    if "sha256" in docs.columns:
+        hashed = docs.select(F.col(id_col).alias("doc_id"), "sha256")
+    else:
+        hashed = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.sha2(F.col(content_col), 256).alias("sha256"),
+        )
     w = Window.partitionBy("sha256")
     return hashed.select(
         "doc_id",

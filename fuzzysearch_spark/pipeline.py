@@ -179,10 +179,18 @@ class DedupPipeline:
 
         (64-bit ids collide with ~2^-65 pair probability; a 128-bit variant
         would concatenate a second seed's xxhash64 — not needed at test SF.)
+
+        In parquet mode the checkpoint carries ``content`` so every later
+        stage (and resume) reads from storage. In memory/eager mode the
+        persisted frame carries ONLY light columns: caching the raw content
+        column is an anti-pattern at corpus scale (nobody caches 100 TB of
+        text — and on this host the cache build's copy/GC traffic was the
+        measured top anti-scaling cost); content re-derives from the source
+        scan per consuming stage via :meth:`content_source`.
         """
-        return self._load_or(
-            "s0_ingest",
-            lambda: ensure_min_partitions(raw).select(
+
+        def compute():
+            base = ensure_min_partitions(raw).select(
                 F.xxhash64("repo", "path", "commit").alias("doc_id"),
                 "repo",
                 "path",
@@ -191,7 +199,27 @@ class DedupPipeline:
                 "content",
                 F.sha2("content", 256).alias("sha256"),
                 F.length("content").alias("n_chars"),
-            ),
+            )
+            if self.cfg.checkpoint_mode == "parquet":
+                return base
+            return base.drop("content")
+
+        return self._load_or("s0_ingest", compute)
+
+    def content_source(self, raw: DataFrame, docs: DataFrame) -> DataFrame:
+        """(doc_id, content, n_chars) for content-consuming stages.
+
+        Parquet mode: the s0 checkpoint (one storage round-trip, resume-safe).
+        Memory/eager mode: a fresh projection of the raw scan — content
+        streams from the columnar source straight into the consuming stage
+        (signature UDF, verify content fetch) and is never persisted.
+        """
+        if "content" in docs.columns:
+            return docs.select("doc_id", "content", "n_chars")
+        return ensure_min_partitions(raw).select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            "content",
+            F.length("content").alias("n_chars"),
         )
 
     def exact_stage(self, docs: DataFrame) -> DataFrame:
@@ -199,7 +227,7 @@ class DedupPipeline:
             "s1_exact", lambda: exact_dup_groups(docs)
         )
 
-    def signature_stage(self, docs: DataFrame, exact: DataFrame) -> DataFrame:
+    def signature_stage(self, contents: DataFrame, exact: DataFrame) -> DataFrame:
         """Signatures for EVERY document, computed map-side on the scan
         partitions: the content column is never shuffled, collected, or
         joined before the UDF. Exact-duplicate documents waste a little
@@ -213,7 +241,7 @@ class DedupPipeline:
 
         def compute():
             sig = signature_struct_udf(self.cfg.signature)
-            with_sig = ensure_min_partitions(docs).withColumn(
+            with_sig = ensure_min_partitions(contents).withColumn(
                 "sig", sig(F.col("content"))
             ).select(
                 "doc_id",
@@ -251,9 +279,9 @@ class DedupPipeline:
 
         return self._load_or("s3_candidates", compute)
 
-    def verify_stage(self, pairs: DataFrame, docs: DataFrame, signatures: DataFrame) -> DataFrame:
+    def verify_stage(self, pairs: DataFrame, contents: DataFrame, signatures: DataFrame) -> DataFrame:
         def compute():
-            enriched = docs.select("doc_id", "content").join(
+            enriched = contents.select("doc_id", "content").join(
                 signatures.select("doc_id", "simhash"), "doc_id"
             )
             return verify_pairs(
@@ -299,10 +327,11 @@ class DedupPipeline:
 
     def run(self, raw: DataFrame) -> DataFrame:
         docs = self.ingest(raw)
+        contents = self.content_source(raw, docs)
         exact = self.exact_stage(docs)
-        signatures = self.signature_stage(docs, exact)
+        signatures = self.signature_stage(contents, exact)
         pairs = self.candidate_stage(signatures, exact)
-        verified = self.verify_stage(pairs, docs, signatures)
+        verified = self.verify_stage(pairs, contents, signatures)
         return self.cluster_stage(docs, exact, verified)
 
     def dup_pairs(self) -> DataFrame:

@@ -110,7 +110,17 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
             .config("spark.executorEnv.PYTHONPATH", REPO)
             .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
             .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+            # each executor JVM sizes GC/JIT/netty pools by ITS 4 cores, as
+            # it would on a real node — not by the host's 32 (4 co-located
+            # JVMs each spawning host-sized GC thread pools contend)
+            .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4")
         )
+    extra = os.environ.get("SCALING_EXTRA_CONF", "")
+    if extra:  # "k=v;k=v" experiment overrides
+        for kv in extra.split(";"):
+            k, _, v = kv.partition("=")
+            if k:
+                builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     if mode_exec:
         # distribute the engine to executors the spark-submit --py-files way
@@ -189,10 +199,14 @@ def main() -> None:
         return
 
     tmp = tempfile.mkdtemp(prefix="fsw_scaling_")
-    input_path = os.path.join(tmp, "corpus.parquet")
-    t0 = time.time()
-    n = generate_input(input_path)
-    print(f"generated {n} files in {time.time() - t0:.1f}s -> {input_path}", file=sys.stderr)
+    input_path = os.environ.get("SCALING_INPUT", "")
+    if not input_path:
+        input_path = os.path.join(tmp, "corpus.parquet")
+        t0 = time.time()
+        n = generate_input(input_path)
+        print(f"generated {n} files in {time.time() - t0:.1f}s -> {input_path}", file=sys.stderr)
+    else:
+        print(f"reusing pre-generated input {input_path}", file=sys.stderr)
 
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     results = {}

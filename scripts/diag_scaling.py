@@ -1,0 +1,286 @@
+#!/usr/bin/env python
+"""Event-log-based attribution for the N-vs-4N scaling gap.
+
+Runs the dedup pipeline at one parallelism level with Spark event logging
+enabled, then digests the event log into per-Spark-stage truth:
+
+    wall         stage completion - submission (critical path seconds)
+    task_sum     sum of task Executor Run Time (the work that should scale)
+    gc           sum of JVM GC Time inside those tasks
+    sched        sum of scheduler delay + deserialize + result-serialization
+    py           sum of python-eval-specific time where exposed
+    waves        task_sum / (wall * cores): 1.0 = perfectly packed
+
+plus the inter-stage idle: total wall - sum(stage walls) = driver-side time
+(job setup, AQE replanning, analysis, collects) that no executor sees.
+
+Usage:
+    python scripts/diag_scaling.py --cpus 16 --input /dev/shm/fsw_corpus_1m.parquet
+"""
+
+from __future__ import annotations
+
+import os
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import argparse
+import glob
+import json
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
+                 driver_mem: str, exec_mem_mb: int, eventdir: str) -> dict:
+    from pyspark.sql import SparkSession
+
+    shm = "/dev/shm/fsw-shuffle"
+    os.makedirs(shm, exist_ok=True)
+    os.makedirs(eventdir, exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = shm
+
+    if master == "executors":
+        n_exec = max(1, cpus // 4)
+        master_url = f"local-cluster[{n_exec},4,{exec_mem_mb}]"
+    else:
+        master_url = f"local[{cpus}]"
+
+    builder = (
+        SparkSession.builder.master(master_url)
+        .appName(f"fsw-diag-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(4 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.local.dir", shm)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{eventdir}")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if master == "executors":
+        builder = (
+            builder.config("spark.executor.memory", f"{exec_mem_mb - 2048}m")
+            .config("spark.executorEnv.PYTHONPATH", REPO)
+            .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+            .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+            # each executor JVM must size GC/JIT/netty pools by ITS cores,
+            # not the host's 32: on a real node availableProcessors() == the
+            # node's cores; here 4 co-located JVMs each spawning 32-core GC
+            # thread pools thrash the box (measured: 161 s GC in one stage)
+            .config(
+                "spark.executor.extraJavaOptions",
+                "-XX:ActiveProcessorCount=4",
+            )
+        )
+    spark = builder.getOrCreate()
+    if master == "executors":
+        import zipfile
+
+        zip_path = os.path.join(shm, "fuzzysearch_spark_diag.zip")
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as z:
+                pkg = os.path.join(REPO, "fuzzysearch_spark")
+                for root, _, files in os.walk(pkg):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            z.write(full, os.path.relpath(full, REPO))
+        spark.sparkContext.addPyFile(zip_path)
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _warm_fn(s):
+        import numpy as np  # noqa: F401
+
+        return s * 2
+
+    _warm = pandas_udf(_warm_fn, "long")
+    warm = spark.range(100000, numPartitions=cpus * 2)
+    warm.withColumn("w", _warm(F.col("id"))).groupBy(F.col("id") % 7).count().collect()
+
+    docs = spark.read.parquet(input_path)
+    n_files = docs.count()
+
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix=f"fsw_diag_{cpus}_")
+    spark.sparkContext.setJobGroup("pipeline", "timed-pipeline")
+    t0 = time.time()
+    out = DedupPipeline(
+        spark,
+        DedupConfig(
+            workdir=workdir,
+            resume=False,
+            verify=VerifyConfig(max_l_dist=4),
+            checkpoint_mode=mode,
+        ),
+    ).run(docs)
+    n_out = out.count()
+    wall = time.time() - t0
+    stages = {}
+    for f in sorted(glob.glob(os.path.join(workdir, "metrics", "*.json"))):
+        m = json.load(open(f))
+        stages[m["stage"]] = m["wall_sec"]
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "cpus": cpus,
+        "wall_sec": round(wall, 3),
+        "n_files": n_files,
+        "n_out": n_out,
+        "files_per_sec": round(n_files / wall, 2),
+        "pipeline_stages": stages,
+        "app_id": app_id,
+        "t0_epoch_ms": int(t0 * 1000),
+    }
+
+
+def digest_eventlog(eventdir: str, app_id: str, cpus: int, t0_ms: int) -> list[dict]:
+    """Per-Spark-stage metrics from the event log, pipeline jobs only."""
+    path = None
+    for cand in glob.glob(os.path.join(eventdir, "*")):
+        if app_id in os.path.basename(cand):
+            path = cand
+    assert path, f"no event log for {app_id} in {eventdir}"
+    if os.path.isdir(path):  # rolling event log: a dir of events_* parts
+        parts = sorted(glob.glob(os.path.join(path, "events_*")))
+    else:
+        parts = [path]
+
+    def _lines():
+        import io
+
+        import pyarrow as pa
+
+        for p in parts:
+            if p.endswith(".zstd"):
+                with pa.input_stream(p, compression="zstd") as raw:
+                    yield from io.TextIOWrapper(io.BytesIO(raw.read()))
+            else:
+                with open(p) as f:
+                    yield from f
+
+    stage_tasks: dict[int, dict] = {}
+    stage_info: dict[int, dict] = {}
+    if True:
+        for line in _lines():
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            et = ev.get("Event")
+            if et == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                sid = si["Stage ID"]
+                stage_info[sid] = {
+                    "name": si.get("Stage Name", "")[:60],
+                    "sub_ms": si.get("Submission Time", 0),
+                    "done_ms": si.get("Completion Time", 0),
+                    "n_tasks": si.get("Number of Tasks", 0),
+                }
+            elif et == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                tm = ev.get("Task Metrics") or {}
+                d = stage_tasks.setdefault(
+                    sid, {"run": 0, "gc": 0, "deser": 0, "rser": 0,
+                          "sh_read_ms": 0, "sh_write_ms": 0, "launched": 0,
+                          "max_run": 0, "by_exec": {}}
+                )
+                ti = ev.get("Task Info") or {}
+                ex = ti.get("Executor ID", "?")
+                d["by_exec"][ex] = d["by_exec"].get(ex, 0) + tm.get("Executor Run Time", 0)
+                d["max_run"] = max(d["max_run"], tm.get("Executor Run Time", 0))
+                d["run"] += tm.get("Executor Run Time", 0)
+                d["gc"] += tm.get("JVM GC Time", 0)
+                d["deser"] += tm.get("Executor Deserialize Time", 0)
+                d["rser"] += tm.get("Result Serialization Time", 0)
+                srm = tm.get("Shuffle Read Metrics") or {}
+                d["sh_read_ms"] += srm.get("Fetch Wait Time", 0)
+                swm = tm.get("Shuffle Write Metrics") or {}
+                d["sh_write_ms"] += swm.get("Shuffle Write Time", 0) // 1_000_000
+                d["launched"] += 1
+
+    rows = []
+    for sid, si in sorted(stage_info.items()):
+        if si["done_ms"] < t0_ms:
+            continue  # warm-up / pre-pipeline stages
+        t = stage_tasks.get(sid, {})
+        wall = (si["done_ms"] - si["sub_ms"]) / 1000
+        run_s = t.get("run", 0) / 1000
+        rows.append(
+            {
+                "sid": sid,
+                "name": si["name"],
+                "wall": round(wall, 1),
+                "tasks": si["n_tasks"],
+                "task_sum": round(run_s, 1),
+                "gc": round(t.get("gc", 0) / 1000, 1),
+                "deser": round(t.get("deser", 0) / 1000, 1),
+                "fetch_wait": round(t.get("sh_read_ms", 0) / 1000, 1),
+                "sh_write": round(t.get("sh_write_ms", 0) / 1000, 1),
+                "max_task": round(t.get("max_run", 0) / 1000, 1),
+                "by_exec": {k: round(v / 1000, 1) for k, v in sorted((t.get("by_exec") or {}).items())},
+                "pack": round(run_s / (wall * cpus), 2) if wall > 0 else 0.0,
+            }
+        )
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--mode", default="eager", choices=["memory", "eager", "parquet"])
+    ap.add_argument("--master", default="executors", choices=["executors", "local"])
+    ap.add_argument("--driver-mem", default="8g")
+    ap.add_argument("--exec-mem-mb", type=int, default=16384)
+    ap.add_argument("--eventdir", default="/tmp/fsw-eventlogs")
+    ap.add_argument("--digest-only", default=None, metavar="APP_ID",
+                    help="skip the run; digest an existing event log")
+    args = ap.parse_args()
+
+    if args.digest_only:
+        rows = digest_eventlog(args.eventdir, args.digest_only, args.cpus, 0)
+        for x in rows:
+            print(json.dumps(x))
+        return
+
+    r = run_pipeline(
+        args.cpus, args.input, args.mode, args.master,
+        args.driver_mem, args.exec_mem_mb, args.eventdir,
+    )
+    rows = digest_eventlog(args.eventdir, r["app_id"], args.cpus, r["t0_epoch_ms"])
+    stage_wall = sum(x["wall"] for x in rows)
+    task_sum = sum(x["task_sum"] for x in rows)
+    gc_sum = sum(x["gc"] for x in rows)
+    summary = {
+        **{k: r[k] for k in ("cpus", "wall_sec", "files_per_sec", "n_out", "pipeline_stages")},
+        "spark_stage_wall_sum": round(stage_wall, 1),
+        "driver_gap": round(r["wall_sec"] - stage_wall, 1),
+        "task_time_sum": round(task_sum, 1),
+        "gc_sum": round(gc_sum, 1),
+        "ideal_wall_at_cpus": round(task_sum / args.cpus, 1),
+    }
+    print(json.dumps(summary))
+    for x in rows:
+        print(json.dumps(x), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

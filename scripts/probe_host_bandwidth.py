@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Host probes separating compute scaling from memory-bandwidth scaling.
+
+Three multiprocessing probes, each at 4 and 16 procs, no Spark:
+
+* verify  — the bounded-edit-distance kernel over realistic 4 KB pairs
+            (the s4 inner loop; memcmp-heavy)
+* bw      — pure memcpy of a 256 MB numpy buffer per proc (streaming
+            bandwidth; the cache-build / shuffle / GC analog)
+* sha     — hashlib.sha256 over 4 KB blocks (the s0 ingest analog;
+            compute-per-byte between the two)
+
+If bw collapses at 16 procs while compute probes hold, the pipeline's
+non-scaling stages are host-bandwidth-bound, not engine-bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LEVELS = (4, 16)
+
+
+def _mk_pairs(n: int, seed: int):
+    import random
+
+    rng = random.Random(seed)
+    base = "".join(rng.choice("abcdefgh ijklmnop\n") for _ in range(4096))
+    pairs = []
+    for i in range(n):
+        b = list(base)
+        for _ in range(rng.randint(0, 6)):
+            b[rng.randrange(len(b))] = rng.choice("xyz")
+        pairs.append((base, "".join(b)))
+    return pairs
+
+
+def _verify_worker(args):
+    n, seed = args
+    from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance
+
+    pairs = _mk_pairs(200, seed)
+    t0 = time.time()
+    done = 0
+    while done < n:
+        for a, b in pairs:
+            bounded_edit_distance(a, b, 4)
+        done += len(pairs)
+    return time.time() - t0
+
+
+def _bw_worker(args):
+    n_copies, = args
+    import numpy as np
+
+    src = np.random.default_rng(0).integers(0, 255, size=256 * 1024 * 1024, dtype=np.uint8)
+    dst = np.empty_like(src)
+    t0 = time.time()
+    for _ in range(n_copies):
+        np.copyto(dst, src)
+        np.copyto(src, dst)
+    return time.time() - t0
+
+
+def _sha_worker(args):
+    n_blocks, = args
+    import hashlib
+
+    block = bytes(range(256)) * 16  # 4 KB
+    t0 = time.time()
+    for _ in range(n_blocks):
+        hashlib.sha256(block).digest()
+    return time.time() - t0
+
+
+def run(worker, work_per_proc) -> dict:
+    out = {}
+    for procs in LEVELS:
+        t0 = time.time()
+        with mp.get_context("spawn").Pool(procs) as pool:
+            pool.map(worker, [work_per_proc] * procs)
+        wall = time.time() - t0
+        out[procs] = {"wall_sec": round(wall, 2),
+                      "units_per_sec": round(procs * work_per_proc[0] / wall, 1)}
+    lo, hi = LEVELS
+    out["efficiency"] = round(
+        (out[hi]["units_per_sec"] / out[lo]["units_per_sec"]) / (hi / lo), 4
+    )
+    return out
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    res = {}
+    if which in ("verify", "all"):
+        res["verify"] = run(_verify_worker, (3000, 7))
+        print(json.dumps({"verify": res["verify"]}), file=sys.stderr)
+    if which in ("bw", "all"):
+        res["bw"] = run(_bw_worker, (6,))
+        print(json.dumps({"bw": res["bw"]}), file=sys.stderr)
+    if which in ("sha", "all"):
+        res["sha"] = run(_sha_worker, (400000,))
+        print(json.dumps({"sha": res["sha"]}), file=sys.stderr)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Stage-level scaling probes: attribute pipeline scaling gaps to (a) the
+host memory subsystem, (b) Spark/Arrow orchestration, or (c) the stage's
+own plan — by measuring the SAME work three ways at N and 4N cores.
+
+Probes (select with --probe, default all):
+
+* kernel    — the signature kernel (MinHash+SimHash over real corpus bytes)
+              under plain multiprocessing: no Spark, no Arrow, no JVM.
+              Scaling loss here is the host's (memory bandwidth ceiling),
+              not the engine's.
+* udf       — the isolated s2 signature stage in Spark: cached input,
+              signature pandas UDF, noop sink. Loss beyond `kernel` is the
+              Arrow/JVM orchestration cost of the stage.
+* shuffle   — a pure JVM shuffle+agg job (no Python) sized like s3's band
+              explode, isolating exchange scaling from UDF scaling.
+
+Usage: python scripts/probe_stage_scaling.py --corpus PATH [--n-docs 200000]
+"""
+
+from __future__ import annotations
+
+import os
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import argparse
+import json
+import multiprocessing as mp
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LEVELS = (4, 16)
+
+
+# --- kernel probe (multiprocessing, no Spark) --------------------------------
+
+def _kernel_worker(args):
+    texts, = args
+    from fuzzysearch_spark.functions.signatures import (
+        SignatureConfig,
+        minhash_signature,
+        shingle_hashes,
+        simhash64,
+    )
+
+    cfg = SignatureConfig()
+    seeds = cfg.hash_seeds()
+    k = cfg.shingle_k
+    n = 0
+    for t in texts:
+        data = (t or "").encode("utf-8", "surrogatepass")
+        minhash_signature(shingle_hashes(data, k), seeds)
+        simhash64(data)
+        n += 1
+    return n
+
+
+def probe_kernel(texts: list[str]) -> dict:
+    out = {}
+    for procs in LEVELS:
+        shards = [texts[i::procs] for i in range(procs)]
+        t0 = time.time()
+        with mp.get_context("spawn").Pool(procs) as pool:
+            counts = pool.map(_kernel_worker, [(s,) for s in shards])
+        wall = time.time() - t0
+        out[procs] = {
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(sum(counts) / wall, 1),
+        }
+    lo, hi = LEVELS
+    out["efficiency"] = round(
+        (out[hi]["docs_per_sec"] / out[lo]["docs_per_sec"]) / (hi / lo), 4
+    )
+    return out
+
+
+# --- spark probes ------------------------------------------------------------
+
+def _spark(cpus: int, name: str):
+    from pyspark.sql import SparkSession
+
+    shm = "/dev/shm/fsw-shuffle"
+    os.makedirs(shm, exist_ok=True)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(name)
+        .config("spark.sql.shuffle.partitions", str(4 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.local.dir", shm)
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def probe_udf(corpus_path: str, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.functions.signatures import SignatureConfig, signature_struct_udf
+
+    out = {}
+    for cpus in LEVELS:
+        spark = _spark(cpus, f"probe-udf-{cpus}")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = (
+            spark.read.parquet(corpus_path)
+            .limit(n_docs)
+            .select("content")
+            .repartition(4 * cpus)
+            .persist()
+        )
+        n = docs.count()
+        sig = signature_struct_udf(SignatureConfig())
+        # warm the python workers
+        docs.limit(1000).withColumn("s", sig(F.col("content"))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.time()
+        docs.withColumn("s", sig(F.col("content"))).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = time.time() - t0
+        spark.stop()
+        out[cpus] = {"wall_sec": round(wall, 2), "docs_per_sec": round(n / wall, 1)}
+    lo, hi = LEVELS
+    out["efficiency"] = round(
+        (out[hi]["docs_per_sec"] / out[lo]["docs_per_sec"]) / (hi / lo), 4
+    )
+    return out
+
+
+def probe_shuffle(n_rows: int = 16_000_000) -> dict:
+    from pyspark.sql import functions as F
+
+    out = {}
+    for cpus in LEVELS:
+        spark = _spark(cpus, f"probe-shuffle-{cpus}")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.range(n_rows, numPartitions=4 * cpus).select(
+            (F.col("id") % 500_000).alias("k"), F.xxhash64("id").alias("v")
+        )
+        t0 = time.time()
+        df.groupBy("k").agg(F.count("*"), F.min("v")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = time.time() - t0
+        spark.stop()
+        out[cpus] = {"wall_sec": round(wall, 2), "rows_per_sec": round(n_rows / wall)}
+    lo, hi = LEVELS
+    out["efficiency"] = round(
+        (out[lo]["wall_sec"] / out[hi]["wall_sec"]) / (hi / lo), 4
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="parquet with a content column")
+    ap.add_argument("--n-docs", type=int, default=200_000)
+    ap.add_argument("--probe", choices=["kernel", "udf", "shuffle", "all"], default="all")
+    args = ap.parse_args()
+
+    results: dict = {}
+    if args.probe in ("kernel", "all"):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(args.corpus, columns=["content"])
+        texts = table.column("content").to_pylist()[: args.n_docs]
+        results["kernel"] = probe_kernel(texts)
+        print(json.dumps({"kernel": results["kernel"]}), file=sys.stderr)
+    if args.probe in ("udf", "all"):
+        results["udf"] = probe_udf(args.corpus, args.n_docs)
+        print(json.dumps({"udf": results["udf"]}), file=sys.stderr)
+    if args.probe in ("shuffle", "all"):
+        results["shuffle"] = probe_shuffle()
+        print(json.dumps({"shuffle": results["shuffle"]}), file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,10 @@ def _spark():
         .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd shuffle/broadcast + ~9 MB Arrow batches: trade plentiful CPU
+        # for the scarce shared memory bandwidth (A/B'd in BENCH/BASELINE.md)
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
 

@@ -98,12 +98,19 @@ def lsh_candidate_pairs(
         )
         .select("doc_id", "band_idx", "band_key", "n_salts")
     )
+    # pin the join-side partitioning: the band table is tiny relative to the
+    # pair set this self-join EXPLODES into (a bucket of b members yields
+    # ~b^2/2 pairs), so AQE's input-size-based coalescing under-parallelizes
+    # the join (observed: 19 tasks on 16 cores with an 11 s straggler).
+    # Repartitioning on exactly the join keys is reused by the sort-merge
+    # join — no extra exchange — and the count follows cluster parallelism.
+    n_parts = 4 * docs_with_bands.sparkSession.sparkContext.defaultParallelism
     left = tagged.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
-    ).drop("n_salts")
+    ).drop("n_salts").repartition(n_parts, "band_idx", "band_key", "salt")
     right = tagged.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
-    ).drop("n_salts")
+    ).drop("n_salts").repartition(n_parts, "band_idx", "band_key", "salt")
     l, r = left.alias("l"), right.alias("r")
     pairs = (
         l.join(

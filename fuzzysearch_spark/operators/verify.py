@@ -75,18 +75,33 @@ def verify_pairs(
     cfg: VerifyConfig,
     id_col: str = "doc_id",
     content_col: str = "content",
-    simhash_col: str | None = None,
+    light: DataFrame | None = None,
 ) -> DataFrame:
     """(a_id, b_id, dist) for pairs within the edit-distance cap.
 
-    ``pairs``: (a_id, b_id); ``docs``: (doc_id, content [, simhash]).
-    Light columns (length, simhash) are joined and filtered BEFORE content
-    is shuffled.
+    ``pairs``: (a_id, b_id); ``docs``: (doc_id, content); ``light``
+    (optional): a LIGHT (doc_id, n_chars[, simhash]) frame — typically the
+    signature table — supplying the length bound (and the Hamming prefilter
+    when configured) without touching content. Light columns are joined and
+    filtered at pair granularity BEFORE any content is shuffled — callers
+    must never pre-join wide columns onto ``docs``: a full-corpus content
+    join ahead of the candidate semi-join was the measured top shuffle cost
+    of the verify stage at 10^6 files.
     """
-    feat_cols = [F.col(id_col).alias("doc_id"), F.length(content_col).alias("n")]
-    if simhash_col:
-        feat_cols.append(F.col(simhash_col).alias("sh"))
-    feats = docs.select(*feat_cols)
+    use_simhash = (
+        light is not None
+        and "simhash" in light.columns
+        and cfg.simhash_max_hamming is not None
+    )
+    if light is not None:
+        feat_cols = [F.col(id_col).alias("doc_id"), F.col("n_chars").alias("n")]
+        if use_simhash:
+            feat_cols.append(F.col("simhash").alias("sh"))
+        feats = light.select(*feat_cols)
+    else:
+        feats = docs.select(
+            F.col(id_col).alias("doc_id"), F.length(content_col).alias("n")
+        )
 
     def _renamed(side: str) -> DataFrame:
         # withColumnRenamed is a no-op for absent columns (sh without simhash)
@@ -108,7 +123,7 @@ def verify_pairs(
         )
         p = p.where(F.abs(F.col("n_a") - F.col("n_b")) <= cap)
 
-    if simhash_col and cfg.simhash_max_hamming is not None:
+    if use_simhash:
         p = p.where(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
             <= cfg.simhash_max_hamming
@@ -152,9 +167,19 @@ def verify_pairs(
         .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
     )
 
+    # round-robin spread ahead of the DP kernel: the UDF is row-local, but
+    # the join output is hash-partitioned on pair ids and inherits the
+    # candidate graph's hot-doc skew (one popular file appears in thousands
+    # of pairs) — a straggler task serializing the python stage costs far
+    # more than this one extra pass over candidate content. Partition count
+    # follows cluster parallelism, never a constant; 4 waves give the
+    # scheduler room to pack uneven pair sizes.
+    n_parts = 4 * with_content.sparkSession.sparkContext.defaultParallelism
+    balanced = with_content.repartition(n_parts)
+
     verify = _edit_dist_udf(cfg)
     return (
-        with_content.withColumn("dist", verify("content_a", "content_b"))
+        balanced.withColumn("dist", verify("content_a", "content_b"))
         .where(F.col("dist").isNotNull())
         .select("a_id", "b_id", "dist")
     )

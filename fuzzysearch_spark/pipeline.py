@@ -281,14 +281,18 @@ class DedupPipeline:
 
     def verify_stage(self, pairs: DataFrame, contents: DataFrame, signatures: DataFrame) -> DataFrame:
         def compute():
-            enriched = contents.select("doc_id", "content").join(
-                signatures.select("doc_id", "simhash"), "doc_id"
-            )
+            # contents stays a bare (doc_id, content) scan: lengths and the
+            # simhash prefilter column ride in from the cached signature
+            # table, joined at pair granularity inside verify_pairs —
+            # pre-joining signatures onto contents here forced a full-corpus
+            # content shuffle ahead of the candidate semi-join (measured
+            # dominant s4 cost), and deriving lengths from content would
+            # rescan the corpus for one integer
             return verify_pairs(
                 pairs,
-                enriched,
+                contents.select("doc_id", "content"),
                 self.cfg.verify,
-                simhash_col="simhash",
+                light=signatures.select("doc_id", "n_chars", "simhash"),
             )
 
         return self._load_or("s4_verified", compute)

@@ -50,6 +50,9 @@ def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
     else:
         master_url = f"local[{cpus}]"
 
+    extra_conf = dict(
+        kv.split("=", 1) for kv in os.environ.get("DIAG_EXTRA_CONF", "").split(";") if "=" in kv
+    )
     builder = (
         SparkSession.builder.master(master_url)
         .appName(f"fsw-diag-{cpus}")
@@ -65,6 +68,8 @@ def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
         .config("spark.eventLog.dir", f"file://{eventdir}")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
     if master == "executors":
         builder = (
             builder.config("spark.executor.memory", f"{exec_mem_mb - 2048}m")

@@ -104,13 +104,13 @@ def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     res = {}
     if which in ("verify", "all"):
-        res["verify"] = run(_verify_worker, (3000, 7))
+        res["verify"] = run(_verify_worker, (60000, 7))
         print(json.dumps({"verify": res["verify"]}), file=sys.stderr)
     if which in ("bw", "all"):
-        res["bw"] = run(_bw_worker, (6,))
+        res["bw"] = run(_bw_worker, (12,))
         print(json.dumps({"bw": res["bw"]}), file=sys.stderr)
     if which in ("sha", "all"):
-        res["sha"] = run(_sha_worker, (400000,))
+        res["sha"] = run(_sha_worker, (4_000_000,))
         print(json.dumps({"sha": res["sha"]}), file=sys.stderr)
     print(json.dumps(res))
 

@@ -107,3 +107,30 @@ def test_resume_from_checkpoint(spark, planted, run):
         for r in out2.select("doc_id", "cluster_id").collect()
     }
     assert clusters2 == run["clusters"]
+
+
+@pytest.mark.parametrize("mode", ["memory", "eager"])
+def test_memory_mode_matches_parquet(spark, planted, run, tmp_path, mode):
+    """memory/eager checkpoints produce the same clustering as parquet mode,
+    and their persisted frames carry only light columns — raw content must
+    never enter the block-manager cache (scale posture: nobody caches the
+    corpus text; measured top anti-scaling cost on the bench host)."""
+    pipe = DedupPipeline(
+        spark,
+        DedupConfig(workdir=str(tmp_path), resume=False, checkpoint_mode=mode),
+    )
+    docs = pipe.ingest(run["df"])
+    assert "content" not in docs.columns
+    contents = pipe.content_source(run["df"], docs)
+    assert set(contents.columns) == {"doc_id", "content", "n_chars"}
+
+    out = pipe.run(run["df"])
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in out.select("doc_id", "cluster_id").collect()
+    }
+    assert clusters == run["clusters"]
+
+    # eager barriers record real per-stage row counts; lazy memory mode defers
+    rows = json.load(open(f"{tmp_path}/metrics/s0_ingest.json"))["rows"]
+    assert rows == (len(planted.rows) if mode == "eager" else None)

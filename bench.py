@@ -54,10 +54,11 @@ def _spark():
         .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # zstd shuffle/broadcast + ~9 MB Arrow batches: trade plentiful CPU
-        # for the scarce shared memory bandwidth (A/B'd in BENCH/BASELINE.md)
-        .config("spark.io.compression.codec", "zstd")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # NOTE: the zstd codec + 2048-row Arrow batches that win at 10^6-file
+        # scale (BENCH/BASELINE.md) LOSE at this sf's row counts — compression
+        # CPU with no bandwidth to save; config follows scale, so the small-SF
+        # bench keeps Spark defaults and the scale recipe lives in
+        # scripts/bench_scaling.py / scripts/run_dedup.py
         .getOrCreate()
     )
 

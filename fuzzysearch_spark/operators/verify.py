@@ -167,15 +167,14 @@ def verify_pairs(
         .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
     )
 
-    # round-robin spread ahead of the DP kernel: the UDF is row-local, but
-    # the join output is hash-partitioned on pair ids and inherits the
+    # even spread ahead of the DP kernel: the UDF is row-local, but the
+    # join output is hash-partitioned on pair ids and inherits the
     # candidate graph's hot-doc skew (one popular file appears in thousands
     # of pairs) — a straggler task serializing the python stage costs far
-    # more than this one extra pass over candidate content. Partition count
-    # follows cluster parallelism, never a constant; 4 waves give the
-    # scheduler room to pack uneven pair sizes.
-    n_parts = 4 * with_content.sparkSession.sparkContext.defaultParallelism
-    balanced = with_content.repartition(n_parts)
+    # more than this one extra pass over candidate content. The REBALANCE
+    # hint lets AQE size partitions to the data (advisory bytes at corpus
+    # scale, a handful of tasks at test SF) instead of a fixed count.
+    balanced = with_content.hint("rebalance")
 
     verify = _edit_dist_udf(cfg)
     return (

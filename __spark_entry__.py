@@ -173,6 +173,34 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference between the pigeonhole sub-band join and
+    brute-force all-pairs Hamming<=3 (both over the same simhashes).
+
+    The pigeonhole theorem (hamming <= k => >= 1 of k+1 sub-bands equal)
+    guarantees the banded join loses no pair, and the bit_count filter
+    guarantees it adds none — so the equi-join output must EXACTLY equal
+    the quadratic ground truth. The oracle pins emptiness, turning the
+    banding join into a hash-checked invariant in CORRECTNESS."""
+    from fuzzysearch_spark.functions.signatures import simhash_udf
+    from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
+
+    sigs = _docs(spark, sf_dir).select(
+        "doc_id", simhash_udf()(F.col("text")).alias("simhash")
+    )
+    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select("a_id", "b_id")
+    )
+    cands = simhash_near_dup_pairs(sigs, max_hamming=3).select("a_id", "b_id")
+    return truth.join(cands, ["a_id", "b_id"], "left_anti").unionByName(
+        cands.join(truth, ["a_id", "b_id"], "left_anti")
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-seeded block containment (substring dedup stage)."""
     from fuzzysearch_spark.operators.substring import (
@@ -183,6 +211,44 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     cands = containment_candidates(docs, min_shared=6)
     return containment_pairs(docs, cands, min_block_chars=120)
+
+
+def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-containment truth pairs (one doc's text appearing verbatim
+    inside a longer doc, contained side >= 300 chars) that the winnowing
+    containment stage MISSED. Deterministically empty: at k=16/w=8 a
+    300-char contained run yields >= 35 distinct shared fingerprints (one
+    hash can be the minimum of at most w windows), far above min_shared=6,
+    and the shared run >= 300 >= min_block_chars passes the verifier. The
+    oracle pins emptiness."""
+    from fuzzysearch_spark.operators.substring import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("small_id"), F.col("text").alias("small"))
+    b = docs.select(F.col("doc_id").alias("big_id"), F.col("text").alias("big"))
+    truth = (
+        a.where(F.length("small") >= 300)
+        .join(b, F.col("small_id") != F.col("big_id"))
+        .where(
+            (F.length("big") > F.length("small"))
+            & F.contains(F.col("big"), F.col("small"))
+        )
+        .select(
+            F.least("small_id", "big_id").alias("a_id"),
+            F.greatest("small_id", "big_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    content = docs.select("doc_id", F.col("text").alias("content"))
+    found = containment_pairs(
+        content,
+        containment_candidates(content, min_shared=6),
+        min_block_chars=120,
+    )
+    return truth.join(found, ["a_id", "b_id"], "left_anti")
 
 
 def q_find_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "lsh_recall_audit": q_lsh_recall_audit,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "simhash_equivalence_audit": q_simhash_equivalence_audit,
         "containment_pairs": q_containment_pairs,
+        "containment_recall_audit": q_containment_recall_audit,
         "find_near_matches": q_find_near_matches,
         "find_near_matches_chunked": q_find_near_matches_chunked,
         "find_exact_matches": q_find_exact_matches,
@@ -502,6 +570,17 @@ def oracle_sql() -> dict[str, str]:
         # emptiness pin: every ground-truth pair must appear among the LSH
         # candidates (the Spark side computes truth EXCEPT candidates)
         "lsh_recall_audit": """
+            SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+            WHERE FALSE
+        """,
+        # emptiness pins: banded simhash join must exactly equal brute-force
+        # Hamming<=3 (pigeonhole recall + bit_count precision); winnowing
+        # containment must catch every verbatim >=300-char containment
+        "simhash_equivalence_audit": """
+            SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+            WHERE FALSE
+        """,
+        "containment_recall_audit": """
             SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
             WHERE FALSE
         """,

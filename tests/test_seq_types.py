@@ -1,0 +1,83 @@
+"""BioPython ``Seq`` sequence-type support (search_exact.py:11-19 parity).
+
+BioPython is not installed in this environment, so these tests inject a
+minimal stand-in ``Bio.Seq.Seq`` (str-backed, ``.find``/``len``/indexing —
+the exact surface the reference relies on) and reload the kernel module to
+pick it up, verifying the gated-import path end to end.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+import pytest
+
+
+class _FakeSeq:
+    """Minimal Bio.Seq.Seq stand-in: str-backed find/len/getitem."""
+
+    def __init__(self, data: str):
+        self._data = str(data)
+
+    def find(self, sub, start=0, end=None):
+        sub = sub._data if isinstance(sub, _FakeSeq) else sub
+        return self._data.find(sub, start, end)
+
+    def __len__(self):
+        return len(self._data)
+
+    def __getitem__(self, i):
+        out = self._data[i]
+        return _FakeSeq(out) if isinstance(i, slice) else out
+
+    def __eq__(self, other):
+        other = other._data if isinstance(other, _FakeSeq) else other
+        return self._data == other
+
+    def __hash__(self):
+        return hash(self._data)
+
+
+@pytest.fixture()
+def exact_with_bio(monkeypatch):
+    """Reload kernels.exact with a stubbed Bio.Seq module visible."""
+    bio = types.ModuleType("Bio")
+    bio_seq = types.ModuleType("Bio.Seq")
+    bio_seq.Seq = _FakeSeq
+    bio.Seq = bio_seq
+    monkeypatch.setitem(sys.modules, "Bio", bio)
+    monkeypatch.setitem(sys.modules, "Bio.Seq", bio_seq)
+    import fuzzysearch_spark.kernels.exact as exact_mod
+
+    try:
+        yield importlib.reload(exact_mod)
+    finally:
+        monkeypatch.delitem(sys.modules, "Bio", raising=False)
+        monkeypatch.delitem(sys.modules, "Bio.Seq", raising=False)
+        importlib.reload(exact_mod)
+
+
+def test_seq_goes_through_find_path(exact_with_bio):
+    hay = _FakeSeq("GATTACAGATTACA")
+    assert _FakeSeq in exact_with_bio._FINDABLE
+    assert list(exact_with_bio.exact_find("GATTACA", hay)) == [0, 7]
+
+
+def test_seq_needle_and_window_clamping(exact_with_bio):
+    hay = _FakeSeq("GATTACAGATTACA")
+    needle = _FakeSeq("ACA")
+    assert list(exact_with_bio.exact_find(needle, hay)) == [4, 11]
+    # clamped window excludes the first occurrence
+    assert list(exact_with_bio.exact_find(needle, hay, start_index=5)) == [11]
+    # out-of-range indices clamp instead of raising, as in the reference
+    assert list(exact_with_bio.exact_find(needle, hay, start_index=-5, end_index=999)) == [4, 11]
+
+
+def test_without_bio_seq_raises_type_error():
+    from fuzzysearch_spark.kernels.exact import _FINDABLE, exact_find
+
+    assert _FakeSeq not in _FINDABLE
+    with pytest.raises(TypeError):
+        list(exact_find("ACA", _FakeSeq("GATTACA")))

@@ -225,10 +225,12 @@ def main() -> None:
         print(f"reusing pre-generated input {input_path}", file=sys.stderr)
 
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
-    results = {}
+    all_runs: dict[int, list[dict]] = {c: [] for c in CPU_LEVELS}
     try:
         # interleave levels across repeats so page-cache warmth and host
-        # noise hit both levels evenly; keep each level's best throughput
+        # noise hit both levels evenly; record EVERY repeat — host noise on
+        # identical runs spans +-18%, so the artifact carries best AND
+        # median estimators rather than a single cherry-picked number
         for rep in range(repeats):
             for cpus in CPU_LEVELS:
                 workdir = os.path.join(tmp, f"work_{cpus}_{rep}")
@@ -243,33 +245,85 @@ def main() -> None:
                     raise SystemExit(f"child local[{cpus}] failed")
                 r = json.loads(proc.stdout.strip().splitlines()[-1])
                 print(json.dumps(r), file=sys.stderr)
-                if cpus not in results or r["files_per_sec"] > results[cpus]["files_per_sec"]:
-                    results[cpus] = r
+                all_runs[cpus].append(r)
                 shutil.rmtree(workdir, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    lo, hi = CPU_LEVELS
-    tput_lo = results[lo]["files_per_sec"]
-    tput_hi = results[hi]["files_per_sec"]
-    efficiency = round((tput_hi / tput_lo) / (hi / lo), 4)
-    assert results[lo]["n_out"] == results[hi]["n_out"], "output diverged across parallelism"
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
+    lo, hi = CPU_LEVELS
+    best = {c: max(all_runs[c], key=lambda r: r["files_per_sec"]) for c in CPU_LEVELS}
+    med = {c: _median([r["files_per_sec"] for r in all_runs[c]]) for c in CPU_LEVELS}
+    efficiency = round(
+        (best[hi]["files_per_sec"] / best[lo]["files_per_sec"]) / (hi / lo), 4
+    )
+    efficiency_median = round((med[hi] / med[lo]) / (hi / lo), 4)
+    outs = {r["n_out"] for runs in all_runs.values() for r in runs}
+    assert len(outs) == 1, f"output diverged across parallelism/repeats: {outs}"
+
+    mode_exec = os.environ.get("SCALING_MODE", "executors") == "executors"
+    metric = (
+        f"scaling_efficiency_{max(1, lo // 4)}_to_{max(1, hi // 4)}_executors"
+        if mode_exec
+        else f"scaling_efficiency_{lo}_to_{hi}_cores"
+    )
     summary = {
-        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+        "metric": metric,
         "value": efficiency,
         "unit": "ratio",
-        "n_files": results[lo]["n_files"],
-        "runs": {f"local[{c}]": results[c] for c in CPU_LEVELS},
+        "n_files_desc": (
+            f"deterministic planted code corpus, seed={SEED}, "
+            f"funcs_per_file=({FUNCS_LO},{FUNCS_HI})"
+        ),
+        "method": (
+            "same job + same input, fresh JVM tree per run, "
+            f"local-cluster[{max(1, lo // 4)},4] vs local-cluster[{max(1, hi // 4)},4] "
+            f"({lo} vs {hi} cores), checkpoint_mode="
+            + os.environ.get("SCALING_CHECKPOINT_MODE", "memory")
+            + ", zstd io codec, 2048-row Arrow batches, "
+            "-XX:ActiveProcessorCount=4 per executor"
+            if mode_exec
+            else f"same job + same input, fresh JVM per run, local[{lo}] vs local[{hi}]"
+        ),
+        "estimator": (
+            f"best throughput per level over {repeats} interleaved repeats "
+            "(host noise on identical runs spans +-18%); median estimator "
+            "recorded alongside"
+        ),
+        "value_median_estimator": efficiency_median,
+        "n_files": best[lo]["n_files"],
+        "runs": {
+            f"local[{c}]": {
+                "best_files_per_sec": best[c]["files_per_sec"],
+                "median_files_per_sec": round(med[c], 3),
+                "best_wall_sec": best[c]["wall_sec"],
+                "all_files_per_sec": [r["files_per_sec"] for r in all_runs[c]],
+                "best_run_stages": best[c].get("stages") or {},
+            }
+            for c in CPU_LEVELS
+        },
     }
-    # per-stage efficiency attribution (eager checkpoint mode fills stages)
-    lo_st = results[lo].get("stages") or {}
-    hi_st = results[hi].get("stages") or {}
-    if lo_st and hi_st:
-        summary["stage_efficiency"] = {
-            s: round((lo_st[s] / hi_st[s]) / (hi / lo), 4)
-            for s in lo_st
-            if hi_st.get(s)
+    # per-stage efficiency attribution (eager checkpoint mode fills stages):
+    # best-pair = each level's fastest observation of that stage, the
+    # noise-robust estimator for "can this stage scale"
+    if all(r.get("stages") for runs in all_runs.values() for r in runs):
+        stage_names = best[lo]["stages"].keys()
+        min_st = {
+            c: {s: min(r["stages"][s] for r in all_runs[c]) for s in stage_names}
+            for c in CPU_LEVELS
+        }
+        summary["stage_efficiency_best_pair"] = {
+            s: round((min_st[lo][s] / min_st[hi][s]) / (hi / lo), 4)
+            for s in stage_names
+        }
+        summary["stage_efficiency_best_runs"] = {
+            s: round((best[lo]["stages"][s] / best[hi]["stages"][s]) / (hi / lo), 4)
+            for s in stage_names
+            if best[hi]["stages"].get(s)
         }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:

@@ -467,6 +467,35 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over a deterministic media table:
+    real PPM/BMP/WAV/concatenated-PPM decode through mapInPandas, with
+    unsupported (compressed) payloads surfaced via fmt/decoded columns.
+    No SQL oracle (numpy codecs aren't SQL-expressible); pytest pins the
+    per-format decode behavior (tests/test_codecs.py, test_extras.py)."""
+    from fuzzysearch_spark.multimodal import extract_media_features, synthetic_media
+
+    media = synthetic_media(spark, n=90, seed=5)
+    return extract_media_features(media).select(
+        "media_id", "kind", "fmt", "decoded", "n_bytes",
+        F.size("feat").alias("feat_dim"),
+        "payload_sha",
+    )
+
+
+def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sampled-frame video decode (concatenated-PPM random access):
+    JVM-side magic filter + sequence/explode sampling, numpy frame decode
+    per Arrow batch. Rows-only check; pytest cross-checks frame features
+    against a driver-side decode."""
+    from fuzzysearch_spark.multimodal import frame_features, synthetic_media
+
+    media = synthetic_media(spark, n=90, seed=5)
+    return frame_features(media, every_nth=2).select(
+        "media_id", "frame_idx", F.size("feat").alias("feat_dim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -494,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_event_per_session": q_best_event_per_session,
         "top_value_users": q_top_value_users,
         "pricing_summary": q_pricing_summary,
+        "media_features": q_media_features,
+        "frame_features": q_frame_features,
     }
 
 

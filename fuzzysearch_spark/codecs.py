@@ -1,0 +1,357 @@
+"""Pure-numpy media codecs for the multimodal column family.
+
+No image/audio libraries exist in this environment, so the engine carries
+REAL decoders for the self-describing uncompressed formats that need none —
+binary header parsing + numpy reshapes only:
+
+* PPM (``P6``) / PGM (``P5``) binary images  → (H, W, C) uint8 arrays
+* BMP (uncompressed ``BI_RGB``, 24/32-bit)   → (H, W, 3) uint8 arrays
+* WAV (RIFF PCM, 8/16/32-bit)               → (n_samples, n_channels) float32
+* "PPMV" video: back-to-back P6 frames       → frame count / nth-frame decode
+
+Compressed formats (PNG/JPEG/MP3/...) are detected by magic bytes and raise
+``UnsupportedMediaError`` with a clear message — the boundary between "real
+capability" and "needs an external decoder" is explicit, per-format, and
+tested, instead of a blanket stub.
+
+Everything here is driver/executor-agnostic plain Python over ``bytes`` —
+the Spark side (mapInPandas batching, schemas, partitioning) lives in
+``fuzzysearch_spark.multimodal``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class UnsupportedMediaError(NotImplementedError):
+    """Raised for formats that require an external decoder library."""
+
+
+_COMPRESSED_MAGICS = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"ID3", "mp3"),
+    (b"\xff\xfb", "mp3"),
+    (b"OggS", "ogg"),
+    (b"fLaC", "flac"),
+    (b"\x00\x00\x00\x18ftyp", "mp4"),
+    (b"\x00\x00\x00\x20ftyp", "mp4"),
+)
+
+
+def sniff_format(payload: bytes) -> str:
+    """Best-effort container identification from magic bytes."""
+    if payload[:2] in (b"P6", b"P5"):
+        return "ppm" if payload[:2] == b"P6" else "pgm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    for magic, name in _COMPRESSED_MAGICS:
+        if payload[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def _require_known(payload: bytes, expect: tuple[str, ...]) -> str:
+    fmt = sniff_format(payload)
+    if fmt in expect:
+        return fmt
+    if fmt in {"png", "jpeg", "gif", "mp3", "ogg", "flac", "mp4"}:
+        raise UnsupportedMediaError(
+            f"{fmt} payloads need an external decoder library (none in this "
+            "environment); supported self-describing formats: ppm/pgm, bmp, wav"
+        )
+    raise ValueError(f"not a recognized {'/'.join(expect)} payload (sniffed {fmt!r})")
+
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+def _read_pnm_token(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited token, skipping ``#`` comments (PNM spec)."""
+    n = len(payload)
+    while pos < n:
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and not payload[pos : pos + 1].isspace():
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PNM header")
+    return payload[start:pos], pos
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """P6 → (H, W, 3) uint8; P5 → (H, W, 1) uint8. One frame only."""
+    arr, end = _decode_pnm_at(payload, 0)
+    return arr
+
+
+def _decode_pnm_at(payload: bytes, pos: int) -> tuple[np.ndarray, int]:
+    magic = payload[pos : pos + 2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PNM frame at offset {pos}")
+    channels = 3 if magic == b"P6" else 1
+    pos += 2
+    w_tok, pos = _read_pnm_token(payload, pos)
+    h_tok, pos = _read_pnm_token(payload, pos)
+    max_tok, pos = _read_pnm_token(payload, pos)
+    w, h, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
+    pos += 1  # single whitespace byte after maxval, per spec
+    n_bytes = w * h * channels
+    raster = payload[pos : pos + n_bytes]
+    if len(raster) != n_bytes:
+        raise ValueError("truncated PNM raster")
+    return (
+        np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels),
+        pos + n_bytes,
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → (H, W, 3) uint8 (RGB, top-down)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise UnsupportedMediaError(
+            f"compressed BMP (method {compression}) needs an external decoder"
+        )
+    if bpp not in (24, 32):
+        raise UnsupportedMediaError(f"{bpp}-bit BMP unsupported (24/32 only)")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3  # rows padded to 4 bytes
+    raster = payload[data_offset : data_offset + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    pix = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = pix[:, :, 2::-1]  # BGR(A) -> RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Any supported still-image payload → (H, W, C) uint8."""
+    fmt = _require_known(payload, ("ppm", "pgm", "bmp"))
+    return decode_pnm(payload) if fmt in ("ppm", "pgm") else decode_bmp(payload)
+
+
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WavData:
+    sample_rate: int
+    samples: np.ndarray  # (n_samples, n_channels) float32 in [-1, 1]
+
+
+def decode_wav(payload: bytes) -> WavData:
+    """RIFF/WAVE PCM (8/16/32-bit int, or 32-bit float) → normalized floats."""
+    _require_known(payload, ("wav",))
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        chunk_id = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise UnsupportedMediaError(
+            f"WAV format {audio_format}/{bits}-bit needs an external decoder"
+        )
+    usable = (len(x) // n_channels) * n_channels
+    return WavData(sample_rate, x[:usable].reshape(-1, n_channels))
+
+
+# ---------------------------------------------------------------------------
+# "video": back-to-back P6 frames (the simplest honest moving-image container)
+# ---------------------------------------------------------------------------
+
+def video_frame_offsets(payload: bytes) -> list[int]:
+    """Byte offset of each P6 frame in a concatenated-PPM video payload."""
+    offsets = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"video payload: expected P6 frame at offset {pos}")
+        offsets.append(pos)
+        _, pos = _decode_pnm_at(payload, pos)
+    return offsets
+
+
+def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Decode ONE frame of a concatenated-PPM video without materializing
+    the rest (header walk is O(frames), raster decode is the one frame)."""
+    pos = 0
+    for i in range(frame_idx):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"video payload ends before frame {frame_idx}")
+        _, pos = _decode_pnm_at(payload, pos)  # walks, cost = header + view
+    arr, _ = _decode_pnm_at(payload, pos)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+N_IMAGE_FEATURES = 6 + 16  # dims/stats + 4x4 luma grid
+N_AUDIO_FEATURES = 6 + 8   # rate/stats + 8 energy bands
+
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) → fixed 22-dim vector: dims, channel stats, 4x4 luma grid.
+
+    The luma grid is a tiny perceptual embedding: near-duplicate images
+    (resized/re-encoded) land near each other in cosine space, which is what
+    the embedding-dedup operators consume downstream.
+    """
+    h, w, c = arr.shape
+    f = arr.astype(np.float32)
+    luma = f.mean(axis=2)
+    # average-pool to 4x4 via integral-free block means (handles any H, W)
+    ys = (np.arange(5) * h) // 4
+    xs = (np.arange(5) * w) // 4
+    grid = np.empty((4, 4), dtype=np.float32)
+    for i in range(4):
+        for j in range(4):
+            block = luma[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            grid[i, j] = block.mean()
+    head = np.array(
+        [w, h, c, f.mean(), f.std(), float(np.median(luma))], dtype=np.float32
+    )
+    return np.concatenate([head, (grid / 255.0).ravel()])
+
+
+def audio_features(wav: WavData) -> np.ndarray:
+    """WavData → fixed 14-dim vector: rate/shape stats + 8 temporal RMS bands."""
+    x = wav.samples.mean(axis=1)  # mono mixdown
+    n = len(x)
+    if n == 0:
+        return np.zeros(N_AUDIO_FEATURES, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(x**2)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    head = np.array(
+        [
+            wav.sample_rate,
+            n,
+            wav.samples.shape[1],
+            n / wav.sample_rate,
+            rms,
+            zcr,
+        ],
+        dtype=np.float32,
+    )
+    # 8 equal time slices -> per-slice RMS (coarse envelope signature)
+    edges = (np.arange(9) * n) // 8
+    bands = np.array(
+        [
+            float(np.sqrt(np.mean(x[edges[i] : max(edges[i + 1], edges[i] + 1)] ** 2)))
+            for i in range(8)
+        ],
+        dtype=np.float32,
+    )
+    return np.concatenate([head, bands])
+
+
+def decode_features(payload: bytes, kind: str) -> np.ndarray:
+    """Dispatch: real decode + feature extraction for a payload of ``kind``.
+
+    Raises ``UnsupportedMediaError`` for compressed formats — callers decide
+    whether to skip, quarantine, or fail the row.
+    """
+    if kind == "image":
+        return image_features(decode_image(payload))
+    if kind == "audio":
+        return audio_features(decode_wav(payload))
+    if kind == "video":
+        # signature frame = first frame (per-frame work goes through
+        # sample_frames + decode_video_frame)
+        return image_features(decode_video_frame(payload, 0))
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# deterministic encoders (test/corpus synthesis — the inverse direction)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("P6 encodes RGB only")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed bottom-up 24-bit BMP."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    raster = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + raster
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) float32 in [-1, 1] → 16-bit PCM RIFF/WAVE."""
+    samples = np.atleast_2d(np.asarray(samples, dtype=np.float32))
+    if samples.shape[0] < samples.shape[1]:
+        samples = samples.T
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    n_ch = samples.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n_frames, H, W, 3) uint8 → concatenated-PPM video payload."""
+    return b"".join(encode_ppm(f) for f in np.asarray(frames, dtype=np.uint8))

@@ -1,12 +1,22 @@
 """Multimodal (binary) column plumbing: decode / feature / frame-sample.
 
-Treats image/audio/video payloads as opaque ``binary`` columns with typed
+Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed through ``mapInPandas`` so each Arrow batch is handled
-vectorized. The actual media decoding is STUBBED (no image/audio libraries
-in this container): ``decode_stub=True`` substitutes a deterministic fake
-decoder (byte-histogram features) so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is real and tested; installing a
-real decoder only swaps the inner function.
+vectorized. Decoding is REAL for self-describing uncompressed formats —
+PPM/PGM/BMP images, RIFF PCM WAV audio, concatenated-PPM video
+(``fuzzysearch_spark.codecs``, pure-numpy header parsing, no media
+libraries needed). Compressed formats (PNG/JPEG/MP3/...) are detected by
+magic bytes; what happens to them is an explicit per-call policy:
+
+* ``decoder="auto"``      — real decode where possible, deterministic
+  byte-histogram fallback otherwise; the output row says which happened
+  (``decoded`` boolean + sniffed ``fmt``), so fallbacks are visible data,
+  never silent.
+* ``decoder="strict"``    — compressed/undecodable payloads fail the task
+  with the codec's ``UnsupportedMediaError`` (install an external decoder
+  and extend ``codecs.decode_features`` to widen coverage).
+* ``decoder="histogram"`` — metadata-only mode: byte histograms for every
+  row (cheap corpus triage before committing to a decode pass).
 """
 
 from __future__ import annotations
@@ -23,12 +33,15 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, feat array<float>, n_bytes int, payload_sha string"
+    "media_id long, kind string, fmt string, decoded boolean, "
+    "feat array<float>, n_bytes int, payload_sha string"
 )
 
+FRAME_FEATURE_SCHEMA = "media_id long, frame_idx int, feat array<float>"
 
-def _fake_decode_features(payload: bytes, n_bins: int = 16) -> np.ndarray:
-    """Deterministic stand-in for a real decode+embed: byte histogram."""
+
+def _histogram_features(payload: bytes, n_bins: int = 16) -> np.ndarray:
+    """Decode-free fallback: normalized high-nibble byte histogram."""
     if not payload:
         return np.zeros(n_bins, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -36,31 +49,46 @@ def _fake_decode_features(payload: bytes, n_bins: int = 16) -> np.ndarray:
     return hist / hist.sum()
 
 
-def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """binary payload -> fixed-width feature vector via mapInPandas.
+def extract_media_features(media: DataFrame, decoder: str = "auto") -> DataFrame:
+    """binary payload → feature vector via mapInPandas (policy above).
 
-    With ``decode_stub=False`` raises NotImplementedError inside the task
-    (clearly marked: a real decoder goes there).
+    Output feature width depends on what ran: 22 floats for decoded
+    image/video (dims + channel stats + 4x4 luma grid), 14 for decoded
+    audio (rate/shape + temporal RMS bands), 16 for the histogram fallback;
+    ``decoded``/``fmt`` make the provenance explicit per row.
     """
+    if decoder not in ("auto", "strict", "histogram"):
+        raise ValueError(f"unknown decoder policy {decoder!r}")
     import hashlib
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fuzzysearch_spark import codecs
+
         for pdf in batches:
-            feats, shas, sizes = [], [], []
-            for payload in pdf["payload"]:
+            fmts, decoded, feats, shas, sizes = [], [], [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 payload = bytes(payload) if payload is not None else b""
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real media decoding requires an image/audio library; "
-                        "install one and replace _fake_decode_features"
-                    )
-                feats.append(_fake_decode_features(payload).tolist())
+                fmts.append(codecs.sniff_format(payload))
                 shas.append(hashlib.sha256(payload).hexdigest())
                 sizes.append(len(payload))
+                if decoder == "histogram":
+                    feats.append(_histogram_features(payload).tolist())
+                    decoded.append(False)
+                    continue
+                try:
+                    feats.append(codecs.decode_features(payload, kind).tolist())
+                    decoded.append(True)
+                except (codecs.UnsupportedMediaError, ValueError):
+                    if decoder == "strict":
+                        raise
+                    feats.append(_histogram_features(payload).tolist())
+                    decoded.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
+                    "fmt": fmts,
+                    "decoded": pd.array(decoded, dtype="boolean"),
                     "feat": feats,
                     "n_bytes": pd.array(sizes, dtype="int32"),
                     "payload_sha": shas,
@@ -73,8 +101,8 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
 def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame index.
 
-    Pure JVM (sequence + explode on metadata); the per-frame decode is the
-    stubbed step above.
+    Pure JVM (sequence + explode on metadata); pair with
+    ``frame_features`` for the per-frame decode.
     """
     return media.where(F.col("kind") == "video").select(
         "media_id",
@@ -88,16 +116,76 @@ def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
+def frame_features(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """REAL per-sampled-frame decode for concatenated-PPM video payloads:
+    (media_id, frame_idx, 22-dim luma-grid feature) via mapInPandas.
+
+    The sampled-index table joins back to the payload so each Arrow batch
+    decodes only its own frames (header walk + one raster per row) — the
+    distributed shape of a video feature-extraction stage, with the decode
+    genuinely running.
+
+    Only frame-addressable payloads (binary-PNM magic) enter the decode:
+    the magic-byte filter runs JVM-side BEFORE the payload join, so
+    compressed videos never shuffle. They are not silently lost — their
+    format/decodability is per-row data in ``extract_media_features``.
+    """
+    decodable = media.where(
+        F.startswith(F.col("payload"), F.lit(bytearray(b"P6")))
+    )
+    sampled = sample_frames(decodable, every_nth).join(
+        decodable.select("media_id", "payload"), "media_id"
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fuzzysearch_spark import codecs
+
+        for pdf in batches:
+            feats = [
+                codecs.image_features(
+                    codecs.decode_video_frame(bytes(payload), int(idx))
+                ).tolist()
+                for payload, idx in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pd.array(pdf["frame_idx"], dtype="int32"),
+                    "feat": feats,
+                }
+            )
+
+    return sampled.mapInPandas(_frames, schema=FRAME_FEATURE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 5):
-    """Deterministic fake media table for tests (binary payloads)."""
+    """Deterministic media table with REAL payloads for tests/benches:
+    PPM/BMP images, PCM WAV audio, concatenated-PPM video — plus every 7th
+    row a PNG-magic payload to exercise the unsupported-format policy."""
+    from fuzzysearch_spark import codecs
+
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
-        rows.append(
-            (i, kind, int(rng.integers(16, 512)), int(rng.integers(16, 512)),
-             int(rng.integers(1, 300)) if kind == "video" else 1, bytearray(payload))
-        )
+        if i % 7 == 0:
+            w, h, frames = 0, 0, 1
+            payload = b"\x89PNG\r\n\x1a\n" + rng.integers(
+                0, 256, size=128, dtype=np.uint8
+            ).tobytes()
+        elif kind == "image":
+            w, h, frames = int(rng.integers(8, 48)), int(rng.integers(8, 48)), 1
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = codecs.encode_ppm(img) if i % 2 else codecs.encode_bmp(img)
+        elif kind == "audio":
+            w, h, frames = 0, 0, 1
+            samples = rng.uniform(-0.8, 0.8, (int(rng.integers(256, 4096)), 1))
+            payload = codecs.encode_wav(samples.astype(np.float32), 8000)
+        else:
+            w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            frames = int(rng.integers(2, 9))
+            clip = rng.integers(0, 256, (frames, h, w, 3), dtype=np.uint8)
+            payload = codecs.encode_video(clip)
+        rows.append((i, kind, w, h, frames, bytearray(payload)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

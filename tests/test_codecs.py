@@ -1,0 +1,100 @@
+"""Pure-numpy media codec tests (no Spark): round-trips, format policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fuzzysearch_spark import codecs as C
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_ppm_roundtrip(rng):
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_image(C.encode_ppm(img)), img)
+
+
+def test_ppm_header_comments_and_whitespace(rng):
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    payload = b"P6 # trailing comment\n# full-line comment\n 17  13\n255\n" + img.tobytes()
+    assert np.array_equal(C.decode_pnm(payload), img)
+
+
+def test_pgm_grayscale(rng):
+    gray = rng.integers(0, 256, (9, 9, 1), dtype=np.uint8)
+    assert np.array_equal(C.decode_image(b"P5\n9 9\n255\n" + gray.tobytes()), gray)
+
+
+def test_bmp_roundtrip_with_row_padding(rng):
+    # width 17 -> 51-byte rows padded to 52: exercises the stride logic
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_image(C.encode_bmp(img)), img)
+
+
+def test_wav_roundtrip_stereo(rng):
+    x = rng.uniform(-0.5, 0.5, (1000, 2)).astype(np.float32)
+    w = C.decode_wav(C.encode_wav(x, 8000))
+    assert w.sample_rate == 8000
+    assert w.samples.shape == (1000, 2)
+    assert np.allclose(w.samples, x, atol=1.0 / 32767)
+
+
+def test_video_frame_walk_and_random_access(rng):
+    frames = rng.integers(0, 256, (5, 8, 8, 3), dtype=np.uint8)
+    v = C.encode_video(frames)
+    assert len(C.video_frame_offsets(v)) == 5
+    for i in (0, 3, 4):
+        assert np.array_equal(C.decode_video_frame(v, i), frames[i])
+    with pytest.raises(ValueError):
+        C.decode_video_frame(v, 5)
+
+
+def test_feature_shapes(rng):
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    x = rng.uniform(-0.5, 0.5, (1000, 2)).astype(np.float32)
+    v = C.encode_video(rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8))
+    assert C.decode_features(C.encode_ppm(img), "image").shape == (C.N_IMAGE_FEATURES,)
+    assert C.decode_features(C.encode_wav(x, 8000), "audio").shape == (C.N_AUDIO_FEATURES,)
+    assert C.decode_features(v, "video").shape == (C.N_IMAGE_FEATURES,)
+
+
+def test_features_deterministic(rng):
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    a = C.image_features(img)
+    b = C.image_features(img.copy())
+    assert np.array_equal(a, b)
+    # near-duplicate images stay near in the luma-grid embedding
+    noisy = np.clip(img.astype(np.int16) + rng.integers(-4, 5, img.shape), 0, 255).astype(np.uint8)
+    ga, gn = a[6:], C.image_features(noisy)[6:]
+    cos = float(np.dot(ga, gn) / (np.linalg.norm(ga) * np.linalg.norm(gn)))
+    assert cos > 0.99
+
+
+def test_compressed_formats_raise_unsupported(rng):
+    png = b"\x89PNG\r\n\x1a\n" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    with pytest.raises(C.UnsupportedMediaError, match="external decoder"):
+        C.decode_image(png)
+    with pytest.raises(C.UnsupportedMediaError):
+        C.decode_features(b"ID3" + b"\x00" * 64, "audio")
+    assert C.sniff_format(png) == "png"
+
+
+def test_garbage_raises_value_error():
+    with pytest.raises(ValueError):
+        C.decode_image(b"\x01\x02\x03garbage")
+    with pytest.raises(ValueError):
+        C.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_truncated_payloads_raise():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = C.encode_ppm(img)
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_pnm(good[:-5])
+    bmp = C.encode_bmp(img)
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_bmp(bmp[:-5])

@@ -115,16 +115,29 @@ def test_find_near_matches_df_matches_kernel(spark):
     assert got == expected
 
 
-def test_multimodal_feature_extraction(spark):
+def test_multimodal_real_decode_features(spark):
     from fuzzysearch_spark.multimodal import extract_media_features, sample_frames, synthetic_media
 
     media = synthetic_media(spark, n=30)
     feats = extract_media_features(media).collect()
     assert len(feats) == 30
+    widths = {"image": 22, "video": 22, "audio": 14}
+    n_decoded = 0
     for r in feats:
-        assert len(r["feat"]) == 16
-        assert abs(sum(r["feat"]) - 1.0) < 1e-5
         assert len(r["payload_sha"]) == 64
+        if r["decoded"]:
+            n_decoded += 1
+            assert r["fmt"] in ("ppm", "pgm", "bmp", "wav")
+            assert len(r["feat"]) == widths[r["kind"]]
+        else:
+            # unsupported-format fallback: PNG magic rows, histogram width
+            assert r["fmt"] == "png"
+            assert len(r["feat"]) == 16
+            assert abs(sum(r["feat"]) - 1.0) < 1e-5
+    # real decode ran for every supported payload (only the planted PNG
+    # rows fall back), and the fallback rows are visible, not silent
+    assert n_decoded == sum(1 for r in feats if r["fmt"] != "png")
+    assert 0 < n_decoded < 30
     # determinism
     feats2 = extract_media_features(media).collect()
     assert {r["media_id"]: r["payload_sha"] for r in feats} == {
@@ -135,14 +148,45 @@ def test_multimodal_feature_extraction(spark):
     assert all(r["frame_idx"] % 50 == 0 for r in frames)
 
 
-def test_multimodal_stub_raises_without_decoder(spark):
-    from fuzzysearch_spark.multimodal import extract_media_features, synthetic_media
-    from py4j.protocol import Py4JJavaError
+def test_multimodal_frame_features_decode_real_frames(spark):
+    import numpy as np
 
-    media = synthetic_media(spark, n=3)
+    from fuzzysearch_spark import codecs
+    from fuzzysearch_spark.multimodal import frame_features, synthetic_media
+
+    media = synthetic_media(spark, n=30)
+    out = frame_features(media, every_nth=2).collect()
+    assert out, "sampled frames expected"
+    # every sampled frame decoded to the 22-dim image feature
+    assert all(len(r["feat"]) == 22 for r in out)
+    # compressed (PNG-magic) video rows are pruned before the decode join
+    png_videos = {
+        r["media_id"]
+        for r in media.where("kind = 'video'").collect()
+        if codecs.sniff_format(bytes(r["payload"])) == "png"
+    }
+    assert png_videos, "synthetic corpus should plant compressed videos"
+    assert png_videos.isdisjoint({r["media_id"] for r in out})
+    # cross-check one row against a direct driver-side decode
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind = 'video'").collect()
+        if codecs.sniff_format(bytes(r["payload"])) == "ppm"
+    }
+    probe = next(r for r in out if r["media_id"] in payloads)
+    expect = codecs.image_features(
+        codecs.decode_video_frame(payloads[probe["media_id"]], probe["frame_idx"])
+    )
+    assert np.allclose(np.array(probe["feat"], dtype=np.float32), expect)
+
+
+def test_multimodal_strict_policy_raises_on_compressed(spark):
+    from fuzzysearch_spark.multimodal import extract_media_features, synthetic_media
+
+    media = synthetic_media(spark, n=3)  # row 0 carries the PNG magic payload
     with pytest.raises(Exception) as exc_info:
-        extract_media_features(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "real media decoding" in str(exc_info.value)
+        extract_media_features(media, decoder="strict").collect()
+    assert "external decoder" in str(exc_info.value)
 
 
 def test_streaming_exact_dedup_matches_batch(spark, tmp_path):

@@ -9,8 +9,10 @@ Mirrors the reference's filter-then-verify ladder at pair granularity:
    (/root/reference/src/fuzzysearch/substitutions_only.py:82-136);
 3. the fuzzysearch-derived bounded edit-distance verifier
    (kernels/pairdist.py, semantics of levenshtein_ngram.py:77-143) inside an
-   Arrow-batched pandas UDF — contents are only shuffled for pairs that
-   survive 1-2.
+   Arrow-batched mapInPandas — content is fetched once per surviving pair
+   side and regrouped by the (unique, hence uniformly hashing) pair key, so
+   hot-doc candidate skew cannot serialize the kernel stage and no
+   rebalance pass re-shuffles content.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @dataclass(frozen=True)
@@ -36,11 +39,12 @@ class VerifyConfig:
     max_l_dist: int = 4
     rel_dist: float | None = None
     simhash_max_hamming: int | None = None
-    # candidate-id sets up to this size are broadcast for the content
-    # semi-join; above it the join falls back to a shuffle semi-join (the
-    # session's runtime bloom filter, on by default in Spark 3.3+, prunes the
-    # content scan side). ~2M longs is a few tens of MB serialized — well
-    # inside executor broadcast budgets, far outside driver-OOM territory.
+    # light pair-side tables up to this many rows are broadcast for the
+    # content join (map-side over the corpus scan — content never shuffles
+    # for the join); above it the join falls back to a shuffle join that the
+    # session's runtime bloom filter, on by default in Spark 3.3+, prunes.
+    # ~2M light rows is a few tens of MB serialized — well inside executor
+    # broadcast budgets, far outside driver-OOM territory.
     broadcast_ids_max: int = 2_000_000
 
     def pair_cap(self, len_a: int, len_b: int) -> int:
@@ -50,23 +54,53 @@ class VerifyConfig:
         return k
 
 
-def _edit_dist_udf(cfg: VerifyConfig):
-    from pyspark.sql.functions import pandas_udf
+def _pair_and_verify_fn(cfg: VerifyConfig):
+    """mapInPandas body: pair up the two per-pair content rows, run the DP.
 
+    Input rows (one partition, Arrow-batched): (a_id, b_id, side, c) where
+    every surviving pair contributed exactly two rows hash-co-located by
+    (a_id, b_id). ``pending`` holds contents whose partner row hasn't
+    streamed past yet — bounded by the partition's content bytes (AQE sizes
+    those to the advisory target), released as soon as the partner arrives.
+    Rows whose partner never arrives (id absent from ``docs``) are dropped,
+    matching inner-join semantics.
+    """
     from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance
 
-    @pandas_udf("long")
-    def _verify(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for content_a, content_b in batches:
-            out = []
-            for a, b in zip(content_a, content_b):
-                a = a or ""
-                b = b or ""
-                k = cfg.pair_cap(len(a), len(b))
-                out.append(bounded_edit_distance(a, b, k))
-            yield pd.Series(out, dtype="Int64")
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: dict = {}
+        for pdf in batches:
+            out_a, out_b, out_d = [], [], []
+            for a, b, side, c in zip(
+                pdf["a_id"], pdf["b_id"], pdf["side"], pdf["c"]
+            ):
+                k = (a, b)
+                entry = pending.get(k)
+                if entry is None:
+                    pending[k] = [(side, c)]
+                    continue
+                i = next(
+                    (j for j, (s, _) in enumerate(entry) if s != side), None
+                )
+                if i is None:  # duplicate input pair: queue for its own twin
+                    entry.append((side, c))
+                    continue
+                _, other = entry.pop(i)
+                if not entry:
+                    del pending[k]
+                ca = (c if side == 0 else other) or ""
+                cb = (other if side == 0 else c) or ""
+                d = bounded_edit_distance(ca, cb, cfg.pair_cap(len(ca), len(cb)))
+                if d is not None:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_d.append(d)
+            if out_a:
+                yield pd.DataFrame(
+                    {"a_id": out_a, "b_id": out_b, "dist": out_d}
+                )
 
-    return _verify
+    return _run
 
 
 def verify_pairs(
@@ -131,54 +165,65 @@ def verify_pairs(
 
     surviving = p.select("a_id", "b_id")
 
-    # shuffle only candidate-pair contents: the id-set semi-join keeps the
-    # (dominant) content bytes of non-candidate documents out of the verify
-    # joins — at corpus scale candidates are a sliver of the corpus and this
-    # is the difference between shuffling gigabytes and shuffling everything.
-    # The join strategy is size-gated: a small id set (the normal case) runs
-    # map-side as a broadcast over the corpus scan; an id set beyond
-    # cfg.broadcast_ids_max (dedup-heavy extreme corpora, where an
-    # unconditional broadcast would OOM the driver) falls back to a shuffle
-    # semi-join, which the session's runtime bloom filter
-    # (spark.sql.optimizer.runtime.bloomFilter.enabled) turns into a
-    # bloom-pruned scan of the content side.
-    # derive the id set from the *input* pairs (checkpointed/cached by the
-    # caller), not the filtered plan: a slightly larger superset, but no
-    # recomputation of the filter joins on a second traversal. The persist
-    # makes the gating count also materialize the ids, so the pairs plan is
-    # traversed once for the id set (ids are light: one long column).
-    pair_ids = (
-        pairs.select(F.col("a_id").alias("doc_id"))
-        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-        .persist()
+    # Content moves through exactly ONE join and ONE regroup — the minimum:
+    #
+    # 1. ``sides`` — each surviving pair exploded into two LIGHT rows
+    #    (a_id, b_id, side, doc_id). This replaces the round-1/2 design's
+    #    id-set semi-join + two content joins + REBALANCE (the rebalance
+    #    alone re-shuffled 2x candidate content; event-log digests showed
+    #    its shuffle WRITE costing more task time than the DP kernel).
+    # 2. One inner join ``sides ⋈ docs`` attaches content. Size-gated:
+    #    below cfg.broadcast_ids_max side-rows the light table broadcasts
+    #    and the join is map-side over the corpus scan — content bytes do
+    #    not shuffle AT ALL here; above it (dedup-heavy extreme corpora,
+    #    where the broadcast would OOM the driver) it falls back to a
+    #    shuffle join, which the session's runtime bloom filter prunes.
+    # 3. ``repartition(a_id, b_id)`` regroups the two content rows of each
+    #    pair. Pair keys are UNIQUE, so the hash partitioning is uniform by
+    #    construction — hot-doc candidate-graph skew (one popular file in
+    #    thousands of pairs) structurally cannot concentrate work in one
+    #    task, with no rebalance pass and no salting. AQE coalesces the
+    #    regroup to advisory-sized partitions at any scale.
+    # 4. A single mapInPandas pairs the rows back up and runs the DP
+    #    kernel in the same python stage — no (content_a, content_b) wide
+    #    frame ever materializes.
+    #
+    # Derive ``sides`` from the *input* pairs joined back to the surviving
+    # keys? No: the light-filter joins are cheap and the caller checkpoints
+    # ``pairs``; the gating count below traverses the light plan once.
+    sides = surviving.select(
+        "a_id",
+        "b_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("side"), F.col("a_id").alias("doc_id")
+                ),
+                F.struct(
+                    F.lit(1).alias("side"), F.col("b_id").alias("doc_id")
+                ),
+            )
+        ).alias("s"),
+    ).select("a_id", "b_id", F.col("s.side").alias("side"), F.col("s.doc_id").alias("doc_id"))
+
+    n_side_rows = 2 * pairs.count()
+    sides_for_join = (
+        F.broadcast(sides) if n_side_rows <= cfg.broadcast_ids_max else sides
     )
-    n_ids = pair_ids.count()
-    ids_for_join = (
-        F.broadcast(pair_ids) if n_ids <= cfg.broadcast_ids_max else pair_ids
-    )
-    contents = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("c"))
-        .join(ids_for_join, "doc_id", "left_semi")
-    )
-    with_content = (
-        surviving
-        .join(contents.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "content_a"), "a_id")
-        .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
+    with_content = sides_for_join.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(content_col).alias("c")
+        ),
+        "doc_id",
     )
 
-    # even spread ahead of the DP kernel: the UDF is row-local, but the
-    # join output is hash-partitioned on pair ids and inherits the
-    # candidate graph's hot-doc skew (one popular file appears in thousands
-    # of pairs) — a straggler task serializing the python stage costs far
-    # more than this one extra pass over candidate content. The REBALANCE
-    # hint lets AQE size partitions to the data (advisory bytes at corpus
-    # scale, a handful of tasks at test SF) instead of a fixed count.
-    balanced = with_content.hint("rebalance")
+    regrouped = with_content.repartition("a_id", "b_id")
 
-    verify = _edit_dist_udf(cfg)
-    return (
-        balanced.withColumn("dist", verify("content_a", "content_b"))
-        .where(F.col("dist").isNotNull())
-        .select("a_id", "b_id", "dist")
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", pairs.schema["a_id"].dataType),
+            T.StructField("b_id", pairs.schema["b_id"].dataType),
+            T.StructField("dist", T.LongType()),
+        ]
     )
+    return regrouped.mapInPandas(_pair_and_verify_fn(cfg), schema=out_schema)

@@ -61,7 +61,11 @@ def generate_input(path: str) -> int:
         k: [r[k] for r in planted.rows]
         for k in ("repo", "path", "commit", "lang", "content")
     }
-    pq.write_table(pa.table(cols), path, row_group_size=max(N_FILES // 64, 1))
+    # ~256 row groups (~6 MB each at default doc sizes): scan splits can't
+    # be finer than a row group, and 64 fat groups left the signature stage
+    # with 23 MB-grained tasks — event logs showed a 39 s straggler closing
+    # a 16-core wave (avg task 8.7 s). Finer groups pack the last wave tight.
+    pq.write_table(pa.table(cols), path, row_group_size=max(N_FILES // 256, 1))
     return len(planted.rows)
 
 

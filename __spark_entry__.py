@@ -321,6 +321,19 @@ def q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "neighbor_id", "cosine")
 
 
+def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor: seeded k-means coarse quantizer
+    (trained on a hash-bounded sample), home-list assignment map-side,
+    n_probe-list candidate join, exact cosine re-rank. No SQL oracle
+    (iterative Lloyd training isn't SQL-expressible); pytest pins recall
+    >= 0.9 and determinism vs the brute-force oracle
+    (tests/test_extras.py::test_ivf_top1_recall_vs_bruteforce)."""
+    from fuzzysearch_spark.operators.ivf import ivf_top1
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_top1(emb, n_centroids=16, n_probe=4, round_to=4)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.functions.text import token_count_col
 
@@ -514,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top1": q_cosine_top1,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_top1": q_ann_lsh_top1,
+        "ann_ivf_top1": q_ann_ivf_top1,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,

@@ -1,0 +1,204 @@
+"""IVF (inverted-file) approximate nearest neighbor over embedding columns.
+
+The third rung of the similarity-search scale ladder
+(``operators/ann.py`` holds the first two):
+
+* brute force — exact, quadratic; the oracle.
+* sign-LSH   — data-independent buckets; zero training cost.
+* **IVF**    — data-DEPENDENT buckets: a coarse k-means quantizer is
+  trained on a bounded sample, every vector is assigned to its nearest
+  centroid ("list"), and a query probes only its ``n_probe`` nearest
+  lists. Adapts to the data distribution, so for clustered corpora it
+  reaches the same recall as LSH with far fewer candidate pairs.
+
+Scale shape (the part that must survive 1000 executors):
+
+* Training touches a ``sample_cap``-bounded sample — constant driver/
+  broadcast cost regardless of corpus size. Lloyd iterations aggregate
+  per-partition partial sums (mapInPandas emitting ≤ n_centroids rows per
+  partition), so a full pass shuffles O(partitions × centroids) tiny rows,
+  never vectors.
+* Assignment is one map-side pass (centroid matrix rides in the UDF
+  closure — a few thousand × dim floats, far under broadcast budgets).
+* The probe step is an equi-join on ``cid`` — the same bucket-join shape
+  as LSH band joins; candidates per query = its n_probe list sizes.
+* k-means lists are size-skewed by nature (that is the point: dense
+  regions get their own lists); the re-rank join inherits LSH's pinned
+  join-key partitioning rule rather than trusting AQE to size an
+  exploding join by its input.
+
+Everything numeric is numpy inside Arrow batches; everything relational is
+DataFrame joins — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 4,
+    seed: int = 7,
+    sample_cap: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a bounded sample; returns the
+    (n_centroids, dim) float64 centroid matrix.
+
+    Init: the ``n_centroids`` rows with smallest ``xxhash64(vec_id, seed)``
+    — a seeded, order-independent pseudo-random draw (no Python RNG state,
+    so identical on every run and every cluster size). Sample: smallest
+    ``sample_cap`` hashes, same property. Empty clusters keep their
+    previous centroid (standard Lloyd fallback), so the result is always
+    exactly n_centroids rows.
+    """
+    hashed = embeddings.select(
+        F.col(vec_col).alias("vec"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+    )
+    sample = np.array(
+        [
+            np.asarray(r["vec"], dtype=np.float64)
+            for r in hashed.orderBy("h").limit(sample_cap).collect()
+        ]
+    )
+    if len(sample) == 0:
+        raise ValueError("cannot train IVF centroids on an empty table")
+    k = min(n_centroids, len(sample))
+    centroids = sample[:k].copy()  # smallest-hash rows (already sorted)
+    for _ in range(n_iters):
+        # one Lloyd step over the sample, driver-side numpy (the sample is
+        # bounded; the DISTRIBUTED partial-sum path below is used for
+        # assignment metrics at full scale)
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def assign_lists(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, probe_rank, cid) — each vector's ``n_probe`` nearest
+    centroid ids, nearest first (probe_rank 0 is the home list).
+
+    Map-side only: the centroid matrix rides in the closure; each Arrow
+    batch is one matmul.
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(cent))
+    cent_sq = (cent**2).sum(axis=1)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _as_matrix(pdf[vec_col])
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+            d2 = cent_sq[None, :] - 2.0 * (x @ cent.T)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy().repeat(n_probe),
+                    "probe_rank": np.tile(np.arange(n_probe, dtype=np.int32), n),
+                    "cid": order.astype(np.int32).ravel(),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _assign, schema="vec_id long, probe_rank int, cid int"
+    )
+
+
+def ivf_top1(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(vec_id, neighbor_id, cosine) — approximate top-1 via IVF probing.
+
+    Candidates for a query = members (home lists) of the query's
+    ``n_probe`` nearest lists; exact cosine re-rank on candidates only.
+    Ties broken by smaller neighbor id, matching
+    ``cosine_topk_bruteforce``. Vectors whose probed lists contain no
+    other member emit no row (recall/coverage is pytest-pinned against
+    the brute-force oracle; raise ``n_probe`` to trade cost for recall).
+    """
+    spark = embeddings.sparkSession
+    centroids = train_centroids(
+        embeddings, n_centroids, n_iters, seed, id_col=id_col, vec_col=vec_col
+    )
+    probes = assign_lists(embeddings, centroids, n_probe, id_col, vec_col)
+    home = (
+        probes.where(F.col("probe_rank") == 0)
+        .select(F.col("vec_id").alias("neighbor_id"), "cid")
+    )
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    # bucket join, exploding like the LSH band join: pin its join-key
+    # partitioning so AQE doesn't size the exchange by the (small) input
+    par = 4 * spark.sparkContext.defaultParallelism
+    cand = (
+        probes.repartition(par, "cid")
+        .join(home.repartition(par, "cid"), "cid")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()  # a neighbor can appear in several probed lists
+    )
+
+    from fuzzysearch_spark.operators.ann import _dot, _norm  # JVM-side HOFs
+
+    scored = (
+        cand.join(base, "vec_id")
+        .join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("vec"), F.col("nvec"))
+                / (_norm(F.col("vec")) * _norm(F.col("nvec"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -57,6 +57,49 @@ def test_lsh_ann_recall_vs_bruteforce(spark, embeddings):
     assert len(single) <= len(exact)
 
 
+def test_ivf_top1_recall_vs_bruteforce(spark, embeddings):
+    """IVF with enough probes must recover (nearly) every brute-force
+    top-1 on a clustered corpus, deterministically."""
+    from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce
+    from fuzzysearch_spark.operators.ivf import ivf_top1
+
+    truth = {
+        r["vec_id"]: (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_bruteforce(embeddings, k=1).collect()
+    }
+    got = {
+        r["vec_id"]: (r["neighbor_id"], r["cosine"])
+        for r in ivf_top1(embeddings, n_centroids=10, n_probe=3).collect()
+    }
+    assert len(got) == len(truth)  # full coverage at n_probe=3
+    hits = sum(1 for v, t in truth.items() if got.get(v) == t)
+    assert hits / len(truth) >= 0.9
+    # determinism: seeded hash init + fixed Lloyd iterations
+    again = {
+        r["vec_id"]: (r["neighbor_id"], r["cosine"])
+        for r in ivf_top1(embeddings, n_centroids=10, n_probe=3).collect()
+    }
+    assert got == again
+
+
+def test_ivf_assign_lists_shape(spark, embeddings):
+    from fuzzysearch_spark.operators.ivf import assign_lists, train_centroids
+
+    cent = train_centroids(embeddings, n_centroids=5)
+    assert cent.shape == (5, 32)
+    probes = assign_lists(embeddings, cent, n_probe=2).collect()
+    n_vecs = embeddings.count()
+    assert len(probes) == 2 * n_vecs
+    by_vec = {}
+    for r in probes:
+        by_vec.setdefault(r["vec_id"], []).append((r["probe_rank"], r["cid"]))
+    for ranks in by_vec.values():
+        ranks.sort()
+        assert [pr for pr, _ in ranks] == [0, 1]
+        assert ranks[0][1] != ranks[1][1]  # two distinct lists probed
+        assert all(0 <= cid < 5 for _, cid in ranks)
+
+
 def test_embedding_near_dup_pairs_threshold(spark, embeddings):
     from fuzzysearch_spark.operators.ann import embedding_near_dup_pairs
 

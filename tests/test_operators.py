@@ -167,6 +167,64 @@ def test_lsh_salting_planted_recall(spark):
     assert [(r["bucket_size"], r["action"]) for r in rep] == [(20, "salted")]
 
 
+def test_verify_pairs_cross_batch_and_edge_cases(spark):
+    """The pair-up mapInPandas must pair rows across Arrow batch
+    boundaries, keep duplicate input pairs, drop pairs whose partner id is
+    absent from docs (inner-join semantics), and work for non-long ids."""
+    from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
+
+    n = 50
+    docs = spark.createDataFrame(
+        [(i, f"common shared content number {i % 7} tail") for i in range(n)],
+        ["doc_id", "content"],
+    )
+    pair_rows = [(i, i + 7) for i in range(n - 7)]
+    pair_rows.append((0, 7))  # duplicate of an existing pair
+    pair_rows.append((3, 999))  # partner missing from docs
+    pairs = spark.createDataFrame(pair_rows, ["a_id", "b_id"])
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = [
+            tuple(r)
+            for r in verify_pairs(
+                pairs, docs, VerifyConfig(max_l_dist=4)
+            ).collect()
+        ]
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance
+
+    texts = {i: f"common shared content number {i % 7} tail" for i in range(n)}
+    expected = []
+    for a, b in pair_rows:
+        if b == 999:
+            continue  # dropped: no partner content
+        d = bounded_edit_distance(texts[a], texts[b], 4)
+        if d is not None:
+            expected.append((a, b, d))
+    assert sorted(got) == sorted(expected)
+    assert (0, 7, 0) in got and got.count((0, 7, 0)) == 2  # duplicate kept
+
+
+def test_verify_pairs_string_ids(spark):
+    """Output id columns inherit the pairs schema (not hardcoded long)."""
+    from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
+
+    docs = spark.createDataFrame(
+        [("x", "hello world"), ("y", "hello worlds"), ("z", "unrelated")],
+        ["doc_id", "content"],
+    )
+    pairs = spark.createDataFrame([("x", "y"), ("x", "z")], ["a_id", "b_id"])
+    got = sorted(
+        map(tuple, verify_pairs(pairs, docs, VerifyConfig(max_l_dist=2)).collect())
+    )
+    assert got == [("x", "y", 1)]
+
+
 def test_verify_pairs_shuffle_semi_join_path(spark):
     """Forcing the id set over broadcast_ids_max must give identical results
     through the shuffle semi-join fallback."""

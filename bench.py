@@ -123,6 +123,7 @@ def main():
         "find_exact_matches",
         "cosine_top1",
         "ann_lsh_top1",
+        "ann_ivf_top1",
         "token_counts",
         "quality_scores",
         "lang_id",

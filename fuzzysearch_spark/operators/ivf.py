@@ -164,11 +164,18 @@ def ivf_top1(
         F.col(vec_col).alias("vec"),
     )
     # bucket join, exploding like the LSH band join: pin its join-key
-    # partitioning so AQE doesn't size the exchange by the (small) input
-    par = 4 * spark.sparkContext.defaultParallelism
+    # partitioning so AQE doesn't size the exchange by the (small) input —
+    # but only past broadcast territory (Catalyst's own size estimate),
+    # where the pin buys wave-width instead of costing two extra shuffles
+    from fuzzysearch_spark.operators.lsh import PIN_PARTITIONING_MIN_BYTES
+    from fuzzysearch_spark.util import estimated_plan_bytes
+
+    if estimated_plan_bytes(embeddings) > PIN_PARTITIONING_MIN_BYTES:
+        par = 4 * spark.sparkContext.defaultParallelism
+        probes = probes.repartition(par, "cid")
+        home = home.repartition(par, "cid")
     cand = (
-        probes.repartition(par, "cid")
-        .join(home.repartition(par, "cid"), "cid")
+        probes.join(home, "cid")
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
         .distinct()  # a neighbor can appear in several probed lists

@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fuzzysearch_spark.functions.signatures import SignatureConfig, band_keys_col, minhash_udf
+from fuzzysearch_spark.util import estimated_plan_bytes
+
+# exploding self-joins pin their join-key partitioning only when the input
+# estimate is past broadcast/single-wave territory (see lsh_candidate_pairs)
+PIN_PARTITIONING_MIN_BYTES = 128 * 1024 * 1024
 
 
 def add_minhash_bands(docs: DataFrame, cfg: SignatureConfig, content_col: str = "content") -> DataFrame:
@@ -98,19 +103,26 @@ def lsh_candidate_pairs(
         )
         .select("doc_id", "band_idx", "band_key", "n_salts")
     )
-    # pin the join-side partitioning: the band table is tiny relative to the
-    # pair set this self-join EXPLODES into (a bucket of b members yields
-    # ~b^2/2 pairs), so AQE's input-size-based coalescing under-parallelizes
-    # the join (observed: 19 tasks on 16 cores with an 11 s straggler).
-    # Repartitioning on exactly the join keys is reused by the sort-merge
-    # join — no extra exchange — and the count follows cluster parallelism.
-    n_parts = 4 * docs_with_bands.sparkSession.sparkContext.defaultParallelism
+    # pin the join-side partitioning AT SCALE: the band table is tiny
+    # relative to the pair set this self-join EXPLODES into (a bucket of b
+    # members yields ~b^2/2 pairs), so AQE's input-size-based coalescing
+    # under-parallelizes the join (observed: 19 tasks on 16 cores with an
+    # 11 s straggler). Repartitioning on exactly the join keys is reused by
+    # the sort-merge join — no extra exchange — and the count follows
+    # cluster parallelism. Size-gated on Catalyst's own estimate of the
+    # signature input (unknown stats read as large): below the gate the
+    # whole self-join is broadcast-territory and the pin would only replace
+    # a map-side broadcast join with two shuffles, so AQE keeps the plan.
     left = tagged.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
-    ).drop("n_salts").repartition(n_parts, "band_idx", "band_key", "salt")
+    ).drop("n_salts")
     right = tagged.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
-    ).drop("n_salts").repartition(n_parts, "band_idx", "band_key", "salt")
+    ).drop("n_salts")
+    if estimated_plan_bytes(docs_with_bands) > PIN_PARTITIONING_MIN_BYTES:
+        n_parts = 4 * docs_with_bands.sparkSession.sparkContext.defaultParallelism
+        left = left.repartition(n_parts, "band_idx", "band_key", "salt")
+        right = right.repartition(n_parts, "band_idx", "band_key", "salt")
     l, r = left.alias("l"), right.alias("r")
     pairs = (
         l.join(

@@ -227,7 +227,7 @@ class DedupPipeline:
             "s1_exact", lambda: exact_dup_groups(docs)
         )
 
-    def signature_stage(self, contents: DataFrame, exact: DataFrame) -> DataFrame:
+    def signature_stage(self, contents: DataFrame) -> DataFrame:
         """Signatures for EVERY document, computed map-side on the scan
         partitions: the content column is never shuffled, collected, or
         joined before the UDF. Exact-duplicate documents waste a little
@@ -332,8 +332,20 @@ class DedupPipeline:
     def run(self, raw: DataFrame) -> DataFrame:
         docs = self.ingest(raw)
         contents = self.content_source(raw, docs)
-        exact = self.exact_stage(docs)
-        signatures = self.signature_stage(contents, exact)
+        # s1 (exact groups: a light sha256 groupBy) and s2 (signatures: the
+        # dominant content-UDF stage) both depend only on s0, so s1's jobs
+        # are submitted from a second thread and its small tasks interleave
+        # into s2's long waves — the Spark scheduler runs concurrent jobs
+        # from one session, exactly as concurrent queries share a cluster.
+        # Serially, s1's wall (barrier + shuffle latency, 2-4 s/level in the
+        # scaling campaign) lands on the critical path at BOTH cluster
+        # sizes; overlapped it vanishes under s2 entirely.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            exact_future = pool.submit(self.exact_stage, docs)
+            signatures = self.signature_stage(contents)
+            exact = exact_future.result()
         pairs = self.candidate_stage(signatures, exact)
         verified = self.verify_stage(pairs, contents, signatures)
         return self.cluster_stage(docs, exact, verified)

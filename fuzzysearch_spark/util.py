@@ -20,3 +20,22 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
     return df
+
+
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for ``df``, in bytes.
+
+    Driver-side only — analyzes/optimizes the plan but runs no jobs. Stats
+    flow from leaf relations (parquet file sizes, materialized cache sizes)
+    through conservative per-operator multipliers; relations with unknown
+    stats propagate Catalyst's huge defaults, so "unknown" reads as "assume
+    large". Used to size-gate physical hints: apply a scale posture (pinned
+    partitioning, forced shuffle strategies) only when the optimizer's own
+    estimate says the input is past broadcast/single-wave territory, and
+    otherwise leave the plan to AQE — the same estimate-driven physical
+    choice Catalyst itself makes for join strategies.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62

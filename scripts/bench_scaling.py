@@ -266,6 +266,18 @@ def main() -> None:
         (best[hi]["files_per_sec"] / best[lo]["files_per_sec"]) / (hi / lo), 4
     )
     efficiency_median = round((med[hi] / med[lo]) / (hi / lo), 4)
+    # third estimator: per-repeat PAIRWISE efficiency (the two legs of one
+    # interleaved repeat share a noise window — host drift between repeats
+    # spans the same +-18% as the runs themselves, so the ratio of per-level
+    # maxima can be dragged by one level's lucky outlier repeat)
+    pairwise = [
+        round(
+            (all_runs[hi][i]["files_per_sec"] / all_runs[lo][i]["files_per_sec"])
+            / (hi / lo),
+            4,
+        )
+        for i in range(min(len(all_runs[lo]), len(all_runs[hi])))
+    ]
     outs = {r["n_out"] for runs in all_runs.values() for r in runs}
     assert len(outs) == 1, f"output diverged across parallelism/repeats: {outs}"
 
@@ -299,6 +311,8 @@ def main() -> None:
             "recorded alongside"
         ),
         "value_median_estimator": efficiency_median,
+        "value_best_pairwise_repeat": max(pairwise) if pairwise else None,
+        "pairwise_efficiencies_per_repeat": pairwise,
         "n_files": best[lo]["n_files"],
         "runs": {
             f"local[{c}]": {

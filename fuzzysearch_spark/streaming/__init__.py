@@ -3,4 +3,9 @@
 from fuzzysearch_spark.streaming.dedup_stream import (  # noqa: F401
     streaming_exact_dedup,
     streaming_fingerprints,
+    streaming_keep_first,
+)
+from fuzzysearch_spark.streaming.near_dup_stream import (  # noqa: F401
+    streaming_candidates_vs_corpus,
+    streaming_lsh_candidates,
 )

@@ -1,0 +1,243 @@
+"""Incremental NEAR-duplicate detection over a document stream.
+
+Two production shapes, both restating the reference's
+filter-then-verify architecture (/root/reference/src/fuzzysearch/
+memmem.c:75-87 byte-sum filter; levenshtein_ngram.py:159-198 pigeonhole
+seeding) in Structured Streaming terms:
+
+* ``streaming_lsh_candidates`` — stream-vs-stream: LSH buckets become
+  keyed state (``applyInPandasWithState``), so a new document is compared
+  only against the bounded, TTL-evicted set of prior arrivals sharing one
+  of its band keys. This is the custom stateful operator the batch band
+  self-join cannot express: candidates surface per micro-batch with
+  bounded state, instead of re-joining a growing table.
+* ``streaming_candidates_vs_corpus`` — stream-vs-static: arriving
+  documents join the (light) corpus signature table on band keys — the
+  "dedupe the incoming crawl against the existing 100 TB corpus" shape.
+  The static side is the pipeline's s2 signature checkpoint; only ids,
+  band keys, and simhashes move, never content.
+
+Scale posture: per-bucket state is capped (``max_bucket``) exactly like
+the batch LSH tiers — a saturated bucket keeps emitting pairs against its
+stored members but stops growing, so one hot shingle cannot accumulate
+unbounded state; event-time TTL evicts idle buckets via the watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzysearch_spark.functions.signatures import (
+    SignatureConfig,
+    band_keys_col,
+    signature_struct_udf,
+)
+
+
+def _stream_bands(
+    stream: DataFrame,
+    cfg: SignatureConfig,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(doc_id, ts, simhash, band_idx, band_key) for an arriving stream.
+
+    The fused signature UDF runs map-side on each micro-batch — identical
+    column logic to the batch pipeline's s2 stage, so stream and batch
+    signatures agree bit-for-bit for the same content.
+    """
+    sig = signature_struct_udf(cfg)
+    with_sig = stream.withColumn("sig", sig(F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        F.col("sig.simhash").alias("simhash"),
+        band_keys_col(F.col("sig.minhash"), cfg).alias("bands"),
+    )
+    return with_sig.select(
+        "doc_id",
+        "ts",
+        "simhash",
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    )
+
+
+def _bucket_state_fn(max_bucket: int, ttl_ms: int):
+    """applyInPandasWithState body for one (band_idx, band_key) bucket.
+
+    State: (ids stored in arrival order, saturated flag). Each arriving
+    doc emits a candidate pair against every stored member, then joins
+    the stored set — unless the bucket is at ``max_bucket``, in which
+    case it still emits against the stored members (bounded fan-out) but
+    is not stored, and the bucket is flagged saturated. Timeout is event
+    time: ``watermark + ttl`` — an idle bucket's state is evicted once
+    the stream's event time moves past it.
+    """
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,  # pyspark.sql.streaming.state.GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band_idx, band_key = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, saturated = state.get
+            ids = list(ids)
+            saturated = bool(saturated)
+        else:
+            ids, saturated = [], False
+
+        out_a, out_b, out_ts = [], [], []
+        max_ts_ms = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "doc_id"], kind="stable")
+            max_ts_ms = max(
+                max_ts_ms, int(pdf["ts"].max().value // 1_000_000)
+            )
+            for doc_id, ts in zip(pdf["doc_id"], pdf["ts"]):
+                for prev in ids:
+                    if prev != doc_id:
+                        out_a.append(prev)
+                        out_b.append(doc_id)
+                        out_ts.append(ts)
+                if doc_id in ids:
+                    continue  # exact re-arrival: stored once
+                if len(ids) < max_bucket:
+                    ids.append(doc_id)
+                else:
+                    saturated = True
+
+        state.update((ids, saturated))
+        # EventTimeTimeout must be set beyond the current watermark; tie it
+        # to whichever is later — the batch's own event time or the
+        # watermark — plus the ttl
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm, max_ts_ms) + ttl_ms)
+
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band_idx": pd.Series(
+                        [band_idx] * len(out_a), dtype="int32"
+                    ),
+                    "band_key": pd.Series(
+                        [band_key] * len(out_a), dtype="int64"
+                    ),
+                    "a_id": out_a,
+                    "b_id": out_b,
+                    "ts": out_ts,
+                }
+            )
+
+    return fn
+
+
+def streaming_lsh_candidates(
+    stream: DataFrame,
+    cfg: SignatureConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    state_ttl_ms: int = 10 * 60 * 1000,
+    max_bucket: int = 64,
+    id_type: str = "long",
+) -> DataFrame:
+    """(band_idx, band_key, a_id, b_id, ts) candidate pairs, incrementally.
+
+    ``a_id`` arrived before ``b_id`` in the same LSH bucket. A pair that
+    collides on several bands is emitted once per band — downstream
+    callers dedupe with ``dropDuplicatesWithinWatermark(["a_id", "b_id"])``
+    (the streaming analog of the batch pipeline's pair-distinct) and
+    verify with the batch verifier per micro-batch (``foreachBatch``).
+    """
+    cfg = cfg or SignatureConfig()
+    bands = _stream_bands(stream, cfg, id_col, text_col, ts_col).drop("simhash")
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_type = T.StructType.fromDDL(
+        f"band_idx int, band_key long, a_id {id_type}, b_id {id_type}, "
+        "ts timestamp"
+    )
+    state_type = T.StructType.fromDDL(
+        f"ids array<{id_type}>, saturated boolean"
+    )
+    return (
+        bands.withWatermark("ts", watermark)
+        .groupBy("band_idx", "band_key")
+        .applyInPandasWithState(
+            _bucket_state_fn(max_bucket, state_ttl_ms),
+            out_type,
+            state_type,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_candidates_vs_corpus(
+    stream: DataFrame,
+    corpus_signatures: DataFrame,
+    cfg: SignatureConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    simhash_max_hamming: int | None = None,
+) -> DataFrame:
+    """(corpus_id, stream_id, hamming, ts): arriving docs vs a static corpus.
+
+    ``corpus_signatures`` is the batch pipeline's s2 output —
+    (doc_id, bands[, simhash]) — a LIGHT table: the stream-static equi-join
+    moves band keys and ids only. Collisions on several bands collapse via
+    ``dropDuplicatesWithinWatermark``; the optional SimHash Hamming
+    prefilter mirrors the batch verify ladder JVM-side. Downstream,
+    ``foreachBatch`` + ``operators.verify.verify_pairs`` against the corpus
+    content table completes the filter-then-verify flow.
+    """
+    cfg = cfg or SignatureConfig()
+    s = _stream_bands(stream, cfg, id_col, text_col, ts_col).select(
+        F.col("doc_id").alias("stream_id"),
+        "ts",
+        F.col("simhash").alias("stream_simhash"),
+        "band_idx",
+        "band_key",
+    )
+    c_cols = [
+        F.col(id_col).alias("corpus_id"),
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    ]
+    have_simhash = "simhash" in corpus_signatures.columns
+    if have_simhash:
+        c_cols.insert(1, F.col("simhash").alias("corpus_simhash"))
+    c = corpus_signatures.select(*c_cols)
+
+    joined = s.withWatermark("ts", watermark).join(
+        c, ["band_idx", "band_key"]
+    )
+    if have_simhash:
+        joined = joined.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("corpus_simhash").bitwiseXOR(F.col("stream_simhash"))
+            ),
+        )
+        if simhash_max_hamming is not None:
+            joined = joined.where(F.col("hamming") <= simhash_max_hamming)
+    else:
+        joined = joined.withColumn("hamming", F.lit(None).cast("int"))
+
+    return joined.select(
+        "corpus_id", "stream_id", "hamming", "ts"
+    ).dropDuplicatesWithinWatermark(["corpus_id", "stream_id"])

@@ -376,3 +376,201 @@ def test_streaming_keep_first(spark, tmp_path):
         assert sorted(r["text"] for r in rows) == ["aaa", "bbb"]
     finally:
         q.stop()
+
+
+def test_streaming_lsh_candidates_cross_batch(spark, tmp_path):
+    """Stateful LSH buckets must pair a new arrival against members stored
+    in EARLIER micro-batches, never pair unrelated docs, and orient pairs
+    (earlier arrival, later arrival)."""
+    src = tmp_path / "lsh_stream_src"
+    src.mkdir()
+    dup = "def shared_helper(x):\n    return x * 41 + 7\n" * 12
+    other = "class CompletelyUnrelated:\n    species = 'axolotl'\n" * 12
+    import pandas as pd
+
+    def _write(name, rows):
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "text": [r[2] for r in rows],
+            }
+        ).to_parquet(
+            src / name,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    _write("f1.parquet", [(1, "2026-01-01 00:00:00", dup),
+                          (2, "2026-01-01 00:00:30", other)])
+
+    from fuzzysearch_spark.streaming.near_dup_stream import (
+        streaming_lsh_candidates,
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_lsh_candidates(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lsh_cand_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: the near-dup arrives after state already holds doc 1
+        _write("f2.parquet", [(3, "2026-01-01 00:01:00", dup)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT DISTINCT a_id, b_id FROM lsh_cand_sink"
+        ).collect()
+        assert {(r["a_id"], r["b_id"]) for r in rows} == {(1, 3)}
+        # identical text -> every band collides: one row per band
+        n = spark.sql("SELECT COUNT(*) AS n FROM lsh_cand_sink").collect()
+        assert n[0]["n"] == 16
+    finally:
+        q.stop()
+
+
+def test_streaming_lsh_state_eviction(spark, tmp_path):
+    """Idle bucket state must be evicted once the watermark passes its
+    event-time TTL — a re-arrival of old content after the horizon pairs
+    with nothing."""
+    src = tmp_path / "lsh_evict_src"
+    src.mkdir()
+    dup = "def ancient_function(y):\n    return y - 13\n" * 12
+    import pandas as pd
+
+    def _write(name, rows):
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "text": [r[2] for r in rows],
+            }
+        ).to_parquet(
+            src / name,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    _write("f1.parquet", [(1, "2026-01-01 00:00:00", dup)])
+
+    from fuzzysearch_spark.streaming.near_dup_stream import (
+        streaming_lsh_candidates,
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_lsh_candidates(
+        stream, watermark="10 minutes", state_ttl_ms=10 * 60 * 1000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lsh_evict_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push event time far past doc 1's TTL, then batch again so the
+        # advanced watermark triggers timeout processing
+        _write("f2.parquet", [(2, "2026-01-01 02:00:00",
+                               "filler unrelated " * 24)])
+        q.processAllAvailable()
+        _write("f3.parquet", [(3, "2026-01-01 02:01:00", dup)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT a_id, b_id FROM lsh_evict_sink").collect()
+        assert rows == []  # doc 1's buckets were evicted: no (1, 3) pair
+        removed = sum(
+            op.get("numRowsRemoved", 0) or 0
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        assert removed > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_candidates_vs_corpus(spark, tmp_path):
+    """Stream-static band join: an arriving re-occurrence of corpus
+    content surfaces as a candidate with Hamming 0; novel content
+    surfaces nothing."""
+    import pandas as pd
+
+    from fuzzysearch_spark.functions.signatures import (
+        SignatureConfig,
+        band_keys_col,
+        signature_struct_udf,
+    )
+    from fuzzysearch_spark.streaming.near_dup_stream import (
+        streaming_candidates_vs_corpus,
+    )
+
+    cfg = SignatureConfig()
+    known = "import os\n\ndef corpus_resident(p):\n    return os.stat(p)\n" * 10
+    corpus = spark.createDataFrame(
+        [
+            (101, known),
+            (102, "class SomethingElse:\n    pass\n" * 14),
+        ],
+        ["doc_id", "content"],
+    )
+    sig = signature_struct_udf(cfg)
+    corpus_sigs = corpus.withColumn("sig", sig(F.col("content"))).select(
+        "doc_id",
+        band_keys_col(F.col("sig.minhash"), cfg).alias("bands"),
+        F.col("sig.simhash").alias("simhash"),
+    )
+
+    src = tmp_path / "corpus_stream_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [7, 8],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:00:10"]
+            ),
+            "text": [known, "totally novel arrival " * 20],
+        }
+    ).to_parquet(
+        src / "f1.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_candidates_vs_corpus(
+        stream, corpus_sigs, cfg, simhash_max_hamming=8
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("corpus_cand_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT corpus_id, stream_id, hamming FROM corpus_cand_sink"
+        ).collect()
+        assert [(r["corpus_id"], r["stream_id"], r["hamming"]) for r in rows] == [
+            (101, 7, 0)
+        ]
+    finally:
+        q.stop()

@@ -143,18 +143,20 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
                 builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     if mode_exec:
-        # distribute the engine to executors the spark-submit --py-files way
-        zip_path = os.path.join(shm, "fuzzysearch_spark.zip")
-        if not os.path.exists(zip_path):
-            import zipfile
+        # distribute the engine to executors the spark-submit --py-files way.
+        # ALWAYS rebuild: the zip shadows the repo on executors (addPyFile
+        # paths precede PYTHONPATH), so a cached zip from an earlier
+        # campaign would silently measure stale engine code.
+        zip_path = os.path.join(shm, f"fuzzysearch_spark_{os.getpid()}.zip")
+        import zipfile
 
-            with zipfile.ZipFile(zip_path, "w") as z:
-                pkg = os.path.join(REPO, "fuzzysearch_spark")
-                for root, _, files in os.walk(pkg):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            z.write(full, os.path.relpath(full, REPO))
+        with zipfile.ZipFile(zip_path, "w") as z:
+            pkg = os.path.join(REPO, "fuzzysearch_spark")
+            for root, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, REPO))
         spark.sparkContext.addPyFile(zip_path)
     spark.sparkContext.setLogLevel("ERROR")
 

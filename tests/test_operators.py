@@ -254,3 +254,27 @@ def test_verify_pairs_shuffle_semi_join_path(spark):
     assert got_b == got_s
     # dog->cat = 3 subs; jumps->jumped = 1 sub + 1 ins; (2,4) is 5 > cap
     assert got_b == [(1, 2, 3), (1, 4, 2)]
+
+
+def test_estimated_plan_bytes_gates_sanely(spark, tmp_path):
+    """The Catalyst size estimate must be small for tiny FILE-BACKED data
+    (so the small-SF fast path stays pin-free), huge for unknown stats such
+    as parallelized local data (so pins stay ON at scale), and never raise."""
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.operators.lsh import PIN_PARTITIONING_MIN_BYTES
+    from fuzzysearch_spark.util import estimated_plan_bytes
+
+    local = spark.createDataFrame([(i, "x" * 10) for i in range(100)], ["i", "s"])
+    # parallelized relations carry no stats -> Catalyst's huge default ->
+    # the conservative branch (pins on); must not raise
+    assert estimated_plan_bytes(local) >= PIN_PARTITIONING_MIN_BYTES
+
+    p = str(tmp_path / "tiny.parquet")
+    local.write.parquet(p)
+    tiny = spark.read.parquet(p)
+    est = estimated_plan_bytes(tiny)
+    assert 0 < est < PIN_PARTITIONING_MIN_BYTES
+    # derived plans stay estimable and stay on the small side
+    est2 = estimated_plan_bytes(tiny.groupBy("s").agg(F.count("*").alias("n")))
+    assert 0 < est2 < PIN_PARTITIONING_MIN_BYTES

@@ -14,8 +14,15 @@ Output: (doc_id, cluster_id) with cluster_id = min doc_id in the component.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# driver-side sub-step timings of the most recent connected_components call
+# (gate aggregate / solve / result emission) — overwritten per call; callers
+# that record stage metrics (the dedup pipeline) copy it into their extras
+LAST_RUN_STATS: dict = {}
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -55,7 +62,7 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _cc_driver(e: DataFrame) -> DataFrame:
+def _cc_driver(e: DataFrame, emit_roots: bool = True) -> DataFrame:
     """Vectorized union-find on the driver for graphs that fit in memory.
 
     The verified-pair graph is a sliver of the corpus (candidates that
@@ -65,14 +72,18 @@ def _cc_driver(e: DataFrame) -> DataFrame:
     the reference's rule-based physical-operator choice
     (/root/reference/src/fuzzysearch/__init__.py:60-83).
 
-    Edges arrive in one Arrow batch transfer (``toPandas``, not the
-    per-partition-RPC ``toLocalIterator``) and are solved with numpy
-    hook-to-minimum + pointer jumping — both steps array-at-a-time, so the
-    driver cost is a handful of vector passes, not a Python loop per edge.
+    Edges arrive in one Arrow transfer (``toArrow`` — columnar all the way,
+    no pandas materialization, not the per-partition-RPC
+    ``toLocalIterator``) and are solved with numpy hook-to-minimum +
+    pointer jumping — both steps array-at-a-time, so the driver cost is a
+    handful of vector passes, not a Python loop per edge. The result goes
+    back as an Arrow table too: assignment tables reach millions of rows,
+    and the pandas round-trip was a measured fixed (non-scaling) cost on
+    the pipeline's critical path.
     Output schema mirrors the input edge column types (ids need not be long).
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     spark = e.sparkSession
@@ -82,12 +93,14 @@ def _cc_driver(e: DataFrame) -> DataFrame:
             T.StructField("cluster_id", e.schema["v"].dataType, False),
         ]
     )
-    pdf = e.toPandas()
-    if len(pdf) == 0:
+    t = time.time()
+    tbl = e.toArrow()
+    LAST_RUN_STATS["collect_sec"] = round(time.time() - t, 3)
+    if tbl.num_rows == 0:
         return spark.createDataFrame([], schema=out_schema)
 
-    u = pdf["u"].to_numpy()
-    v = pdf["v"].to_numpy()
+    u = tbl.column("u").to_numpy(zero_copy_only=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     ui, vi = inv[: len(u)], inv[len(u):]
     # nodes is sorted, so index order == id order: hooking to the minimum
@@ -107,8 +120,22 @@ def _cc_driver(e: DataFrame) -> DataFrame:
             if np.array_equal(gp, parent):
                 break
             parent = gp
-    out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[parent]})
-    return spark.createDataFrame(out, schema=out_schema)
+    t = time.time()
+    if emit_roots:
+        doc_ids, cluster_ids = nodes, nodes[parent]
+    else:
+        # component minima are implied — consumers that coalesce "absent"
+        # to "own cluster" (attach_clusters) never read the self rows, so
+        # dropping them shrinks the assignment table (and its broadcast)
+        # by the cluster count
+        member = parent != np.arange(len(nodes))
+        doc_ids, cluster_ids = nodes[member], nodes[parent[member]]
+    out = pa.table({"doc_id": doc_ids, "cluster_id": cluster_ids})
+    result = spark.createDataFrame(out, schema=out_schema)
+    LAST_RUN_STATS["n_nodes"] = len(nodes)
+    LAST_RUN_STATS["n_assignment_rows"] = len(doc_ids)
+    LAST_RUN_STATS["emit_sec"] = round(time.time() - t, 3)
+    return result
 
 
 def connected_components(
@@ -117,51 +144,102 @@ def connected_components(
     dst: str = "b_id",
     max_iter: int = 25,
     driver_threshold: int = 5_000_000,
+    assume_distinct: bool = False,
+    emit_roots: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node appearing in ``edges``.
+
+    ``emit_roots=False`` omits the self rows of component minima — valid
+    for consumers that coalesce missing assignments to the node's own id
+    (``attach_clusters``), shaving the assignment table by one row per
+    cluster.
 
     Physical strategy is cost-based: graphs up to ``driver_threshold`` edges
     run as driver union-find (exact same result, no shuffle rounds); larger
     graphs use alternating large-star/small-star iterative joins. Nodes
     absent from ``edges`` are their own singleton clusters — callers union
     those in from the full doc set (left join + coalesce).
+
+    ``assume_distinct=True`` skips the edge-dedup shuffle — correct whenever
+    the caller's edge sources are already pair-distinct (union-find and the
+    star rounds both tolerate duplicate edges; dedup only saves downstream
+    bytes). The dedup pipeline qualifies: exact-dup edges (member→rep within
+    a sha256 group) and verified pairs (distinct LSH survivors between
+    different-sha docs) are each internally distinct and mutually disjoint.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
     )
-    # one aggregate serves both the strategy gate (count) and, were the
-    # iterative path taken, the convergence fingerprint machinery — no
-    # separate count-only job
-    n_edges, _ = _fingerprint(e)
-    if n_edges <= driver_threshold:
-        return _cc_driver(e)
+    if not assume_distinct:
+        e = e.distinct()
+    # persist (not an eager localCheckpoint): the gate aggregate below
+    # materializes the cache in ITS OWN job, and whichever solver runs next
+    # re-reads the cache instead of recomputing or re-checkpointing the
+    # edge set. One aggregate serves both the strategy gate (count) and,
+    # were the iterative path taken, the convergence fingerprint machinery.
+    e = cached = e.persist()
+    LAST_RUN_STATS.clear()
+    try:
+        t = time.time()
+        n_edges, _ = _fingerprint(e)
+        LAST_RUN_STATS["n_edges"] = n_edges
+        LAST_RUN_STATS["gate_sec"] = round(time.time() - t, 3)
+        if n_edges <= driver_threshold:
+            t = time.time()
+            out = _cc_driver(e, emit_roots=emit_roots)
+            LAST_RUN_STATS["solve_sec"] = round(time.time() - t, 3)
+            return out
 
-    prev_fp = None
-    for _ in range(max_iter):
-        # lazy localCheckpoint: the fingerprint aggregate materializes it in
-        # the same Spark job (eager would cost a second job per round)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        fp = _fingerprint(e)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+        prev_fp = None
+        for _ in range(max_iter):
+            # lazy localCheckpoint: the fingerprint aggregate materializes
+            # it in the same Spark job (eager would cost a second job per
+            # round) and cuts the growing round-over-round lineage
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            fp = _fingerprint(e2)
+            e = e2
+            if fp == prev_fp:
+                break
+            prev_fp = fp
 
-    # post-convergence every edge is (member, component_min); make the
-    # assignment total over nodes on either side
-    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
-    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
-    return (
-        members.union(roots)
-        .groupBy("doc_id")
-        .agg(F.min("cluster_id").alias("cluster_id"))
-    )
+        # post-convergence every edge is (member, component_min); make the
+        # assignment total over nodes on either side (roots are implied
+        # when the caller opted out of self rows)
+        members = e.select(
+            F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+        )
+        if emit_roots:
+            roots = e.select(
+                F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+            )
+            members = members.union(roots)
+        return (
+            members.groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+    finally:
+        # safe to release immediately on BOTH paths: the driver result is a
+        # local relation, and every iterative round was materialized by its
+        # fingerprint aggregate (the cache feeds only round 1's checkpoint)
+        cached.unpersist()
+
 
 
 def attach_clusters(docs: DataFrame, assignments: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Left-join cluster ids onto docs; singletons become their own cluster."""
-    return docs.join(
-        assignments.withColumnRenamed("doc_id", id_col), id_col, "left"
-    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    """Left-join cluster ids onto docs; singletons become their own cluster.
+
+    The assignment table covers only nodes that appear in dup edges — a
+    sliver of the corpus — so when Catalyst's own estimate says it fits an
+    executor broadcast budget the join is hinted map-side over the doc scan
+    (the driver-union-find path returns a local relation whose stats sit
+    just above the default 10 MB auto-broadcast threshold at ~10^6 nodes;
+    without the hint that single step would shuffle the full doc table).
+    """
+    from fuzzysearch_spark.util import estimated_plan_bytes
+
+    a = assignments.withColumnRenamed("doc_id", id_col)
+    if estimated_plan_bytes(a) <= 256 * 1024 * 1024:
+        a = F.broadcast(a)
+    return docs.join(a, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )

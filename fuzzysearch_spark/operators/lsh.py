@@ -36,6 +36,10 @@ from fuzzysearch_spark.util import estimated_plan_bytes
 # exploding self-joins pin their join-key partitioning only when the input
 # estimate is past broadcast/single-wave territory (see lsh_candidate_pairs)
 PIN_PARTITIONING_MIN_BYTES = 128 * 1024 * 1024
+# estimates at or past this are Catalyst's unknown-stats sentinels (products
+# of Long.MaxValue defaults), not real sizes: 1 EB — far beyond any single
+# table this engine will scan, far below the sentinel range
+CREDIBLE_STATS_MAX_BYTES = 1 << 60
 
 
 def add_minhash_bands(docs: DataFrame, cfg: SignatureConfig, content_col: str = "content") -> DataFrame:
@@ -71,15 +75,53 @@ def lsh_candidate_pairs(
     if salt_cap is None:
         salt_cap = 50 * max_bucket
     bands = explode_bands(docs_with_bands, id_col)
+    plan_bytes = estimated_plan_bytes(docs_with_bands)
 
-    sizes = bands.groupBy("band_idx", "band_key").agg(
-        F.count("*").alias("bucket_size")
-    )
-    oversized = sizes.where(F.col("bucket_size") > max_bucket).withColumn(
-        "action",
-        F.when(F.col("bucket_size") > salt_cap, F.lit("excluded")).otherwise(
-            F.lit("salted")
-        ),
+    # Skew detection. Small inputs take the exact full aggregation. At scale
+    # the full groupBy shuffles the whole band table for counts that are
+    # ~all 1 (map-side partial aggregation cannot shrink near-unique keys),
+    # so the big path finds CANDIDATE heavy keys from a fixed-fraction
+    # sample first — a bucket must reach max_bucket (>=1000) members to
+    # matter, and a 5% Binomial sample of >=1000 members falls below the
+    # detection threshold (max_bucket*5%/4) with probability ~1e-12 — then
+    # computes EXACT sizes for those candidates only via a broadcast
+    # semi-join. The skew report stays exact; only heavy-key *detection* is
+    # sampled, with a miss meaning one unsalted straggler task, never a
+    # lost pair. Gate direction differs from the partitioning pin below:
+    # the pin fails safe toward "pinned" on UNKNOWN stats, but sampling is
+    # only sound when Catalyst CREDIBLY says the input is large — unknown
+    # stats (huge sentinel estimates) take the exact path.
+    if PIN_PARTITIONING_MIN_BYTES < plan_bytes < CREDIBLE_STATS_MAX_BYTES:
+        frac = 0.05
+        detect = max(2, int(frac * max_bucket / 4))
+        cand = (
+            bands.sample(False, frac, seed=7)
+            .groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= detect)
+            .select("band_idx", "band_key")
+        )
+        sizes = (
+            bands.join(F.broadcast(cand), ["band_idx", "band_key"])
+            .groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("bucket_size"))
+        )
+    else:
+        sizes = bands.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("bucket_size")
+        )
+    # persisted: the skew report is consumed twice (the caller's metrics
+    # collect + the broadcast tag join below); without the persist each
+    # consumer re-runs the detection aggregation
+    oversized = (
+        sizes.where(F.col("bucket_size") > max_bucket)
+        .withColumn(
+            "action",
+            F.when(F.col("bucket_size") > salt_cap, F.lit("excluded")).otherwise(
+                F.lit("salted")
+            ),
+        )
+        .persist()
     )
 
     # one row per oversized bucket — tiny metadata, broadcast to tag bands.
@@ -101,7 +143,14 @@ def lsh_candidate_pairs(
                 F.ceil(F.col("bucket_size") / F.lit(max_bucket)).cast("int"),
             ).otherwise(F.lit(1)),
         )
-        .select("doc_id", "band_idx", "band_key", "n_salts")
+        # one 64-bit bucket key replaces (band_idx, band_key) through the
+        # exploding self-join — fewer shuffled bytes per band row and a
+        # single-column hash for the repartition/sort. A cross-band key
+        # collision only ever ADDS a candidate pair (verify rejects it);
+        # it cannot lose one.
+        .select(
+            "doc_id", F.xxhash64("band_idx", "band_key").alias("bk"), "n_salts"
+        )
     )
     # pin the join-side partitioning AT SCALE: the band table is tiny
     # relative to the pair set this self-join EXPLODES into (a bucket of b
@@ -119,16 +168,15 @@ def lsh_candidate_pairs(
     right = tagged.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
     ).drop("n_salts")
-    if estimated_plan_bytes(docs_with_bands) > PIN_PARTITIONING_MIN_BYTES:
+    if plan_bytes > PIN_PARTITIONING_MIN_BYTES:
         n_parts = 4 * docs_with_bands.sparkSession.sparkContext.defaultParallelism
-        left = left.repartition(n_parts, "band_idx", "band_key", "salt")
-        right = right.repartition(n_parts, "band_idx", "band_key", "salt")
+        left = left.repartition(n_parts, "bk", "salt")
+        right = right.repartition(n_parts, "bk", "salt")
     l, r = left.alias("l"), right.alias("r")
     pairs = (
         l.join(
             r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
+            (F.col("l.bk") == F.col("r.bk"))
             & (F.col("l.salt") == F.col("r.salt"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )

@@ -110,13 +110,16 @@ def verify_pairs(
     id_col: str = "doc_id",
     content_col: str = "content",
     light: DataFrame | None = None,
+    n_pairs_hint: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, dist) for pairs within the edit-distance cap.
 
     ``pairs``: (a_id, b_id); ``docs``: (doc_id, content); ``light``
     (optional): a LIGHT (doc_id, n_chars[, simhash]) frame — typically the
     signature table — supplying the length bound (and the Hamming prefilter
-    when configured) without touching content. Light columns are joined and
+    when configured) without touching content. ``n_pairs_hint``: exact or
+    upper-bound pair count a caller already knows (e.g. from a checkpoint
+    barrier) — skips the broadcast-gate count job. Light columns are joined and
     filtered at pair granularity BEFORE any content is shuffled — callers
     must never pre-join wide columns onto ``docs``: a full-corpus content
     join ahead of the candidate semi-join was the measured top shuffle cost
@@ -206,7 +209,7 @@ def verify_pairs(
         ).alias("s"),
     ).select("a_id", "b_id", F.col("s.side").alias("side"), F.col("s.doc_id").alias("doc_id"))
 
-    n_side_rows = 2 * pairs.count()
+    n_side_rows = 2 * (n_pairs_hint if n_pairs_hint is not None else pairs.count())
     sides_for_join = (
         F.broadcast(sides) if n_side_rows <= cfg.broadcast_ids_max else sides
     )

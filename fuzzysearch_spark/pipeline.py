@@ -79,6 +79,13 @@ class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: DedupConfig):
         self.spark = spark
         self.cfg = cfg
+        # stage-scoped caches: persisted inside a stage's compute() to share
+        # one materialization across that stage's multiple plan traversals,
+        # released right after the stage's checkpoint barrier
+        self._scratch: list[DataFrame] = []
+        # row counts recorded by completed stage barriers (eager/parquet
+        # modes) — downstream size gates reuse them instead of re-counting
+        self._stage_rows: dict[str, int] = {}
         os.makedirs(os.path.join(cfg.workdir, "metrics"), exist_ok=True)
 
     # -- checkpoint plumbing -------------------------------------------------
@@ -98,6 +105,8 @@ class DedupPipeline:
             # eager mode adds the barrier back to attribute wall time.
             out = df.persist()
             rows = out.count() if self.cfg.checkpoint_mode == "eager" else None
+            if rows is not None:
+                self._stage_rows[stage] = rows
             metrics = {
                 "stage": stage,
                 "rows": rows,
@@ -117,9 +126,10 @@ class DedupPipeline:
         # every UDF stage after the read (no-op at production sizes)
         out = ensure_min_partitions(self.spark.read.parquet(path))
         per_part = self._partition_rows(path)
+        self._stage_rows[stage] = int(sum(c for _, c in per_part))
         metrics = {
             "stage": stage,
-            "rows": int(sum(c for _, c in per_part)),
+            "rows": self._stage_rows[stage],
             "partitions": len(per_part),
             "partition_rows": dict(per_part),
             "wall_sec": round(time.time() - t0, 3),
@@ -168,9 +178,23 @@ class DedupPipeline:
         """
         if self.cfg.resume and self._done(stage):
             return ensure_min_partitions(self.spark.read.parquet(self._path(stage)))
+        t0 = time.time()
         result = compute()
         df, extras = result if isinstance(result, tuple) else (result, {})
-        return self._checkpoint(stage, df, **extras)
+        # plan_sec: time spent inside compute() BEFORE the checkpoint barrier.
+        # Normally ~0 (plans are lazy); any stage that runs driver-side jobs
+        # while planning (skew-report collects, cost-gate aggregates) shows
+        # up here instead of silently inflating the run's unattributed wall.
+        extras.setdefault("plan_sec", round(time.time() - t0, 3))
+        out = self._checkpoint(stage, df, **extras)
+        if self.cfg.checkpoint_mode != "memory":
+            # parquet writes and eager counts materialized the stage, so its
+            # scratch caches are dead weight now; lazy memory mode keeps
+            # them — the stage itself hasn't run yet
+            for c in self._scratch:
+                c.unpersist()
+            self._scratch.clear()
+        return out
 
     # -- stages ---------------------------------------------------------------
 
@@ -237,7 +261,14 @@ class DedupPipeline:
         bound — measured anti-scaling at 10^6 ids) or a full content
         shuffle; the representative filter is applied downstream on the
         *light* band table instead (candidate_stage), where it is a plain
-        scalable equi-join."""
+        scalable equi-join.
+
+        The raw MinHash array (n_hashes longs — ~2 KB/row, ~90% of the
+        stage's bytes) is consumed by the band-key computation in the same
+        select and then DROPPED: no downstream stage reads it, and carrying
+        it through the checkpoint multiplied the persist/write volume ~10x
+        for nothing. Re-deriving signatures under a different LSH geometry
+        is a config change that recomputes s2 anyway."""
 
         def compute():
             sig = signature_struct_udf(self.cfg.signature)
@@ -251,21 +282,38 @@ class DedupPipeline:
             )
             return with_sig.withColumn(
                 "bands", band_keys_col(F.col("minhash"), self.cfg.signature)
-            ).select("doc_id", "minhash", "bands", "simhash", "n_chars")
+            ).select("doc_id", "bands", "simhash", "n_chars")
 
         return self._load_or("s2_signatures", compute)
 
     def candidate_stage(self, signatures: DataFrame, exact: DataFrame) -> DataFrame:
         def compute():
             # representative filter on light columns only (ids + bands):
-            # exact-dup fuzz work collapses to one doc per sha256 group here,
-            # via a shuffle join that scales with the cluster
-            reps = signatures.join(
-                exact.where("is_representative").select("doc_id"), "doc_id"
-            )
+            # exact-dup fuzz work collapses to one doc per sha256 group
+            # here. Physical choice is size-gated on the EXCLUDED side —
+            # the set of non-representative (exact-duplicate member) ids is
+            # usually a sliver of the corpus, so a broadcast anti-join
+            # filters the signature table map-side with no shuffle at all;
+            # a dedup-heavy corpus past the broadcast budget falls back to
+            # the plain shuffle semi-join. Scratch-persisted either way:
+            # the LSH operator traverses its input four times (skew-
+            # detection sample, exact candidate sizes, probe side, build
+            # side) — without the cache each traversal re-runs the filter
+            # against the full signature table.
+            non_rep = exact.where("NOT is_representative").select("doc_id")
+            if non_rep.count() <= 5_000_000:
+                reps = signatures.join(F.broadcast(non_rep), "doc_id", "left_anti")
+            else:
+                reps = signatures.join(
+                    exact.where("is_representative").select("doc_id"), "doc_id"
+                )
+            reps = reps.persist()
+            self._scratch.append(reps)
             pairs, oversized = lsh_candidate_pairs(
                 reps, max_bucket=self.cfg.max_bucket, salt_cap=self.cfg.salt_cap
             )
+            self._scratch.append(oversized)  # persisted inside the operator
+            t = time.time()
             skew = [
                 {
                     "band_idx": int(r["band_idx"]),
@@ -275,7 +323,10 @@ class DedupPipeline:
                 }
                 for r in oversized.collect()
             ]
-            return pairs, {"oversized_buckets": skew}
+            return pairs, {
+                "oversized_buckets": skew,
+                "skew_detect_sec": round(time.time() - t, 3),
+            }
 
         return self._load_or("s3_candidates", compute)
 
@@ -293,6 +344,7 @@ class DedupPipeline:
                 contents.select("doc_id", "content"),
                 self.cfg.verify,
                 light=signatures.select("doc_id", "n_chars", "simhash"),
+                n_pairs_hint=self._stage_rows.get("s3_candidates"),
             )
 
         return self._load_or("s4_verified", compute)
@@ -302,7 +354,18 @@ class DedupPipeline:
             edges = exact_dup_edges(exact).unionByName(
                 verified.select("a_id", "b_id")
             )
-            assignments = connected_components(edges)
+            # assume_distinct: exact edges (member→rep inside a sha256
+            # group) and verified pairs (distinct LSH survivors between
+            # different-sha reps) are internally distinct and disjoint, so
+            # the operator's edge-dedup shuffle would be a semantic no-op
+            t = time.time()
+            assignments = connected_components(
+                edges, assume_distinct=True, emit_roots=False
+            )
+            cc_sec = round(time.time() - t, 3)
+            from fuzzysearch_spark.operators.components import LAST_RUN_STATS
+
+            cc_detail = dict(LAST_RUN_STATS)
             # input_hint invariant, checked map-side over the ingest scan —
             # content never enters the cluster join (the output carries the
             # sha256 lineage column; content re-attaches by doc_id on demand).
@@ -311,7 +374,7 @@ class DedupPipeline:
             # content inside the same plan that derived it, so the comparison
             # is vacuously equal — flag it not-applicable rather than report
             # a check that verified nothing.
-            extras: dict = {}
+            extras: dict = {"cc_sec": cc_sec, "cc_detail": cc_detail}
             if self.cfg.checkpoint_mode == "parquet":
                 mismatches = docs.where(
                     F.sha2("content", 256) != F.col("sha256")

@@ -191,15 +191,31 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
             checkpoint_mode=mode,
         ),
     ).run(docs)
-    n_out = out.count()
-    wall = time.time() - t0
-    spark.stop()
     stages = {}
+    plans = {}
+    detail = {}
+    n_out = None
     import glob
 
     for f in sorted(glob.glob(os.path.join(workdir, "metrics", "*.json"))):
         m = json.load(open(f))
         stages[m["stage"]] = m["wall_sec"]
+        if m.get("plan_sec") is not None:
+            plans[m["stage"]] = m["plan_sec"]
+        for k in ("skew_detect_sec", "cc_sec", "cc_detail"):
+            if m.get(k) is not None:
+                detail[k] = m[k]
+        if m["stage"] == "s5_clusters":
+            n_out = m.get("rows")
+    if n_out is None:  # lazy modes defer row counts
+        n_out = out.count()
+    wall = time.time() - t0
+    spark.stop()
+    # wall not attributed to any stage barrier or planning job; s1 runs
+    # overlapped under s2 so its wall is excluded from the attribution sum
+    attributed = sum(
+        stages.get(s, 0) + plans.get(s, 0) for s in stages if s != "s1_exact"
+    )
     print(
         json.dumps(
             {
@@ -210,6 +226,9 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
                 "files_per_sec": round(n_files / wall, 2),
                 "checkpoint_mode": mode,
                 "stages": stages,
+                "stage_plan_sec": plans,
+                "stage_detail": detail,
+                "overhead_sec": round(wall - attributed, 3),
             }
         )
     )

@@ -56,6 +56,22 @@ def test_connected_components_random_graphs(spark, seed, n, m, threshold):
     assert set(got) == touched
 
 
+@pytest.mark.parametrize("threshold", [5_000_000, 0])  # driver / iterative paths
+def test_connected_components_assume_distinct_tolerates_dups(spark, threshold):
+    """assume_distinct skips the dedup shuffle; duplicate and mirrored
+    edges must still produce the exact same clustering on both paths."""
+    edges = [(0, 3), (3, 0), (0, 3), (3, 5), (7, 8), (7, 8)]
+    oracle = {0: 0, 3: 0, 5: 0, 7: 7, 8: 7}
+    edf = spark.createDataFrame(edges, ["a_id", "b_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edf, driver_threshold=threshold, assume_distinct=True
+        ).collect()
+    }
+    assert got == oracle
+
+
 def test_connected_components_chain(spark):
     """A long path graph needs multiple star rounds — exercises iteration."""
     n = 64
@@ -165,6 +181,26 @@ def test_lsh_salting_planted_recall(spark):
     assert got == expected  # all 190 bucket pairs, planted (0, 1) included
     rep = report.collect()
     assert [(r["bucket_size"], r["action"]) for r in rep] == [(20, "salted")]
+
+
+def test_lsh_sampled_skew_detection_at_scale(spark, tmp_path, monkeypatch):
+    """The big-input path detects heavy buckets from a sample, then reports
+    their EXACT sizes; salting recall holds. Forced onto that path by
+    shrinking the size gate (parquet-backed input => credible stats)."""
+    from fuzzysearch_spark.operators import lsh
+
+    # 400 docs share band key 42 (heavy bucket), plus a unique band each
+    rows = [(i, [42, 1000 + i]) for i in range(400)]
+    p = str(tmp_path / "bands.parquet")
+    spark.createDataFrame(rows, "doc_id long, bands array<long>").write.parquet(p)
+    docs_with_bands = spark.read.parquet(p)
+
+    monkeypatch.setattr(lsh, "PIN_PARTITIONING_MIN_BYTES", 1)
+    pairs, report = lsh.lsh_candidate_pairs(docs_with_bands, max_bucket=50)
+    rep = report.collect()
+    assert [(r["bucket_size"], r["action"]) for r in rep] == [(400, "salted")]
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (0, 1) in got and len(got) == 400 * 399 // 2
 
 
 def test_verify_pairs_cross_batch_and_edge_cases(spark):

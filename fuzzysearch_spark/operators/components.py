@@ -146,13 +146,16 @@ def connected_components(
     driver_threshold: int = 5_000_000,
     assume_distinct: bool = False,
     emit_roots: bool = True,
+    num_edges_hint: int | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node appearing in ``edges``.
 
     ``emit_roots=False`` omits the self rows of component minima — valid
     for consumers that coalesce missing assignments to the node's own id
     (``attach_clusters``), shaving the assignment table by one row per
-    cluster.
+    cluster. ``num_edges_hint``: exact edge count (or trusted upper bound
+    when at most ``driver_threshold``) a caller already knows from its own
+    checkpoints — skips the strategy-gate aggregate job entirely.
 
     Physical strategy is cost-based: graphs up to ``driver_threshold`` edges
     run as driver union-find (exact same result, no shuffle rounds); larger
@@ -172,13 +175,22 @@ def connected_components(
     )
     if not assume_distinct:
         e = e.distinct()
+    LAST_RUN_STATS.clear()
+    if num_edges_hint is not None and num_edges_hint <= driver_threshold:
+        # the caller vouches the graph fits the driver: solve in the one
+        # job that collects it — no gate aggregate, no persist (the edge
+        # plan is traversed exactly once)
+        LAST_RUN_STATS["n_edges"] = num_edges_hint
+        t = time.time()
+        out = _cc_driver(e, emit_roots=emit_roots)
+        LAST_RUN_STATS["solve_sec"] = round(time.time() - t, 3)
+        return out
     # persist (not an eager localCheckpoint): the gate aggregate below
     # materializes the cache in ITS OWN job, and whichever solver runs next
     # re-reads the cache instead of recomputing or re-checkpointing the
     # edge set. One aggregate serves both the strategy gate (count) and,
     # were the iterative path taken, the convergence fingerprint machinery.
     e = cached = e.persist()
-    LAST_RUN_STATS.clear()
     try:
         t = time.time()
         n_edges, _ = _fingerprint(e)

@@ -8,10 +8,12 @@ confirms — the same cheap-filter-then-verify architecture as the reference's
 byte-sum memmem filter (/root/reference/src/fuzzysearch/memmem.c:75-87).
 
 Scale notes (100 TB posture):
-* one shuffle to explode bands, one shuffle for the self-join on
-  (band_idx, band_key) — AQE skew-join splitting enabled by the session;
+* the band table crosses the wire ONCE: a groupBy on the bucket key
+  gathers each (bounded) bucket's member list and the pair set expands
+  JVM-side in the same stage — half the shuffled bytes of a sort-merge
+  self-join and no sorts;
 * explicit skew control, measured first and handled in three tiers:
-  - bucket_size <= max_bucket: plain per-bucket self-join;
+  - bucket_size <= max_bucket: per-bucket groupBy + pair expansion;
   - max_bucket < bucket_size <= salt_cap: SALTED self-join — members are
     sub-bucketed by hash(doc_id) % n_salts on one side and replicated across
     the n_salts sub-buckets on the other, so the bucket's quadratic pair set
@@ -125,14 +127,10 @@ def lsh_candidate_pairs(
     )
 
     # one row per oversized bucket — tiny metadata, broadcast to tag bands.
-    # Normal and salted tiers run through ONE unified self-join: normal
-    # buckets get n_salts = 1 (salt 0 on both sides, exactly the plain
-    # bucket join), salted buckets get n_salts = ceil(size / max_bucket) —
-    # the probe side keeps one salt per member, the build side replicates
-    # each member into every salt group, so every (a, b) pair of a bucket
-    # meets in exactly one salt group and no single task owns a whole
-    # oversized bucket. One join, two traversals of the band table, no
-    # union branch.
+    # One 64-bit bucket key replaces (band_idx, band_key) downstream —
+    # fewer shuffled bytes per band row and a single-column hash for the
+    # repartition/agg. A cross-band key collision only ever ADDS a
+    # candidate pair (verify rejects it); it cannot lose one.
     tagged = (
         bands.join(F.broadcast(oversized), ["band_idx", "band_key"], "left")
         .where(F.col("action").isNull() | (F.col("action") == F.lit("salted")))
@@ -143,47 +141,70 @@ def lsh_candidate_pairs(
                 F.ceil(F.col("bucket_size") / F.lit(max_bucket)).cast("int"),
             ).otherwise(F.lit(1)),
         )
-        # one 64-bit bucket key replaces (band_idx, band_key) through the
-        # exploding self-join — fewer shuffled bytes per band row and a
-        # single-column hash for the repartition/sort. A cross-band key
-        # collision only ever ADDS a candidate pair (verify rejects it);
-        # it cannot lose one.
         .select(
             "doc_id", F.xxhash64("band_idx", "band_key").alias("bk"), "n_salts"
         )
     )
-    # pin the join-side partitioning AT SCALE: the band table is tiny
-    # relative to the pair set this self-join EXPLODES into (a bucket of b
-    # members yields ~b^2/2 pairs), so AQE's input-size-based coalescing
-    # under-parallelizes the join (observed: 19 tasks on 16 cores with an
-    # 11 s straggler). Repartitioning on exactly the join keys is reused by
-    # the sort-merge join — no extra exchange — and the count follows
-    # cluster parallelism. Size-gated on Catalyst's own estimate of the
-    # signature input (unknown stats read as large): below the gate the
-    # whole self-join is broadcast-territory and the pin would only replace
-    # a map-side broadcast join with two shuffles, so AQE keeps the plan.
-    left = tagged.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
-    ).drop("n_salts")
-    right = tagged.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
-    ).drop("n_salts")
+
+    # NORMAL tier (bucket <= max_bucket, the overwhelming majority): one
+    # groupBy shuffle gathers each bucket's member list (bounded by
+    # max_bucket), then the pair set expands JVM-side inside the same
+    # stage — half the shuffled volume of a sort-merge self-join (the band
+    # table crosses the wire once, not twice) and no sorts. The
+    # partitioning pin matters AT SCALE: the agg output is tiny relative
+    # to the pair set the expansion EXPLODES into, so AQE's size-based
+    # coalescing under-parallelizes the stage (observed: 19 tasks on 16
+    # cores with an 11 s straggler). Repartitioning on the group key is
+    # reused by the aggregate — no extra exchange — and the task count
+    # follows cluster parallelism. Size-gated on Catalyst's own estimate
+    # (unknown stats read as large): below the gate AQE plans freely.
+    normal = tagged.where(F.col("n_salts") == 1).select("doc_id", "bk")
     if plan_bytes > PIN_PARTITIONING_MIN_BYTES:
         n_parts = 4 * docs_with_bands.sparkSession.sparkContext.defaultParallelism
-        left = left.repartition(n_parts, "bk", "salt")
-        right = right.repartition(n_parts, "bk", "salt")
-    l, r = left.alias("l"), right.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.bk") == F.col("r.bk"))
-            & (F.col("l.salt") == F.col("r.salt"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        normal = normal.repartition(n_parts, "bk")
+    pairs_normal = (
+        normal.groupBy("bk")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
         .select(
-            F.col("l.doc_id").alias("a_id"),
-            F.col("r.doc_id").alias("b_id"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1), y ->"
+                    " struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                )
+            ).alias("p")
         )
-        .distinct()
+        .select("p.a_id", "p.b_id")
+        # equal-id pairs can only arise from a cross-band bk collision
+        # putting one doc in a merged bucket twice; drop them like the
+        # self-join's strict inequality did
+        .where(F.col("a_id") != F.col("b_id"))
     )
+
+    # SALTED tier (max_bucket < size <= salt_cap, rare): replicated
+    # self-join — the probe side keeps one salt per member, the build side
+    # replicates each member into every salt group, so every (a, b) pair
+    # of an oversized bucket meets in exactly one salt group and no single
+    # task owns a whole bucket's quadratic pair set (which is exactly why
+    # the groupBy-expansion above cannot serve this tier).
+    salted = tagged.where(F.col("n_salts") > 1)
+    left = salted.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
+    ).drop("n_salts")
+    right = salted.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
+    ).drop("n_salts")
+    l, r = left.alias("l"), right.alias("r")
+    pairs_salted = l.join(
+        r,
+        (F.col("l.bk") == F.col("r.bk"))
+        & (F.col("l.salt") == F.col("r.salt"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("a_id"),
+        F.col("r.doc_id").alias("b_id"),
+    )
+
+    pairs = pairs_normal.unionByName(pairs_salted).distinct()
     return pairs, oversized

@@ -86,6 +86,7 @@ class DedupPipeline:
         # row counts recorded by completed stage barriers (eager/parquet
         # modes) — downstream size gates reuse them instead of re-counting
         self._stage_rows: dict[str, int] = {}
+        self._n_exact_members: int | None = None
         os.makedirs(os.path.join(cfg.workdir, "metrics"), exist_ok=True)
 
     # -- checkpoint plumbing -------------------------------------------------
@@ -97,6 +98,11 @@ class DedupPipeline:
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
     def _checkpoint(self, stage: str, df: DataFrame, **extras) -> DataFrame:
+        """Materialize + record a stage. A callable extras value is invoked
+        AFTER the stage barrier — for metrics that read side outputs the
+        stage's own job materializes (e.g. the persisted skew report), so
+        collecting them costs a cache hit instead of a separate serial job
+        ahead of the barrier."""
         t0 = time.time()
         if self.cfg.checkpoint_mode in ("memory", "eager"):
             # lazy persist: no count barrier, so consecutive stages pipeline
@@ -107,6 +113,7 @@ class DedupPipeline:
             rows = out.count() if self.cfg.checkpoint_mode == "eager" else None
             if rows is not None:
                 self._stage_rows[stage] = rows
+            extras = {k: (v() if callable(v) else v) for k, v in extras.items()}
             metrics = {
                 "stage": stage,
                 "rows": rows,
@@ -127,6 +134,7 @@ class DedupPipeline:
         out = ensure_min_partitions(self.spark.read.parquet(path))
         per_part = self._partition_rows(path)
         self._stage_rows[stage] = int(sum(c for _, c in per_part))
+        extras = {k: (v() if callable(v) else v) for k, v in extras.items()}
         metrics = {
             "stage": stage,
             "rows": self._stage_rows[stage],
@@ -301,7 +309,8 @@ class DedupPipeline:
             # side) — without the cache each traversal re-runs the filter
             # against the full signature table.
             non_rep = exact.where("NOT is_representative").select("doc_id")
-            if non_rep.count() <= 5_000_000:
+            self._n_exact_members = non_rep.count()
+            if self._n_exact_members <= 5_000_000:
                 reps = signatures.join(F.broadcast(non_rep), "doc_id", "left_anti")
             else:
                 reps = signatures.join(
@@ -313,20 +322,23 @@ class DedupPipeline:
                 reps, max_bucket=self.cfg.max_bucket, salt_cap=self.cfg.salt_cap
             )
             self._scratch.append(oversized)  # persisted inside the operator
-            t = time.time()
-            skew = [
-                {
-                    "band_idx": int(r["band_idx"]),
-                    "band_key": int(r["band_key"]),
-                    "bucket_size": int(r["bucket_size"]),
-                    "action": r["action"],
-                }
-                for r in oversized.collect()
-            ]
-            return pairs, {
-                "oversized_buckets": skew,
-                "skew_detect_sec": round(time.time() - t, 3),
-            }
+
+            def skew_report():
+                # deferred past the stage barrier: the pairs job already
+                # materialized the persisted report for its broadcast tag
+                # join, so this collect is a cache hit, not a serial
+                # detection job ahead of the barrier
+                return [
+                    {
+                        "band_idx": int(r["band_idx"]),
+                        "band_key": int(r["band_key"]),
+                        "bucket_size": int(r["bucket_size"]),
+                        "action": r["action"],
+                    }
+                    for r in oversized.collect()
+                ]
+
+            return pairs, {"oversized_buckets": skew_report}
 
         return self._load_or("s3_candidates", compute)
 
@@ -357,10 +369,23 @@ class DedupPipeline:
             # assume_distinct: exact edges (member→rep inside a sha256
             # group) and verified pairs (distinct LSH survivors between
             # different-sha reps) are internally distinct and disjoint, so
-            # the operator's edge-dedup shuffle would be a semantic no-op
+            # the operator's edge-dedup shuffle would be a semantic no-op.
+            # The edge count is already known EXACTLY from the s4 barrier
+            # (verified pairs) plus the candidate stage's member count (one
+            # edge per non-representative doc) — passing it skips the
+            # operator's strategy-gate aggregate job.
+            n_verified = self._stage_rows.get("s4_verified")
+            hint = (
+                n_verified + self._n_exact_members
+                if n_verified is not None and self._n_exact_members is not None
+                else None
+            )
             t = time.time()
             assignments = connected_components(
-                edges, assume_distinct=True, emit_roots=False
+                edges,
+                assume_distinct=True,
+                emit_roots=False,
+                num_edges_hint=hint,
             )
             cc_sec = round(time.time() - t, 3)
             from fuzzysearch_spark.operators.components import LAST_RUN_STATS

@@ -65,7 +65,20 @@ def generate_input(path: str) -> int:
     # be finer than a row group, and 64 fat groups left the signature stage
     # with 23 MB-grained tasks — event logs showed a 39 s straggler closing
     # a 16-core wave (avg task 8.7 s). Finer groups pack the last wave tight.
-    pq.write_table(pa.table(cols), path, row_group_size=max(N_FILES // 256, 1))
+    # zstd-compressed (not snappy): the corpus is scanned three times per
+    # run (ingest sha256, signature UDF, verify content fetch) and a probe
+    # decomposition showed the content scan is memory-bandwidth-bound (pair
+    # efficiency 0.47 vs 0.99 for the kernel) — halving the bytes moving
+    # through the memory system trades scarce bandwidth for plentiful,
+    # well-scaling CPU, the same posture as the zstd shuffle codec (and the
+    # standard storage choice for text corpora at 100 TB).
+    pq.write_table(
+        pa.table(cols),
+        path,
+        row_group_size=max(N_FILES // 256, 1),
+        compression="zstd",
+        compression_level=3,
+    )
     return len(planted.rows)
 
 
@@ -202,7 +215,7 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
         stages[m["stage"]] = m["wall_sec"]
         if m.get("plan_sec") is not None:
             plans[m["stage"]] = m["plan_sec"]
-        for k in ("skew_detect_sec", "cc_sec", "cc_detail"):
+        for k in ("cc_sec", "cc_detail"):
             if m.get(k) is not None:
                 detail[k] = m[k]
         if m["stage"] == "s5_clusters":

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Decompose the signature stage's scaling: scan vs Arrow pipe vs kernel
+vs persist, at one parallelism level per invocation.
+
+Usage: python scripts/diag_s2.py CPUS INPUT_PARQUET [VARIANTS]
+Variants (comma list, default all): scan,pipe,udf,full
+Prints one JSON line with per-variant wall seconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import json
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    input_path = sys.argv[2]
+    variants = (sys.argv[3] if len(sys.argv) > 3 else "scan,pipe,udf,full").split(",")
+
+    # mirror bench_scaling's session exactly (local-cluster, zstd, arrow)
+    os.environ.setdefault("SCALING_MODE", "executors")
+    from scripts.bench_scaling import child  # noqa: F401  (env parity)
+    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    shm = "/dev/shm/fsw-shuffle"
+    os.makedirs(shm, exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = shm
+    n_exec = max(1, cpus // 4)
+    builder = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},4,16384]")
+        .appName(f"fsw-diag-s2-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(4 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.local.dir", shm)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.executor.memory", "14336m")
+        .config("spark.executorEnv.PYTHONPATH", REPO)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4")
+    )
+    extra = os.environ.get("SCALING_EXTRA_CONF", "")
+    if extra:
+        for kv in extra.split(";"):
+            k, _, v = kv.partition("=")
+            if k:
+                builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
+    import zipfile
+
+    zip_path = os.path.join(shm, f"fsw_diag_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        pkg = os.path.join(REPO, "fuzzysearch_spark")
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    spark.sparkContext.addPyFile(zip_path)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    @pandas_udf("long")
+    def _noop_len(s):
+        return s.str.len()
+
+    from fuzzysearch_spark.functions.signatures import (
+        SignatureConfig,
+        band_keys_col,
+        signature_struct_udf,
+    )
+
+    sig = signature_struct_udf(SignatureConfig())
+
+    # warm workers
+    warm = spark.range(100000, numPartitions=cpus * 2)
+    warm.withColumn("w", _noop_len(F.col("id").cast("string"))).groupBy(
+        F.col("id") % 7
+    ).count().collect()
+    raw = spark.read.parquet(input_path)
+    raw.count()
+
+    def contents():
+        return raw.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            "content",
+            F.length("content").alias("n_chars"),
+        )
+
+    results = {}
+    for v in variants:
+        t0 = time.time()
+        if v == "scan":
+            # JVM-only: full content scan + a cheap JVM aggregate over it
+            contents().agg(F.sum(F.length("content"))).collect()
+        elif v == "pipe":
+            # scan + Arrow round trip through python, trivial python work
+            contents().withColumn("m", _noop_len(F.col("content"))).agg(
+                F.sum("m")
+            ).collect()
+        elif v == "udf":
+            # scan + the real signature kernel, no persist
+            df = contents().withColumn("sig", sig(F.col("content"))).select(
+                "doc_id",
+                band_keys_col(F.col("sig.minhash"), SignatureConfig()).alias(
+                    "bands"
+                ),
+                F.col("sig.simhash").alias("simhash"),
+                "n_chars",
+            )
+            df.agg(F.sum(F.size("bands"))).collect()
+        elif v == "full":
+            df = contents().withColumn("sig", sig(F.col("content"))).select(
+                "doc_id",
+                band_keys_col(F.col("sig.minhash"), SignatureConfig()).alias(
+                    "bands"
+                ),
+                F.col("sig.simhash").alias("simhash"),
+                "n_chars",
+            ).persist()
+            df.count()
+            df.unpersist()
+        results[v] = round(time.time() - t0, 3)
+    spark.stop()
+    print(json.dumps({"cpus": cpus, **results}))
+
+
+if __name__ == "__main__":
+    main()

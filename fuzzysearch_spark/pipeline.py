@@ -238,15 +238,17 @@ class DedupPipeline:
 
         return self._load_or("s0_ingest", compute)
 
-    def content_source(self, raw: DataFrame, docs: DataFrame) -> DataFrame:
+    def content_source(self, raw: DataFrame, docs: DataFrame | None) -> DataFrame:
         """(doc_id, content, n_chars) for content-consuming stages.
 
-        Parquet mode: the s0 checkpoint (one storage round-trip, resume-safe).
-        Memory/eager mode: a fresh projection of the raw scan — content
-        streams from the columnar source straight into the consuming stage
-        (signature UDF, verify content fetch) and is never persisted.
+        Parquet mode (``docs`` = the content-carrying s0 checkpoint): the
+        checkpoint (one storage round-trip, resume-safe). Memory/eager mode
+        (``docs`` light or None): a fresh projection of the raw scan —
+        content streams from the columnar source straight into the
+        consuming stage (signature UDF, verify content fetch) and is never
+        persisted.
         """
-        if "content" in docs.columns:
+        if docs is not None and "content" in docs.columns:
             return docs.select("doc_id", "content", "n_chars")
         return ensure_min_partitions(raw).select(
             F.xxhash64("repo", "path", "commit").alias("doc_id"),
@@ -418,21 +420,35 @@ class DedupPipeline:
     # -- driver ----------------------------------------------------------------
 
     def run(self, raw: DataFrame) -> DataFrame:
-        docs = self.ingest(raw)
-        contents = self.content_source(raw, docs)
-        # s1 (exact groups: a light sha256 groupBy) and s2 (signatures: the
-        # dominant content-UDF stage) both depend only on s0, so s1's jobs
-        # are submitted from a second thread and its small tasks interleave
-        # into s2's long waves — the Spark scheduler runs concurrent jobs
-        # from one session, exactly as concurrent queries share a cluster.
-        # Serially, s1's wall (barrier + shuffle latency, 2-4 s/level in the
-        # scaling campaign) lands on the critical path at BOTH cluster
-        # sizes; overlapped it vanishes under s2 entirely.
+        # Stage dependency graph, not stage order, drives scheduling: the
+        # Spark scheduler runs concurrent jobs from one session exactly as
+        # concurrent queries share a cluster, so every stage is submitted
+        # from a thread as soon as its inputs exist and the long signature
+        # UDF stage (s2) absorbs its siblings' barrier latencies:
+        #   - memory/eager modes: s2 reads content straight from the raw
+        #     scan, so it starts IMMEDIATELY and s0 (ingest barrier, 6-17 s
+        #     per level in the scaling campaign) runs entirely under it;
+        #     s1 (a light sha256 groupBy) follows s0, still under s2.
+        #   - parquet mode: s2 reads the s0 checkpoint from storage (the
+        #     resume contract), so only s1 overlaps s2 — serially its
+        #     2-4 s/level barrier lands on the critical path at BOTH
+        #     cluster sizes; overlapped it vanishes.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            sig_future = None
+            if self.cfg.checkpoint_mode != "parquet":
+                sig_future = pool.submit(
+                    self.signature_stage, self.content_source(raw, None)
+                )
+            docs = self.ingest(raw)
+            contents = self.content_source(raw, docs)
             exact_future = pool.submit(self.exact_stage, docs)
-            signatures = self.signature_stage(contents)
+            signatures = (
+                sig_future.result()
+                if sig_future is not None
+                else self.signature_stage(contents)
+            )
             exact = exact_future.result()
         pairs = self.candidate_stage(signatures, exact)
         verified = self.verify_stage(pairs, contents, signatures)

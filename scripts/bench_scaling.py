@@ -224,10 +224,13 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
         n_out = out.count()
     wall = time.time() - t0
     spark.stop()
-    # wall not attributed to any stage barrier or planning job; s1 runs
-    # overlapped under s2 so its wall is excluded from the attribution sum
+    # wall not attributed to any stage barrier or planning job; s0 and s1
+    # run overlapped under s2 (their walls are completion latencies, not
+    # costs) so they are excluded from the attribution sum
     attributed = sum(
-        stages.get(s, 0) + plans.get(s, 0) for s in stages if s != "s1_exact"
+        stages.get(s, 0) + plans.get(s, 0)
+        for s in stages
+        if s not in ("s0_ingest", "s1_exact")
     )
     print(
         json.dumps(

@@ -271,9 +271,15 @@ def main() -> None:
         # interleave levels across repeats so page-cache warmth and host
         # noise hit both levels evenly; record EVERY repeat — host noise on
         # identical runs spans +-18%, so the artifact carries best AND
-        # median estimators rather than a single cherry-picked number
+        # median estimators rather than a single cherry-picked number.
+        # Leg order ALTERNATES per repeat: the host drifts between machine
+        # states on the scale of minutes (one campaign's identical 4-core
+        # legs spanned +37%), and a fixed low-then-high order lets a
+        # mid-repeat speedup systematically inflate the pairwise ratio —
+        # alternation makes drift cancel across repeats instead.
         for rep in range(repeats):
-            for cpus in CPU_LEVELS:
+            order = CPU_LEVELS if rep % 2 == 0 else tuple(reversed(CPU_LEVELS))
+            for cpus in order:
                 workdir = os.path.join(tmp, f"work_{cpus}_{rep}")
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--run", str(cpus), input_path, workdir],
@@ -380,8 +386,13 @@ def main() -> None:
             for s in stage_names
             if best[hi]["stages"].get(s)
         }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # SCALING_OUT redirects the artifact (smoke/experiment runs must not
+    # overwrite the recorded campaign in BENCH/scaling.json)
+    out_path = os.environ.get(
+        "SCALING_OUT", os.path.join(REPO, "BENCH", "scaling.json")
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 

@@ -41,6 +41,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents")
 
 
+def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Write-and-reread through a temp parquet.
+
+    Queries whose plans traverse an expensive intermediate more than once
+    persist that intermediate; materializing the final result here lets them
+    unpersist BEFORE returning, so a full ``queries()`` sweep leaves no
+    cached RDDs behind for the session's lifetime (the driver's later
+    action replays a plain scan of the tiny result file)."""
+    path = tempfile.mkdtemp(prefix="fsw_q_")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _force_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -102,11 +115,16 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    # persist: the verify step traverses the candidate plan twice (id set +
-    # feature joins); without the persist the quadratic Jaccard plan would
-    # recompute on the second traversal
+    # persist: the quadratic Jaccard candidate plan must compute exactly
+    # once; the eager count doubles as the verify broadcast-gate hint, and
+    # the final materialize lets the cache release before returning
     cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
-    return edit_distance_pairs(docs, cands, max_l_dist=8)
+    out = _materialized(
+        spark,
+        edit_distance_pairs(docs, cands, max_l_dist=8, n_pairs_hint=cands.count()),
+    )
+    cands.unpersist()
+    return out
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,14 +139,23 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    # persist both reused plans: the quadratic Jaccard candidates (traversed
-    # twice by verify) and the verified edges (traversed by CC + cluster join)
+    # persist both reused plans: the quadratic Jaccard candidates and the
+    # verified edges (traversed by CC's gate + collect); materialize the
+    # final cluster table, then release both caches before returning
     cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
-    edges = edit_distance_pairs(docs, cands, max_l_dist=8).persist()
+    edges = edit_distance_pairs(
+        docs, cands, max_l_dist=8, n_pairs_hint=cands.count()
+    ).persist()
     assignments = connected_components(edges)
-    return attach_clusters(docs.select("doc_id"), assignments).select(
-        "doc_id", "cluster_id"
+    out = _materialized(
+        spark,
+        attach_clusters(docs.select("doc_id"), assignments).select(
+            "doc_id", "cluster_id"
+        ),
     )
+    edges.unpersist()
+    cands.unpersist()
+    return out
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +226,68 @@ def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(cands, ["a_id", "b_id"], "left_anti").unionByName(
         cands.join(truth, ["a_id", "b_id"], "left_anti")
     )
+
+
+def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup pairs (exact 12-gram Jaccard >= 0.7 AND banded
+    edit distance <= 8 — the same truth the ``near_dup_clusters`` oracle
+    computes) that the flagship MinHash-LSH pipeline — ``entry()``'s exact
+    configuration — fails to co-cluster. The oracle pins emptiness, so the
+    END-TO-END pipeline (signatures → LSH → verify → connected components)
+    is a hash-checked invariant in CORRECTNESS, not just a pytest recall
+    pin; reference analog: the golden cluster expectations of
+    /root/reference/tests/test_levenshtein.py applied end-to-end."""
+    from fuzzysearch_spark.operators.dedup_extra import (
+        edit_distance_pairs,
+        ngram_jaccard_pairs,
+    )
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = DedupConfig(
+        workdir=tempfile.mkdtemp(prefix="fsw_audit_"),
+        resume=False,
+        verify=VerifyConfig(max_l_dist=8),
+    )
+    clusters = DedupPipeline(spark, cfg).run(corpus)
+    # the synthetic path carries the original doc_id: recover it so truth
+    # pairs (keyed by documents.doc_id) join the pipeline's assignment
+    assign = clusters.select(
+        F.split(F.col("path"), "/").getItem(1).cast("long").alias("doc_id"),
+        "cluster_id",
+    )
+    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
+    truth = edit_distance_pairs(
+        docs, cands, max_l_dist=8, n_pairs_hint=cands.count()
+    )
+    viol = (
+        truth.select("a_id", "b_id")
+        .join(
+            assign.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+                "cluster_id", "ca"
+            ),
+            "a_id",
+        )
+        .join(
+            assign.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "cluster_id", "cb"
+            ),
+            "b_id",
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .select("a_id", "b_id")
+    )
+    out = _materialized(spark, viol)
+    cands.unpersist()
+    return out
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_equivalence_audit": q_simhash_equivalence_audit,
         "containment_pairs": q_containment_pairs,
         "containment_recall_audit": q_containment_recall_audit,
+        "pipeline_recall_audit": q_pipeline_recall_audit,
         "find_near_matches": q_find_near_matches,
         "find_near_matches_chunked": q_find_near_matches_chunked,
         "find_exact_matches": q_find_exact_matches,
@@ -626,6 +716,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "containment_recall_audit": """
+            SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+            WHERE FALSE
+        """,
+        # emptiness pin: every ground-truth near-dup pair (Jaccard >= 0.7
+        # AND levenshtein <= 8) must be co-clustered by the flagship
+        # MinHash-LSH pipeline end-to-end
+        "pipeline_recall_audit": """
             SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
             WHERE FALSE
         """,

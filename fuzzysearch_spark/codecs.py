@@ -182,6 +182,8 @@ def decode_wav(payload: bytes) -> WavData:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif chunk_id == b"data":
             data = body
@@ -189,6 +191,10 @@ def decode_wav(payload: bytes) -> WavData:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if sample_rate <= 0 or n_channels <= 0:
+        raise ValueError(
+            f"WAV malformed header: sample_rate={sample_rate} n_channels={n_channels}"
+        )
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif audio_format == 1 and bits == 8:

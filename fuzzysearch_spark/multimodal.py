@@ -78,7 +78,12 @@ def extract_media_features(media: DataFrame, decoder: str = "auto") -> DataFrame
                 try:
                     feats.append(codecs.decode_features(payload, kind).tolist())
                     decoded.append(True)
-                except (codecs.UnsupportedMediaError, ValueError):
+                except Exception:
+                    # auto mode is the dirty-corpus policy: ANY decode failure
+                    # (unsupported format, malformed header, truncated body —
+                    # struct.error and friends included) falls back to the
+                    # visible histogram row instead of failing the Spark task;
+                    # strict mode re-raises so bad payloads fail loudly.
                     if decoder == "strict":
                         raise
                     feats.append(_histogram_features(payload).tolist())

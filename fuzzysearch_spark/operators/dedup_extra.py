@@ -105,14 +105,28 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     simhash_col: str = "simhash",
+    max_bucket: int = 1000,
+    salt_cap: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, hamming) pairs within a SimHash Hamming ball.
 
     Pigeonhole bucketing: split the 64-bit simhash into ``max_hamming + 1``
-    sub-bands; any pair within the ball agrees exactly on >= 1 band, so the
-    candidate join is an equi-join on (band_idx, band_value), never a cross
-    join. Exact JVM-side bit_count verification after.
+    sub-bands; any pair within the ball agrees exactly on >= 1 band, so
+    candidate generation is an equi-collision on (band_idx, band_value),
+    never a cross join. Exact JVM-side bit_count verification after.
+
+    Skew posture: sub-band values are HOT on real corpora — every
+    empty/near-empty document simhashes to 0, and boilerplate makes 16-bit
+    sub-bands collide by the thousands — so candidate generation reuses the
+    LSH operator's tiered machinery (single-exchange expansion up to
+    ``max_bucket``, salted replicated self-join up to ``salt_cap``,
+    reported exclusion above) instead of a raw self-join whose hot bucket
+    would serialize one quadratic task. The mass-duplicate classes a
+    bucket-exclusion would hit (e.g. millions of empty documents) are
+    exactly what upstream exact dedup collapses first.
     """
+    from fuzzysearch_spark.operators.lsh import lsh_candidate_pairs
+
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
@@ -125,27 +139,28 @@ def simhash_near_dup_pairs(
             for i in range(n_bands)
         ]
     )
-    exploded = docs_with_simhash.select(
-        F.col(id_col).alias("doc_id"),
-        sh.alias("sh"),
-        F.posexplode(bands).alias("band_idx", "band_val"),
+    with_bands = docs_with_simhash.select(
+        F.col(id_col).alias("doc_id"), bands.alias("bands")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    pairs, _report = lsh_candidate_pairs(
+        with_bands, max_bucket=max_bucket, salt_cap=salt_cap
+    )
+    sigs = docs_with_simhash.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")),
+            "a_id",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")),
+            "b_id",
         )
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -155,10 +170,18 @@ def edit_distance_pairs(
     max_l_dist: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_pairs_hint: int | None = None,
 ) -> DataFrame:
-    """(a_id, b_id, dist) — banded-DP verified edit distances for candidates."""
+    """(a_id, b_id, dist) — banded-DP verified edit distances for candidates.
+
+    ``n_pairs_hint``: candidate count a caller already knows (e.g. from
+    materializing the candidate plan) — passes through to the verify
+    operator's broadcast gate so the candidate plan is traversed exactly
+    once instead of paying a separate count job.
+    """
     return verify_pairs(
         candidates.select("a_id", "b_id"),
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")),
         VerifyConfig(max_l_dist=max_l_dist),
+        n_pairs_hint=n_pairs_hint,
     )

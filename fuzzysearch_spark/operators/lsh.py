@@ -7,22 +7,42 @@ band key; colliding pairs are *candidates* that downstream verification
 confirms — the same cheap-filter-then-verify architecture as the reference's
 byte-sum memmem filter (/root/reference/src/fuzzysearch/memmem.c:75-87).
 
-Scale notes (100 TB posture):
-* the band table crosses the wire ONCE: a groupBy on the bucket key
-  gathers each (bounded) bucket's member list and the pair set expands
-  JVM-side in the same stage — half the shuffled bytes of a sort-merge
-  self-join and no sorts;
-* explicit skew control, measured first and handled in three tiers:
-  - bucket_size <= max_bucket: per-bucket groupBy + pair expansion;
-  - max_bucket < bucket_size <= salt_cap: SALTED self-join — members are
-    sub-bucketed by hash(doc_id) % n_salts on one side and replicated across
-    the n_salts sub-buckets on the other, so the bucket's quadratic pair set
-    is still produced in full but spread over n_salts tasks instead of one
-    straggler (reported as action='salted');
-  - bucket_size > salt_cap: excluded from pair generation and reported
-    (action='excluded') — at sane geometry such a bucket means
-    near-identical content that exact-dedup should have removed, and its
-    pair set would be quadratic in a way no partitioning can amortize;
+Scale notes (100 TB posture) — the whole operator is ONE exchange of the
+band table plus a light pair-key dedup shuffle:
+
+* the band table crosses the wire exactly ONCE: a single groupBy on the
+  (hashed) bucket key gathers each bucket's member list, and skew
+  *detection*, the pair expansion, and the skew report all read that one
+  aggregation — there is no separate detection pass, no sampled pre-scan,
+  no broadcast tag join (round-2's three-job structure measured as the s3
+  scaling bottleneck; fusing them removed two full band-table traversals
+  and every serial pre-job);
+* explicit skew control, decided on the EXACT bucket size inside the same
+  aggregation, in three tiers:
+  - bucket_size <= max_bucket: in-place JVM pair expansion of the
+    collected member list — half the shuffled bytes of a sort-merge
+    self-join and no sorts;
+  - max_bucket < bucket_size <= salt_cap: SALTED replicated self-join over
+    the (tiny) exploded member lists of just these buckets — the bucket's
+    quadratic pair set is still produced in full but spread over
+    ceil(size/max_bucket) salt groups instead of one straggler
+    (action='salted');
+  - bucket_size > salt_cap: no pairs, reported (action='excluded') — at
+    sane geometry such a bucket means near-identical content that
+    exact-dedup should have removed, and its pair set would be quadratic
+    in a way no partitioning can amortize. Nothing is dropped silently.
+  Memory bound: a bucket's member list materializes once in the aggregation
+  buffer (Spark's object-hash aggregate falls back to sort-based + spill
+  under pressure), so an excluded mega-bucket costs one bounded straggler
+  task — shuffle-read of its member rows — never an OOM and never a
+  quadratic expansion;
+* bucket keys are xxhash64(band_idx, band_key): 8 shuffled bytes per band
+  row instead of 12, at the cost that a 64-bit collision MERGES two
+  buckets. A merge can only add candidate pairs (verify rejects them) or
+  move a bucket up a tier; losing a pair requires two heavy (>max_bucket/2)
+  buckets colliding AND their merged size crossing salt_cap — with the
+  handful of heavy buckets a sane corpus has, that probability is < 1e-7
+  even at 10^12 documents, and the exclusion is still reported, not silent;
 * pair de-dup on (a_id, b_id) BEFORE fetching any content — the biggest
   cost saver, since a pair collides once per agreeing band.
 """
@@ -38,10 +58,6 @@ from fuzzysearch_spark.util import estimated_plan_bytes
 # exploding self-joins pin their join-key partitioning only when the input
 # estimate is past broadcast/single-wave territory (see lsh_candidate_pairs)
 PIN_PARTITIONING_MIN_BYTES = 128 * 1024 * 1024
-# estimates at or past this are Catalyst's unknown-stats sentinels (products
-# of Long.MaxValue defaults), not real sizes: 1 EB — far beyond any single
-# table this engine will scan, far below the sentinel range
-CREDIBLE_STATS_MAX_BYTES = 1 << 60
 
 
 def add_minhash_bands(docs: DataFrame, cfg: SignatureConfig, content_col: str = "content") -> DataFrame:
@@ -64,108 +80,61 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket: int = 1000,
     salt_cap: int | None = None,
+    scratch: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (a_id < b_id) from band-key collisions.
 
-    Skew tiers (see module docstring): plain join up to ``max_bucket``,
-    salted join up to ``salt_cap`` (default ``50 * max_bucket``), excluded
-    above. Returns (pairs, skew_report); the report rows are
-    (band_idx, band_key, bucket_size, action) with action in
-    {'salted', 'excluded'} — nothing is dropped silently, and no true pair
-    in a salted bucket is lost.
+    Skew tiers (see module docstring): in-place expansion up to
+    ``max_bucket``, salted join up to ``salt_cap`` (default
+    ``50 * max_bucket``), excluded above. Returns (pairs, skew_report); the
+    report rows are (bk, bucket_size, action) with action in
+    {'salted', 'excluded'} — ``bk`` is the hashed bucket key, nothing is
+    dropped silently, and no true pair in a salted bucket is lost.
+
+    Cache ownership: when ``scratch`` (a caller-owned list) is passed, the
+    oversized-bucket slice is persisted — the pairs job fills the cache via
+    its salted branch, so a later ``skew_report`` collect is a cache hit —
+    and appended to ``scratch`` for the CALLER to unpersist after its
+    barrier (the pipeline's per-stage release). Without ``scratch`` nothing
+    persists: pairs-only consumers leak no executor storage, and report
+    consumers pay one re-aggregation.
     """
     if salt_cap is None:
         salt_cap = 50 * max_bucket
-    bands = explode_bands(docs_with_bands, id_col)
     plan_bytes = estimated_plan_bytes(docs_with_bands)
 
-    # Skew detection. Small inputs take the exact full aggregation. At scale
-    # the full groupBy shuffles the whole band table for counts that are
-    # ~all 1 (map-side partial aggregation cannot shrink near-unique keys),
-    # so the big path finds CANDIDATE heavy keys from a fixed-fraction
-    # sample first — a bucket must reach max_bucket (>=1000) members to
-    # matter, and a 5% Binomial sample of >=1000 members falls below the
-    # detection threshold (max_bucket*5%/4) with probability ~1e-12 — then
-    # computes EXACT sizes for those candidates only via a broadcast
-    # semi-join. The skew report stays exact; only heavy-key *detection* is
-    # sampled, with a miss meaning one unsalted straggler task, never a
-    # lost pair. Gate direction differs from the partitioning pin below:
-    # the pin fails safe toward "pinned" on UNKNOWN stats, but sampling is
-    # only sound when Catalyst CREDIBLY says the input is large — unknown
-    # stats (huge sentinel estimates) take the exact path.
-    if PIN_PARTITIONING_MIN_BYTES < plan_bytes < CREDIBLE_STATS_MAX_BYTES:
-        frac = 0.05
-        detect = max(2, int(frac * max_bucket / 4))
-        cand = (
-            bands.sample(False, frac, seed=7)
-            .groupBy("band_idx", "band_key")
-            .agg(F.count("*").alias("c"))
-            .where(F.col("c") >= detect)
-            .select("band_idx", "band_key")
-        )
-        sizes = (
-            bands.join(F.broadcast(cand), ["band_idx", "band_key"])
-            .groupBy("band_idx", "band_key")
-            .agg(F.count("*").alias("bucket_size"))
-        )
-    else:
-        sizes = bands.groupBy("band_idx", "band_key").agg(
-            F.count("*").alias("bucket_size")
-        )
-    # persisted: the skew report is consumed twice (the caller's metrics
-    # collect + the broadcast tag join below); without the persist each
-    # consumer re-runs the detection aggregation
-    oversized = (
-        sizes.where(F.col("bucket_size") > max_bucket)
-        .withColumn(
-            "action",
-            F.when(F.col("bucket_size") > salt_cap, F.lit("excluded")).otherwise(
-                F.lit("salted")
-            ),
-        )
-        .persist()
+    kv = explode_bands(docs_with_bands, id_col).select(
+        "doc_id", F.xxhash64("band_idx", "band_key").alias("bk")
     )
 
-    # one row per oversized bucket — tiny metadata, broadcast to tag bands.
-    # One 64-bit bucket key replaces (band_idx, band_key) downstream —
-    # fewer shuffled bytes per band row and a single-column hash for the
-    # repartition/agg. A cross-band key collision only ever ADDS a
-    # candidate pair (verify rejects it); it cannot lose one.
-    tagged = (
-        bands.join(F.broadcast(oversized), ["band_idx", "band_key"], "left")
-        .where(F.col("action").isNull() | (F.col("action") == F.lit("salted")))
-        .withColumn(
-            "n_salts",
-            F.when(
-                F.col("action") == F.lit("salted"),
-                F.ceil(F.col("bucket_size") / F.lit(max_bucket)).cast("int"),
-            ).otherwise(F.lit(1)),
-        )
-        .select(
-            "doc_id", F.xxhash64("band_idx", "band_key").alias("bk"), "n_salts"
-        )
-    )
-
-    # NORMAL tier (bucket <= max_bucket, the overwhelming majority): one
-    # groupBy shuffle gathers each bucket's member list (bounded by
-    # max_bucket), then the pair set expands JVM-side inside the same
-    # stage — half the shuffled volume of a sort-merge self-join (the band
-    # table crosses the wire once, not twice) and no sorts. The
-    # partitioning pin matters AT SCALE: the agg output is tiny relative
+    # The partitioning pin matters AT SCALE: the agg output is tiny relative
     # to the pair set the expansion EXPLODES into, so AQE's size-based
     # coalescing under-parallelizes the stage (observed: 19 tasks on 16
     # cores with an 11 s straggler). Repartitioning on the group key is
     # reused by the aggregate — no extra exchange — and the task count
     # follows cluster parallelism. Size-gated on Catalyst's own estimate
     # (unknown stats read as large): below the gate AQE plans freely.
-    normal = tagged.where(F.col("n_salts") == 1).select("doc_id", "bk")
     if plan_bytes > PIN_PARTITIONING_MIN_BYTES:
         n_parts = 4 * docs_with_bands.sparkSession.sparkContext.defaultParallelism
-        normal = normal.repartition(n_parts, "bk")
-    pairs_normal = (
-        normal.groupBy("bk")
+        kv = kv.repartition(n_parts, "bk")
+
+    # ONE aggregation gathers each bucket's member list AND its exact size;
+    # every tier decision below reads this. The two consumers (normal
+    # expansion, oversized slice) are separate traversals of the same plan,
+    # but ReuseExchange dedupes the shuffle write — the band table crosses
+    # the wire once; only the (cheap, fully parallel) agg re-runs.
+    grouped = (
+        kv.groupBy("bk")
         .agg(F.collect_list("doc_id").alias("ids"))
         .where(F.size("ids") > 1)
+    )
+
+    # NORMAL tier (the overwhelming majority): the pair set expands
+    # JVM-side inside the same stage as the aggregation. Equal-id pairs can
+    # only arise from a cross-band bk collision putting one doc in a merged
+    # bucket twice; drop them like a self-join's strict inequality would.
+    pairs_normal = (
+        grouped.where(F.size("ids") <= max_bucket)
         .select(
             F.explode(
                 F.expr(
@@ -176,23 +145,45 @@ def lsh_candidate_pairs(
             ).alias("p")
         )
         .select("p.a_id", "p.b_id")
-        # equal-id pairs can only arise from a cross-band bk collision
-        # putting one doc in a merged bucket twice; drop them like the
-        # self-join's strict inequality did
         .where(F.col("a_id") != F.col("b_id"))
     )
 
+    # Oversized slice: exact sizes, so the salted/excluded split is never a
+    # sampling estimate. Usually empty; tiny otherwise (<= salt_cap ids per
+    # row). Persisted only under caller-owned scratch (see docstring).
+    oversized = grouped.where(F.size("ids") > max_bucket).withColumn(
+        "bucket_size", F.size("ids")
+    ).withColumn(
+        "action",
+        F.when(F.col("bucket_size") > salt_cap, F.lit("excluded")).otherwise(
+            F.lit("salted")
+        ),
+    )
+    if scratch is not None:
+        oversized = oversized.persist()
+        scratch.append(oversized)
+
     # SALTED tier (max_bucket < size <= salt_cap, rare): replicated
-    # self-join — the probe side keeps one salt per member, the build side
-    # replicates each member into every salt group, so every (a, b) pair
-    # of an oversized bucket meets in exactly one salt group and no single
-    # task owns a whole bucket's quadratic pair set (which is exactly why
-    # the groupBy-expansion above cannot serve this tier).
-    salted = tagged.where(F.col("n_salts") > 1)
-    left = salted.withColumn(
+    # self-join over the exploded member lists of just these buckets — the
+    # probe side keeps one salt per member, the build side replicates each
+    # member into every salt group, so every (a, b) pair of an oversized
+    # bucket meets in exactly one salt group and no single task owns a
+    # whole bucket's quadratic pair set (which is exactly why the in-place
+    # expansion above cannot serve this tier).
+    members = (
+        oversized.where(F.col("action") == F.lit("salted"))
+        .select(
+            "bk",
+            F.ceil(F.col("bucket_size") / F.lit(max_bucket))
+            .cast("int")
+            .alias("n_salts"),
+            F.explode("ids").alias("doc_id"),
+        )
+    )
+    left = members.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
     ).drop("n_salts")
-    right = salted.withColumn(
+    right = members.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
     ).drop("n_salts")
     l, r = left.alias("l"), right.alias("r")
@@ -207,4 +198,5 @@ def lsh_candidate_pairs(
     )
 
     pairs = pairs_normal.unionByName(pairs_salted).distinct()
-    return pairs, oversized
+    report = oversized.select("bk", "bucket_size", "action")
+    return pairs, report

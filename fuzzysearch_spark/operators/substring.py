@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fuzzysearch_spark.util import estimated_plan_bytes
+
 from fuzzysearch_spark.functions.signatures import _mix64, shingle_hashes
 
 
@@ -81,6 +83,7 @@ def containment_candidates(
     max_fingerprint_df: int = 200,
     id_col: str = "doc_id",
     content_col: str = "content",
+    broadcast_fp_max_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """(a_id, b_id, shared) candidate pairs sharing >= min_shared fingerprints.
 
@@ -96,7 +99,16 @@ def containment_candidates(
     common = fp.groupBy("fp").agg(F.count("*").alias("df_count")).where(
         F.col("df_count") > max_fingerprint_df
     )
-    rare = fp.join(F.broadcast(common.select("fp")), "fp", "left_anti")
+    # The high-df fingerprint set is usually tiny (license banners), but a
+    # boilerplate-heavy corpus at 100 TB can push it to tens of millions of
+    # longs — broadcast it only while Catalyst's own estimate of the corpus
+    # is inside single-wave territory; past that (or on unknown stats, which
+    # read as huge) the anti-join falls back to a shuffle join, which is
+    # correct at any size.
+    common_fp = common.select("fp")
+    if estimated_plan_bytes(docs) <= broadcast_fp_max_bytes:
+        common_fp = F.broadcast(common_fp)
+    rare = fp.join(common_fp, "fp", "left_anti")
 
     a, b = rare.alias("a"), rare.alias("b")
     return (

@@ -63,9 +63,15 @@ def _pair_and_verify_fn(cfg: VerifyConfig):
     streamed past yet — bounded by the partition's content bytes (AQE sizes
     those to the advisory target), released as soon as the partner arrives.
     Rows whose partner never arrives (id absent from ``docs``) are dropped,
-    matching inner-join semantics.
+    matching inner-join semantics. A DUPLICATED input pair contributes extra
+    (side, content) rows for the same key: the pair is verified and emitted
+    exactly once — later rows of an already-verified key are swallowed (the
+    ``done`` sentinel, key-only memory) — so the operator's contract does
+    not require distinct input pairs.
     """
     from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance
+
+    _DONE = object()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: dict = {}
@@ -76,18 +82,19 @@ def _pair_and_verify_fn(cfg: VerifyConfig):
             ):
                 k = (a, b)
                 entry = pending.get(k)
+                if entry is _DONE:  # duplicate of an already-verified pair
+                    continue
                 if entry is None:
                     pending[k] = [(side, c)]
                     continue
                 i = next(
                     (j for j, (s, _) in enumerate(entry) if s != side), None
                 )
-                if i is None:  # duplicate input pair: queue for its own twin
+                if i is None:  # same-side duplicate arrived before its twin
                     entry.append((side, c))
                     continue
                 _, other = entry.pop(i)
-                if not entry:
-                    del pending[k]
+                pending[k] = _DONE  # emit once; swallow the duplicates' rows
                 ca = (c if side == 0 else other) or ""
                 cb = (other if side == 0 else c) or ""
                 d = bounded_edit_distance(ca, cb, cfg.pair_cap(len(ca), len(cb)))
@@ -114,7 +121,8 @@ def verify_pairs(
 ) -> DataFrame:
     """(a_id, b_id, dist) for pairs within the edit-distance cap.
 
-    ``pairs``: (a_id, b_id); ``docs``: (doc_id, content); ``light``
+    ``pairs``: (a_id, b_id), duplicates tolerated — each distinct pair is
+    verified and emitted exactly once; ``docs``: (doc_id, content); ``light``
     (optional): a LIGHT (doc_id, n_chars[, simhash]) frame — typically the
     signature table — supplying the length bound (and the Hamming prefilter
     when configured) without touching content. ``n_pairs_hint``: exact or

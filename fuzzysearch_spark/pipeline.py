@@ -320,24 +320,26 @@ class DedupPipeline:
                 )
             reps = reps.persist()
             self._scratch.append(reps)
-            pairs, oversized = lsh_candidate_pairs(
-                reps, max_bucket=self.cfg.max_bucket, salt_cap=self.cfg.salt_cap
+            # scratch-persisted oversized slice (operator appends): the
+            # pairs job fills the cache via its salted branch, so the
+            # post-barrier report collect below is a cache hit, not a
+            # serial re-aggregation ahead of the barrier
+            pairs, report = lsh_candidate_pairs(
+                reps,
+                max_bucket=self.cfg.max_bucket,
+                salt_cap=self.cfg.salt_cap,
+                scratch=self._scratch,
             )
-            self._scratch.append(oversized)  # persisted inside the operator
 
             def skew_report():
-                # deferred past the stage barrier: the pairs job already
-                # materialized the persisted report for its broadcast tag
-                # join, so this collect is a cache hit, not a serial
-                # detection job ahead of the barrier
+                # deferred past the stage barrier (cache hit, see above)
                 return [
                     {
-                        "band_idx": int(r["band_idx"]),
-                        "band_key": int(r["band_key"]),
+                        "bk": int(r["bk"]),
                         "bucket_size": int(r["bucket_size"]),
                         "action": r["action"],
                     }
-                    for r in oversized.collect()
+                    for r in report.collect()
                 ]
 
             return pairs, {"oversized_buckets": skew_report}

@@ -90,6 +90,28 @@ def test_garbage_raises_value_error():
         C.decode_wav(b"RIFFxxxxNOPE")
 
 
+def test_malformed_wav_headers_raise_value_error(rng):
+    import struct
+
+    x = rng.uniform(-0.5, 0.5, (64, 1)).astype(np.float32)
+    good = bytearray(C.encode_wav(x, 8000))
+    # zero the sample_rate field (bytes 24:28 of the canonical layout):
+    # magic-valid but nonsensical — must be a clean ValueError, not a
+    # ZeroDivisionError downstream in audio_features
+    bad_rate = bytes(good[:24]) + b"\x00\x00\x00\x00" + bytes(good[28:])
+    with pytest.raises(ValueError, match="malformed header"):
+        C.decode_wav(bad_rate)
+    # fmt chunk whose body is under the 16 bytes the spec requires: must be
+    # ValueError, not struct.error escaping into the Spark task
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x00\x1f\x00\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_wav(short_fmt)
+
+
 def test_truncated_payloads_raise():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     good = C.encode_ppm(img)

@@ -40,6 +40,28 @@ def test_simhash_equivalence_audit_empty_and_nonvacuous(spark):
     assert e.q_simhash_near_dup_pairs(spark, SF_DIR).count() > 0
 
 
+def test_pipeline_recall_audit_empty_and_nonvacuous(spark):
+    """The flagship pipeline co-clusters EVERY ground-truth near-dup pair
+    at sf0.01 (audit empty), and the truth set is non-empty (non-vacuous)."""
+    e = _entry()
+    assert e.q_pipeline_recall_audit(spark, SF_DIR).count() == 0
+    assert e.q_edit_distance_pairs(spark, SF_DIR).count() > 0
+
+
+def test_chained_queries_leave_no_cached_rdds(spark):
+    """The queries that persist expensive intermediates (candidate plans,
+    verified edges) must release them before returning: a sweep leaves no
+    NEW persistent RDDs behind for the session's lifetime."""
+    e = _entry()
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    e.q_edit_distance_pairs(spark, SF_DIR).collect()
+    e.q_near_dup_clusters(spark, SF_DIR).collect()
+    e.q_minhash_lsh_candidates(spark, SF_DIR).collect()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked persistent RDDs: {after - before}"
+
+
 def test_containment_recall_audit_empty_and_nonvacuous(spark):
     from pyspark.sql import functions as F
 

@@ -135,6 +135,16 @@ def test_containment_detects_planted_blocks(spark):
     recall = len(got & norm_truth) / len(norm_truth)
     assert recall >= 0.9, f"containment recall {recall:.2f}"
 
+    # forced large path: broadcast gate at -1 routes the common-fp anti-join
+    # through the shuffle join — candidate set must be identical
+    cands_shuffle = containment_candidates(
+        docs, min_shared=6, max_fingerprint_df=100, broadcast_fp_max_bytes=-1
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r["a_id"], r["b_id"], r["shared"]) for r in df.collect()
+    }
+    assert as_set(cands_shuffle) == as_set(cands)
+
 
 def test_find_near_matches_df_matches_kernel(spark):
     from fuzzysearch_spark.kernels.dispatch import find_matches
@@ -230,6 +240,45 @@ def test_multimodal_strict_policy_raises_on_compressed(spark):
     with pytest.raises(Exception) as exc_info:
         extract_media_features(media, decoder="strict").collect()
     assert "external decoder" in str(exc_info.value)
+
+
+def test_multimodal_auto_policy_survives_corrupt_magic_valid_payloads(spark):
+    """A payload whose magic sniffs as decodable but whose body is corrupt
+    (truncated WAV fmt chunk, zero sample_rate) must fall back to the visible
+    histogram row under decoder='auto' — one malformed row must never fail
+    the task in the dirty-corpus mode — and must still raise under 'strict'.
+    """
+    import struct
+
+    import numpy as np
+
+    from fuzzysearch_spark import codecs
+    from fuzzysearch_spark.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    good_wav = codecs.encode_wav(
+        np.zeros((64, 1), dtype=np.float32), 8000
+    )
+    zero_rate = good_wav[:24] + b"\x00\x00\x00\x00" + good_wav[28:]
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x00\x1f\x00\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    media = spark.createDataFrame(
+        [
+            (0, "audio", 0, 0, 1, bytearray(zero_rate)),
+            (1, "audio", 0, 0, 1, bytearray(short_fmt)),
+            (2, "audio", 0, 0, 1, bytearray(good_wav)),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(media, "auto").collect()}
+    assert len(rows) == 3
+    assert not rows[0]["decoded"] and len(rows[0]["feat"]) == 16
+    assert not rows[1]["decoded"] and len(rows[1]["feat"]) == 16
+    assert rows[2]["decoded"]
+    with pytest.raises(Exception):
+        extract_media_features(media, "strict").collect()
 
 
 def test_streaming_exact_dedup_matches_batch(spark, tmp_path):

@@ -183,10 +183,35 @@ def test_lsh_salting_planted_recall(spark):
     assert [(r["bucket_size"], r["action"]) for r in rep] == [(20, "salted")]
 
 
-def test_lsh_sampled_skew_detection_at_scale(spark, tmp_path, monkeypatch):
-    """The big-input path detects heavy buckets from a sample, then reports
-    their EXACT sizes; salting recall holds. Forced onto that path by
-    shrinking the size gate (parquet-backed input => credible stats)."""
+def test_simhash_hot_subband_salted_recall(spark):
+    """One hot sub-band value (every doc's low 16 simhash bits = 0 — the
+    empty-document / boilerplate class) must not lose pairs: the tiered
+    candidate machinery salts the hot bucket and the banded result still
+    exactly equals brute-force Hamming<=3 over all pairs."""
+    from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
+
+    n = 40
+    sims = [(i, i << 16) for i in range(n)]  # band 0 (low 16 bits) all collide
+    docs = spark.createDataFrame(sims, ["doc_id", "simhash"])
+
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3, max_bucket=5).collect()
+    }
+    expected = {
+        (a, b, bin(sa ^ sb).count("1"))
+        for a, sa in sims
+        for b, sb in sims
+        if a < b and bin(sa ^ sb).count("1") <= 3
+    }
+    assert expected, "planted corpus must contain Hamming<=3 pairs"
+    assert got == expected
+
+
+def test_lsh_skew_detection_on_pinned_path(spark, tmp_path, monkeypatch):
+    """The big-input (pinned-partitioning) path detects heavy buckets with
+    EXACT in-aggregation sizes; salting recall holds. Forced onto that path
+    by shrinking the size gate (parquet-backed input => credible stats)."""
     from fuzzysearch_spark.operators import lsh
 
     # 400 docs share band key 42 (heavy bucket), plus a unique band each
@@ -205,8 +230,9 @@ def test_lsh_sampled_skew_detection_at_scale(spark, tmp_path, monkeypatch):
 
 def test_verify_pairs_cross_batch_and_edge_cases(spark):
     """The pair-up mapInPandas must pair rows across Arrow batch
-    boundaries, keep duplicate input pairs, drop pairs whose partner id is
-    absent from docs (inner-join semantics), and work for non-long ids."""
+    boundaries, emit a duplicated input pair exactly ONCE, drop pairs whose
+    partner id is absent from docs (inner-join semantics), and work for
+    non-long ids."""
     from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
 
     n = 50
@@ -236,14 +262,15 @@ def test_verify_pairs_cross_batch_and_edge_cases(spark):
 
     texts = {i: f"common shared content number {i % 7} tail" for i in range(n)}
     expected = []
-    for a, b in pair_rows:
+    for a, b in sorted(set(pair_rows)):  # distinct pairs emit exactly once
         if b == 999:
             continue  # dropped: no partner content
         d = bounded_edit_distance(texts[a], texts[b], 4)
         if d is not None:
             expected.append((a, b, d))
     assert sorted(got) == sorted(expected)
-    assert (0, 7, 0) in got and got.count((0, 7, 0)) == 2  # duplicate kept
+    # the duplicated (0, 7) input pair verified once, not twice
+    assert got.count((0, 7, 0)) == 1
 
 
 def test_verify_pairs_string_ids(spark):

@@ -14,10 +14,13 @@ The third rung of the similarity-search scale ladder
 Scale shape (the part that must survive 1000 executors):
 
 * Training touches a ``sample_cap``-bounded sample — constant driver/
-  broadcast cost regardless of corpus size. Lloyd iterations aggregate
-  per-partition partial sums (mapInPandas emitting ≤ n_centroids rows per
-  partition), so a full pass shuffles O(partitions × centroids) tiny rows,
-  never vectors.
+  broadcast cost regardless of corpus size — and iterates driver-side
+  numpy Lloyd over that sample. When the sample may under-represent rare
+  regions, ``refine_centroids`` runs DISTRIBUTED Lloyd passes over the
+  FULL table: each partition emits per-centroid partial (count, sum) rows
+  via mapInPandas — ≤ n_centroids rows per partition, never vectors — so
+  a full-corpus pass moves O(partitions × centroids) tiny rows to the
+  driver-side merge.
 * Assignment is one map-side pass (centroid matrix rides in the UDF
   closure — a few thousand × dim floats, far under broadcast budgets).
 * The probe step is an equi-join on ``cid`` — the same bucket-join shape
@@ -80,8 +83,7 @@ def train_centroids(
     centroids = sample[:k].copy()  # smallest-hash rows (already sorted)
     for _ in range(n_iters):
         # one Lloyd step over the sample, driver-side numpy (the sample is
-        # bounded; the DISTRIBUTED partial-sum path below is used for
-        # assignment metrics at full scale)
+        # bounded; refine_centroids holds the distributed full-table pass)
         d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         for c in range(k):
@@ -89,6 +91,69 @@ def train_centroids(
             if len(members):
                 centroids[c] = members.mean(axis=0)
     return centroids
+
+
+def refine_centroids(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd refinement over the FULL table.
+
+    Each iteration runs one mapInPandas pass in which every partition
+    assigns its vectors to their nearest centroid locally and emits one
+    partial (cid, count, sum) row per non-empty centroid — ≤ n_centroids
+    rows per partition, never vectors — and the driver merges the partials
+    into the centroid update (empty clusters keep their previous centroid,
+    matching ``train_centroids``). Use after sample training when the
+    sample may under-represent rare regions.
+
+    Determinism: exact for a fixed partitioning (partials merge in sorted
+    order); across DIFFERENT partitionings float-summation order changes,
+    so results can differ by rounding ulps — the sample-trained quantizer
+    from ``train_centroids`` stays the cross-cluster-size-deterministic
+    default.
+    """
+    cent = np.asarray(centroids, dtype=np.float64).copy()
+    k, dim = cent.shape
+    for _ in range(n_iters):
+        c = cent.copy()  # bind this iteration's matrix into the closure
+        c_sq = (c**2).sum(axis=1)
+
+        def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = _as_matrix(pdf[vec_col])
+                d2 = c_sq[None, :] - 2.0 * (x @ c.T)
+                assign = d2.argmin(axis=1)
+                np.add.at(counts, assign, 1)
+                np.add.at(sums, assign, x)
+            nz = np.flatnonzero(counts)
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cid": nz.astype(np.int32),
+                        "n": counts[nz],
+                        "s": [sums[i].tolist() for i in nz],
+                    }
+                )
+
+        partials = embeddings.select(vec_col).mapInPandas(
+            _partials, schema="cid int, n long, s array<double>"
+        )
+        rows = sorted(partials.collect(), key=lambda r: r["cid"])
+        counts = np.zeros(k, dtype=np.float64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for r in rows:
+            counts[r["cid"]] += r["n"]
+            sums[r["cid"]] += np.asarray(r["s"], dtype=np.float64)
+        updated = counts > 0
+        cent[updated] = sums[updated] / counts[updated, None]
+    return cent
 
 
 def assign_lists(
@@ -139,6 +204,7 @@ def ivf_top1(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """(vec_id, neighbor_id, cosine) — approximate top-1 via IVF probing.
 
@@ -148,11 +214,18 @@ def ivf_top1(
     ``cosine_topk_bruteforce``. Vectors whose probed lists contain no
     other member emit no row (recall/coverage is pytest-pinned against
     the brute-force oracle; raise ``n_probe`` to trade cost for recall).
+    ``refine_iters`` > 0 adds distributed full-table Lloyd passes after
+    sample training (see ``refine_centroids`` for the determinism
+    trade-off; 0 keeps the cross-cluster-size-deterministic quantizer).
     """
     spark = embeddings.sparkSession
     centroids = train_centroids(
         embeddings, n_centroids, n_iters, seed, id_col=id_col, vec_col=vec_col
     )
+    if refine_iters > 0:
+        centroids = refine_centroids(
+            embeddings, centroids, refine_iters, vec_col=vec_col
+        )
     probes = assign_lists(embeddings, centroids, n_probe, id_col, vec_col)
     home = (
         probes.where(F.col("probe_rank") == 0)

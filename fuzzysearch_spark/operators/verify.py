@@ -9,10 +9,12 @@ Mirrors the reference's filter-then-verify ladder at pair granularity:
    (/root/reference/src/fuzzysearch/substitutions_only.py:82-136);
 3. the fuzzysearch-derived bounded edit-distance verifier
    (kernels/pairdist.py, semantics of levenshtein_ngram.py:77-143) inside an
-   Arrow-batched mapInPandas — content is fetched once per surviving pair
-   side and regrouped by the (unique, hence uniformly hashing) pair key, so
-   hot-doc candidate skew cannot serialize the kernel stage and no
-   rebalance pass re-shuffles content.
+   Arrow-batched mapInPandas — content is fetched by ONE join and regrouped
+   by a salted a-side key: each pair ships its b-content once, but pairs
+   sharing an a-side document share one a-content copy per salt group
+   (capped at ``max_pairs_per_group`` pairs per key, so hot-doc candidate
+   skew cannot serialize the kernel stage and no rebalance pass re-shuffles
+   content).
 """
 
 from __future__ import annotations
@@ -46,6 +48,13 @@ class VerifyConfig:
     # ~2M light rows is a few tens of MB serialized — well inside executor
     # broadcast budgets, far outside driver-OOM territory.
     broadcast_ids_max: int = 2_000_000
+    # the DP regroup key is (a_id, salt): pairs sharing an a-side document
+    # share ONE shipped copy of its content per salt group, and this cap
+    # bounds how many pairs one group key may hold (a hot document in k
+    # pairs splits into ceil(k / cap) salt groups, each receiving its own
+    # a-content copy) — the dial between shuffle-byte savings and
+    # single-key work concentration
+    max_pairs_per_group: int = 256
 
     def pair_cap(self, len_a: int, len_b: int) -> int:
         k = self.max_l_dist
@@ -54,57 +63,65 @@ class VerifyConfig:
         return k
 
 
-def _pair_and_verify_fn(cfg: VerifyConfig):
-    """mapInPandas body: pair up the two per-pair content rows, run the DP.
+def _group_and_verify_fn(cfg: VerifyConfig):
+    """mapInPandas body: join each pair's b-content row with its salt
+    group's shared a-content row, run the DP.
 
-    Input rows (one partition, Arrow-batched): (a_id, b_id, side, c) where
-    every surviving pair contributed exactly two rows hash-co-located by
-    (a_id, b_id). ``pending`` holds contents whose partner row hasn't
-    streamed past yet — bounded by the partition's content bytes (AQE sizes
-    those to the advisory target), released as soon as the partner arrives.
-    Rows whose partner never arrives (id absent from ``docs``) are dropped,
-    matching inner-join semantics. A DUPLICATED input pair contributes extra
-    (side, content) rows for the same key: the pair is verified and emitted
-    exactly once — later rows of an already-verified key are swallowed (the
-    ``done`` sentinel, key-only memory) — so the operator's contract does
+    Input rows (one partition, Arrow-batched), hash-co-located by
+    (a_id, salt):
+      side=0 — ONE per (a_id, salt) group: the group's shared a-content;
+      side=1 — one per pair: (a_id, b_id, salt, b-content).
+    Rows arrive in any order: ``a_content`` keeps each group's a-content
+    for the partition's lifetime (bounded by the partition's content
+    bytes — AQE sizes those to the advisory target); ``pending`` buffers
+    pairs whose group content hasn't streamed past yet and drains the
+    moment it does. Pairs whose group content never arrives (a_id absent
+    from ``docs``) drop, as do pairs never joined to b-content — matching
+    inner-join semantics. A DUPLICATED input pair contributes extra side=1
+    rows for the same (a_id, b_id): the ``done`` set (key-only memory)
+    makes it verify and emit exactly once, so the operator's contract does
     not require distinct input pairs.
     """
     from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance
 
-    _DONE = object()
-
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a_content: dict = {}
         pending: dict = {}
+        done: set = set()
+
+        def _verify(a, b, ca, cb, out):
+            d = bounded_edit_distance(ca, cb, cfg.pair_cap(len(ca), len(cb)))
+            if d is not None:
+                out[0].append(a)
+                out[1].append(b)
+                out[2].append(d)
+
         for pdf in batches:
-            out_a, out_b, out_d = [], [], []
-            for a, b, side, c in zip(
-                pdf["a_id"], pdf["b_id"], pdf["side"], pdf["c"]
+            out: tuple = ([], [], [])
+            for a, b, salt, side, c in zip(
+                pdf["a_id"], pdf["b_id"], pdf["salt"], pdf["side"], pdf["c"]
             ):
-                k = (a, b)
-                entry = pending.get(k)
-                if entry is _DONE:  # duplicate of an already-verified pair
+                key = (a, salt)
+                if side == 0:
+                    ca = c or ""
+                    a_content[key] = ca
+                    for b_id, cb in pending.pop(key, ()):
+                        if (a, b_id) in done:
+                            continue
+                        done.add((a, b_id))
+                        _verify(a, b_id, ca, cb, out)
                     continue
-                if entry is None:
-                    pending[k] = [(side, c)]
+                if (a, b) in done:
                     continue
-                i = next(
-                    (j for j, (s, _) in enumerate(entry) if s != side), None
-                )
-                if i is None:  # same-side duplicate arrived before its twin
-                    entry.append((side, c))
+                ca = a_content.get(key)
+                if ca is None:
+                    pending.setdefault(key, []).append((b, c or ""))
                     continue
-                _, other = entry.pop(i)
-                pending[k] = _DONE  # emit once; swallow the duplicates' rows
-                ca = (c if side == 0 else other) or ""
-                cb = (other if side == 0 else c) or ""
-                d = bounded_edit_distance(ca, cb, cfg.pair_cap(len(ca), len(cb)))
-                if d is not None:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_d.append(d)
-            if out_a:
+                done.add((a, b))
+                _verify(a, b, ca, c or "", out)
+            if out[0]:
                 yield pd.DataFrame(
-                    {"a_id": out_a, "b_id": out_b, "dist": out_d}
+                    {"a_id": out[0], "b_id": out[1], "dist": out[2]}
                 )
 
     return _run
@@ -176,59 +193,106 @@ def verify_pairs(
 
     surviving = p.select("a_id", "b_id")
 
-    # Content moves through exactly ONE join and ONE regroup — the minimum:
+    # Content moves through exactly ONE join and ONE regroup — and the
+    # regroup ships each pair's b-content once but each a-side document's
+    # content once per SALT GROUP, not once per pair (round 2 shipped both
+    # sides per pair; LSH bucket expansion makes a-side multiplicity
+    # harmonic — a bucket of m members emits m-1 pairs sharing one a — so
+    # the one-sided ship cuts ~15-25% of the stage's shuffled content
+    # bytes, the measured dominant s4 cost):
     #
-    # 1. ``sides`` — each surviving pair exploded into two LIGHT rows
-    #    (a_id, b_id, side, doc_id). This replaces the round-1/2 design's
-    #    id-set semi-join + two content joins + REBALANCE (the rebalance
-    #    alone re-shuffled 2x candidate content; event-log digests showed
-    #    its shuffle WRITE costing more task time than the DP kernel).
-    # 2. One inner join ``sides ⋈ docs`` attaches content. Size-gated:
-    #    below cfg.broadcast_ids_max side-rows the light table broadcasts
-    #    and the join is map-side over the corpus scan — content bytes do
-    #    not shuffle AT ALL here; above it (dedup-heavy extreme corpora,
-    #    where the broadcast would OOM the driver) it falls back to a
-    #    shuffle join, which the session's runtime bloom filter prunes.
-    # 3. ``repartition(a_id, b_id)`` regroups the two content rows of each
-    #    pair. Pair keys are UNIQUE, so the hash partitioning is uniform by
-    #    construction — hot-doc candidate-graph skew (one popular file in
-    #    thousands of pairs) structurally cannot concentrate work in one
-    #    task, with no rebalance pass and no salting. AQE coalesces the
-    #    regroup to advisory-sized partitions at any scale.
-    # 4. A single mapInPandas pairs the rows back up and runs the DP
-    #    kernel in the same python stage — no (content_a, content_b) wide
-    #    frame ever materializes.
-    #
-    # Derive ``sides`` from the *input* pairs joined back to the surviving
-    # keys? No: the light-filter joins are cheap and the caller checkpoints
-    # ``pairs``; the gating count below traverses the light plan once.
-    sides = surviving.select(
+    # 1. per-a pair multiplicities from one LIGHT window over the surviving
+    #    pairs; n_salts = ceil(count / max_pairs_per_group) bounds how much
+    #    work one regroup key can hold, so a hot document in thousands of
+    #    pairs spreads over salt groups instead of serializing one task
+    #    (same dial as the LSH salted tier).
+    # 2. ``requests`` — one light row per pair (side=1, fetches b-content,
+    #    salt = hash(b_id) % n_salts) plus one per (a_id, salt) group
+    #    (side=0, fetches the group's shared a-content), both emitted from
+    #    the same window pass.
+    # 3. ONE inner join ``requests ⋈ docs`` attaches content. Size-gated:
+    #    below cfg.broadcast_ids_max request rows the light table
+    #    broadcasts and the join is map-side over the corpus scan — content
+    #    bytes do not shuffle AT ALL here; above it (dedup-heavy extreme
+    #    corpora, where the broadcast would OOM the driver) it falls back
+    #    to a shuffle join, which the session's runtime bloom filter
+    #    prunes.
+    # 4. ``repartition(a_id, salt)`` co-locates each salt group's pairs
+    #    with its shared a-content row; AQE coalesces the regroup to
+    #    advisory-sized partitions at any scale. A single mapInPandas joins
+    #    them per group and runs the DP kernel in the same python stage —
+    #    no (content_a, content_b) wide frame ever materializes.
+    n_pairs = n_pairs_hint if n_pairs_hint is not None else pairs.count()
+    # Per-a multiplicities (-> n_salts) ride a WINDOW over the surviving
+    # pairs — one light exchange, no join back, no nested broadcast build —
+    # and the rn=1 row of each a-group additionally spawns that group's
+    # side-0 (a-content) request rows, so the whole request table is ONE
+    # pass over the light pair stream.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id")
+    ann = surviving.select(
         "a_id",
         "b_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("side"), F.col("a_id").alias("doc_id")
-                ),
-                F.struct(
-                    F.lit(1).alias("side"), F.col("b_id").alias("doc_id")
-                ),
-            )
-        ).alias("s"),
-    ).select("a_id", "b_id", F.col("s.side").alias("side"), F.col("s.doc_id").alias("doc_id"))
-
-    n_side_rows = 2 * (n_pairs_hint if n_pairs_hint is not None else pairs.count())
-    sides_for_join = (
-        F.broadcast(sides) if n_side_rows <= cfg.broadcast_ids_max else sides
+        F.ceil(
+            F.count("*").over(w) / F.lit(cfg.max_pairs_per_group)
+        ).cast("int").alias("n_salts"),
+        F.row_number().over(w.orderBy("b_id")).alias("rn"),
     )
-    with_content = sides_for_join.join(
+    requests = ann.select(
+        "a_id",
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("b_id"),
+                        F.pmod(F.xxhash64("b_id"), F.col("n_salts"))
+                        .cast("int")
+                        .alias("salt"),
+                        F.lit(1).alias("side"),
+                        F.col("b_id").alias("doc_id"),
+                    )
+                ),
+                F.when(
+                    F.col("rn") == 1,
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("n_salts") - 1),
+                        lambda s: F.struct(
+                            # placeholder, never read: a NULL here would
+                            # force the Arrow id column to float64 and
+                            # corrupt >2^53 ids
+                            F.col("a_id").alias("b_id"),
+                            s.cast("int").alias("salt"),
+                            F.lit(0).alias("side"),
+                            F.col("a_id").alias("doc_id"),
+                        ),
+                    ),
+                ).otherwise(F.array()),
+            )
+        ).alias("r"),
+    ).select(
+        "a_id",
+        F.col("r.b_id").alias("b_id"),
+        F.col("r.salt").alias("salt"),
+        F.col("r.side").alias("side"),
+        F.col("r.doc_id").alias("doc_id"),
+    )
+
+    # request rows = pairs + sum(n_salts) <= 2 * pairs: gate on the bound
+    n_request_rows = 2 * n_pairs
+    requests_for_join = (
+        F.broadcast(requests)
+        if n_request_rows <= cfg.broadcast_ids_max
+        else requests
+    )
+    with_content = requests_for_join.join(
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(content_col).alias("c")
         ),
         "doc_id",
     )
 
-    regrouped = with_content.repartition("a_id", "b_id")
+    regrouped = with_content.repartition("a_id", "salt")
 
     out_schema = T.StructType(
         [
@@ -237,4 +301,4 @@ def verify_pairs(
             T.StructField("dist", T.LongType()),
         ]
     )
-    return regrouped.mapInPandas(_pair_and_verify_fn(cfg), schema=out_schema)
+    return regrouped.mapInPandas(_group_and_verify_fn(cfg), schema=out_schema)

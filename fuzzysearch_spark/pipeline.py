@@ -14,17 +14,20 @@ extras); ``resume=True`` restarts at the first missing checkpoint. The
 per-row ``sha256(content)`` lineage column is computed at ingest and
 re-verified at the output stage (input_hint invariant).
 
-Scale posture: only light columns (ids, hashes, signatures) cross most
-shuffles; contents are shuffled exactly once, for surviving candidate pairs.
-Exact-dup groups are collapsed to one representative before any fuzzy work —
-the dominant LSH-bucket skew source at corpus scale — and remaining skew is
-measured and capped explicitly in the LSH stage.
+Scale posture: the corpus is scanned exactly twice (ingest fuses sha256 +
+signatures into one pass; verify fetches surviving-pair content); only light
+columns (ids, hashes, signatures) cross most shuffles; contents are shuffled
+at most once, for surviving candidate pairs. Exact-dup groups are collapsed
+to one representative before any fuzzy work — the dominant LSH-bucket skew
+source at corpus scale — and remaining skew is measured and capped
+explicitly in the LSH stage.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -81,13 +84,22 @@ class DedupPipeline:
         self.cfg = cfg
         # stage-scoped caches: persisted inside a stage's compute() to share
         # one materialization across that stage's multiple plan traversals,
-        # released right after the stage's checkpoint barrier
-        self._scratch: list[DataFrame] = []
+        # released right after THAT stage's checkpoint barrier. Keyed by
+        # stage so run()'s concurrently-submitted stages can never release
+        # one another's caches; _lock makes the mutation itself safe (the
+        # scheduling contract is structural, not an accident of ordering).
+        self._scratch: dict[str, list[DataFrame]] = {}
         # row counts recorded by completed stage barriers (eager/parquet
         # modes) — downstream size gates reuse them instead of re-counting
         self._stage_rows: dict[str, int] = {}
+        self._lock = threading.Lock()
         self._n_exact_members: int | None = None
         os.makedirs(os.path.join(cfg.workdir, "metrics"), exist_ok=True)
+
+    def _stage_scratch(self, stage: str) -> list:
+        """The caller-owned cache list for ``stage`` (see __init__)."""
+        with self._lock:
+            return self._scratch.setdefault(stage, [])
 
     # -- checkpoint plumbing -------------------------------------------------
 
@@ -198,19 +210,32 @@ class DedupPipeline:
         if self.cfg.checkpoint_mode != "memory":
             # parquet writes and eager counts materialized the stage, so its
             # scratch caches are dead weight now; lazy memory mode keeps
-            # them — the stage itself hasn't run yet
-            for c in self._scratch:
+            # them — the stage itself hasn't run yet. Only THIS stage's
+            # caches release: concurrent sibling stages own theirs.
+            with self._lock:
+                caches = self._scratch.pop(stage, [])
+            for c in caches:
                 c.unpersist()
-            self._scratch.clear()
         return out
 
     # -- stages ---------------------------------------------------------------
 
     def ingest(self, raw: DataFrame) -> DataFrame:
-        """doc_id = xxhash64(repo, path, commit); sha256 lineage column.
+        """doc_id = xxhash64(repo, path, commit); sha256 lineage column;
+        MinHash bands + SimHash — ALL from one corpus scan.
 
         (64-bit ids collide with ~2^-65 pair probability; a 128-bit variant
         would concatenate a second seed's xxhash64 — not needed at test SF.)
+
+        The signature UDF is fused into this projection rather than run as
+        a second scan in the signature stage: content is by far the widest
+        column, and reading it twice — worse, CONCURRENTLY, as round 2's
+        overlapped s0/s2 did — doubles pressure on exactly the resource
+        that does not scale with cores (the measured content-scan
+        efficiency at 4->16 cores is 0.47 vs 0.99 for the kernel). One scan
+        feeds the JVM expressions (sha256, length) and the Arrow-batched
+        signature kernel in the same stage; the raw MinHash array collapses
+        to band keys inside the projection and is never stored.
 
         In parquet mode the checkpoint carries ``content`` so every later
         stage (and resume) reads from storage. In memory/eager mode the
@@ -222,15 +247,24 @@ class DedupPipeline:
         """
 
         def compute():
-            base = ensure_min_partitions(raw).select(
-                F.xxhash64("repo", "path", "commit").alias("doc_id"),
-                "repo",
-                "path",
-                "commit",
-                "lang",
-                "content",
-                F.sha2("content", 256).alias("sha256"),
-                F.length("content").alias("n_chars"),
+            sig = signature_struct_udf(self.cfg.signature)
+            base = (
+                ensure_min_partitions(raw)
+                .withColumn("sig", sig(F.col("content")))
+                .select(
+                    F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                    "repo",
+                    "path",
+                    "commit",
+                    "lang",
+                    "content",
+                    F.sha2("content", 256).alias("sha256"),
+                    F.length("content").alias("n_chars"),
+                    band_keys_col(
+                        F.col("sig.minhash"), self.cfg.signature
+                    ).alias("bands"),
+                    F.col("sig.simhash").alias("simhash"),
+                )
             )
             if self.cfg.checkpoint_mode == "parquet":
                 return base
@@ -257,44 +291,64 @@ class DedupPipeline:
         )
 
     def exact_stage(self, docs: DataFrame) -> DataFrame:
-        return self._load_or(
-            "s1_exact", lambda: exact_dup_groups(docs)
-        )
-
-    def signature_stage(self, contents: DataFrame) -> DataFrame:
-        """Signatures for EVERY document, computed map-side on the scan
-        partitions: the content column is never shuffled, collected, or
-        joined before the UDF. Exact-duplicate documents waste a little
-        signature compute (their signatures are identical to their
-        representative's), but restricting to representatives here would
-        cost either a driver-side collect+broadcast of the id set (driver-
-        bound — measured anti-scaling at 10^6 ids) or a full content
-        shuffle; the representative filter is applied downstream on the
-        *light* band table instead (candidate_stage), where it is a plain
-        scalable equi-join.
-
-        The raw MinHash array (n_hashes longs — ~2 KB/row, ~90% of the
-        stage's bytes) is consumed by the band-key computation in the same
-        select and then DROPPED: no downstream stage reads it, and carrying
-        it through the checkpoint multiplied the persist/write volume ~10x
-        for nothing. Re-deriving signatures under a different LSH geometry
-        is a config change that recomputes s2 anyway."""
-
         def compute():
-            sig = signature_struct_udf(self.cfg.signature)
-            with_sig = ensure_min_partitions(contents).withColumn(
-                "sig", sig(F.col("content"))
-            ).select(
-                "doc_id",
-                F.col("sig.minhash").alias("minhash"),
-                F.col("sig.simhash").alias("simhash"),
-                "n_chars",
-            )
-            return with_sig.withColumn(
-                "bands", band_keys_col(F.col("minhash"), self.cfg.signature)
-            ).select("doc_id", "bands", "simhash", "n_chars")
+            out = exact_dup_groups(docs)
 
-        return self._load_or("s2_signatures", compute)
+            def n_members():
+                # post-barrier extras callable (cache/checkpoint hit): the
+                # non-representative count feeds the candidate stage's
+                # broadcast gate AND the cluster stage's edge-count hint —
+                # computing it here, inside s1's (overlapped) window, keeps
+                # it off s3's critical path
+                n = int(out.where("NOT is_representative").count())
+                self._n_exact_members = n
+                return n
+
+            return out, {"n_exact_members": n_members}
+
+        return self._load_or("s1_exact", compute)
+
+    def signature_stage(self, docs: DataFrame) -> DataFrame:
+        """The per-document signature table (doc_id, bands, simhash,
+        n_chars). The signatures themselves are computed in the INGEST scan
+        (one content pass, see :meth:`ingest`); this stage is the light
+        projection of them.
+
+        Signatures exist for EVERY document: exact-duplicate documents
+        waste a little signature compute, but restricting the UDF to
+        representatives would cost either a driver-side collect+broadcast
+        of the id set (driver-bound — measured anti-scaling at 10^6 ids) or
+        a full content shuffle; the representative filter is applied
+        downstream on the *light* band table instead (candidate_stage),
+        where it is a plain scalable equi-join.
+
+        Parquet mode checkpoints the projection (thin file — resuming s3+
+        never re-reads the content-carrying s0 checkpoint). Memory/eager
+        modes return the projection of the already-persisted s0 frame
+        directly: re-persisting it would double-cache the bands array, and
+        the round-3 scan-fusion exists precisely to cut that class of
+        memory traffic; a marker metrics file keeps the stage visible in
+        attribution (wall ~0 — its work is inside s0's).
+        """
+        cols = ["doc_id", "bands", "simhash", "n_chars"]
+        if self.cfg.checkpoint_mode in ("memory", "eager"):
+            with open(
+                os.path.join(self.cfg.workdir, "metrics", "s2_signatures.json"),
+                "w",
+            ) as f:
+                json.dump(
+                    {
+                        "stage": "s2_signatures",
+                        "rows": self._stage_rows.get("s0_ingest"),
+                        "wall_sec": 0.0,
+                        "fused_into": "s0_ingest",
+                    },
+                    f,
+                    indent=2,
+                    sort_keys=True,
+                )
+            return docs.select(*cols)
+        return self._load_or("s2_signatures", lambda: docs.select(*cols))
 
     def candidate_stage(self, signatures: DataFrame, exact: DataFrame) -> DataFrame:
         def compute():
@@ -311,24 +365,28 @@ class DedupPipeline:
             # side) — without the cache each traversal re-runs the filter
             # against the full signature table.
             non_rep = exact.where("NOT is_representative").select("doc_id")
-            self._n_exact_members = non_rep.count()
+            if self._n_exact_members is None:
+                # resume path only: a recomputed s1 already counted this in
+                # its post-barrier extras (off this stage's critical path)
+                self._n_exact_members = non_rep.count()
             if self._n_exact_members <= 5_000_000:
                 reps = signatures.join(F.broadcast(non_rep), "doc_id", "left_anti")
             else:
                 reps = signatures.join(
                     exact.where("is_representative").select("doc_id"), "doc_id"
                 )
+            scratch = self._stage_scratch("s3_candidates")
             reps = reps.persist()
-            self._scratch.append(reps)
-            # scratch-persisted oversized slice (operator appends): the
-            # pairs job fills the cache via its salted branch, so the
-            # post-barrier report collect below is a cache hit, not a
-            # serial re-aggregation ahead of the barrier
+            scratch.append(reps)
+            # scratch-persisted bucket aggregation (operator appends): the
+            # pairs job fills the cache, so the post-barrier report collect
+            # below is a cache-hit filter, not a re-aggregation ahead of
+            # the barrier
             pairs, report = lsh_candidate_pairs(
                 reps,
                 max_bucket=self.cfg.max_bucket,
                 salt_cap=self.cfg.salt_cap,
-                scratch=self._scratch,
+                scratch=scratch,
             )
 
             def skew_report():
@@ -422,36 +480,22 @@ class DedupPipeline:
     # -- driver ----------------------------------------------------------------
 
     def run(self, raw: DataFrame) -> DataFrame:
-        # Stage dependency graph, not stage order, drives scheduling: the
-        # Spark scheduler runs concurrent jobs from one session exactly as
-        # concurrent queries share a cluster, so every stage is submitted
-        # from a thread as soon as its inputs exist and the long signature
-        # UDF stage (s2) absorbs its siblings' barrier latencies:
-        #   - memory/eager modes: s2 reads content straight from the raw
-        #     scan, so it starts IMMEDIATELY and s0 (ingest barrier, 6-17 s
-        #     per level in the scaling campaign) runs entirely under it;
-        #     s1 (a light sha256 groupBy) follows s0, still under s2.
-        #   - parquet mode: s2 reads the s0 checkpoint from storage (the
-        #     resume contract), so only s1 overlaps s2 — serially its
-        #     2-4 s/level barrier lands on the critical path at BOTH
-        #     cluster sizes; overlapped it vanishes.
+        # The corpus is scanned exactly TWICE per run: once in s0 (sha256 +
+        # signature UDF fused into one projection — round 2's design ran
+        # these as two CONCURRENT scans, doubling pressure on the one
+        # resource that doesn't scale with cores) and once in s4 (content
+        # fetch for surviving pairs). After s0's barrier everything up to
+        # the candidate stage is light: s1 (sha groupBy) and s2 (projection
+        # of s0; a thin checkpoint write in parquet mode) depend only on s0
+        # and run concurrently from the pool.
         from concurrent.futures import ThreadPoolExecutor
 
+        docs = self.ingest(raw)
         with ThreadPoolExecutor(max_workers=2) as pool:
-            sig_future = None
-            if self.cfg.checkpoint_mode != "parquet":
-                sig_future = pool.submit(
-                    self.signature_stage, self.content_source(raw, None)
-                )
-            docs = self.ingest(raw)
-            contents = self.content_source(raw, docs)
             exact_future = pool.submit(self.exact_stage, docs)
-            signatures = (
-                sig_future.result()
-                if sig_future is not None
-                else self.signature_stage(contents)
-            )
+            signatures = self.signature_stage(docs)
             exact = exact_future.result()
+        contents = self.content_source(raw, docs)
         pairs = self.candidate_stage(signatures, exact)
         verified = self.verify_stage(pairs, contents, signatures)
         return self.cluster_stage(docs, exact, verified)

@@ -44,7 +44,15 @@ def write_partitioned_corpus(
     Mirrors how an Iceberg table of source files would be partitioned for
     dedup workloads (language/ecosystem is both the natural query filter
     and a good size balancer; repo would skew, content never partitions).
+
+    A plain ``n_chars`` column is materialized into the layout when absent:
+    parquet row-group min/max stats only skip on PLAIN columns — a
+    ``length(content)`` expression predicate can never push down — so
+    length-bounded reads (``read_corpus(min_chars=...)``) get real I/O
+    pruning only because the length is a stored column.
     """
+    if "n_chars" not in corpus.columns:
+        corpus = corpus.withColumn("n_chars", F.length("content"))
     corpus.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
@@ -63,11 +71,14 @@ def read_corpus(
     """Read the corpus with filters declared AT THE SCAN.
 
     ``source`` is an Iceberg table identifier (``catalog.db.tbl``) or a
-    (partitioned) parquet path. Filters are plain Catalyst predicates —
-    lang equality prunes partitions (or Iceberg manifests), the length
-    bounds push into parquet row-group stats — so Catalyst, not this
-    function, decides the physical pruning; the same code serves both
-    backends.
+    (partitioned) parquet path. Filters are plain Catalyst predicates:
+    lang equality prunes partitions (or Iceberg manifests), and the length
+    bounds push into parquet row-group min/max stats WHEN the table carries
+    the plain ``n_chars`` column (``write_partitioned_corpus`` materializes
+    it) — on a table without it the bounds fall back to a
+    ``length(content)`` predicate, which parquet stats cannot skip on and
+    which therefore runs as a post-scan filter (correct, but no I/O
+    pruning). ``scan_report`` makes which one happened visible.
     """
     if _is_table_identifier(source):
         df = spark.read.table(source)
@@ -75,10 +86,13 @@ def read_corpus(
         df = spark.read.parquet(source)
     if langs is not None:
         df = df.where(F.col("lang").isin(list(langs)))
+    length_col = (
+        F.col("n_chars") if "n_chars" in df.columns else F.length("content")
+    )
     if min_chars is not None:
-        df = df.where(F.length("content") >= min_chars)
+        df = df.where(length_col >= min_chars)
     if max_chars is not None:
-        df = df.where(F.length("content") <= max_chars)
+        df = df.where(length_col <= max_chars)
     return df
 
 

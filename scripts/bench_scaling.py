@@ -136,6 +136,16 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SCALING_ARROW_BATCH", "2048"),
         )
+        # 1024-row parquet reader batches instead of the 4096 default: on
+        # multi-KB documents a 4096-row columnar batch is ~18 MB of string
+        # data per column — far past cache — and the corpus scan is the
+        # pipeline's memory-bandwidth-bound component (A/B'd at both
+        # parallelism levels: ~-10% wall at 16 cores AND at 4; 256 is worse
+        # again, per-batch overhead)
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SCALING_PARQUET_BATCH", "1024"),
+        )
     )
     if mode_exec:
         builder = (
@@ -224,13 +234,12 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
         n_out = out.count()
     wall = time.time() - t0
     spark.stop()
-    # wall not attributed to any stage barrier or planning job; s0 and s1
-    # run overlapped under s2 (their walls are completion latencies, not
-    # costs) so they are excluded from the attribution sum
+    # wall not attributed to any stage barrier or planning job. Since the
+    # round-3 scan fusion, every stage is on the critical path (s0 carries
+    # the fused sha256+signature scan; s2 is a ~0-wall projection marker
+    # overlapping s1), so the attribution sums them all.
     attributed = sum(
-        stages.get(s, 0) + plans.get(s, 0)
-        for s in stages
-        if s not in ("s0_ingest", "s1_exact")
+        stages.get(s, 0) + plans.get(s, 0) for s in stages
     )
     print(
         json.dumps(
@@ -380,6 +389,7 @@ def main() -> None:
         summary["stage_efficiency_best_pair"] = {
             s: round((min_st[lo][s] / min_st[hi][s]) / (hi / lo), 4)
             for s in stage_names
+            if min_st[hi][s] > 0  # s2 is a fused ~0-wall marker stage
         }
         summary["stage_efficiency_best_runs"] = {
             s: round((best[lo]["stages"][s] / best[hi]["stages"][s]) / (hi / lo), 4)

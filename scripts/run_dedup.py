@@ -15,11 +15,12 @@ Local sandbox smoke run (single JVM standing in for a cluster):
     spark-submit --master 'local[8]' --py-files /tmp/fuzzysearch_spark.zip \
         --conf spark.io.compression.codec=zstd \
         --conf spark.sql.execution.arrow.maxRecordsPerBatch=2048 \
+        --conf spark.sql.parquet.columnarReaderBatchSize=1024 \
         scripts/run_dedup.py --input ... --workdir ... --output ...
 
-(zstd shuffle compression and ~9 MB Arrow batches measurably beat the
-defaults on multi-KB documents — see BENCH/BASELINE.md — but remain
-spark-submit decisions, not code.)
+(zstd shuffle compression, ~9 MB Arrow batches, and 1024-row parquet reader
+batches measurably beat the defaults on multi-KB documents — see
+BENCH/BASELINE.md — but remain spark-submit decisions, not code.)
 
 The script only touches the SparkSession the cluster hands it — every config
 that matters at scale (shuffle partitions, AQE, memory) belongs to the

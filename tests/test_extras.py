@@ -82,6 +82,51 @@ def test_ivf_top1_recall_vs_bruteforce(spark, embeddings):
     assert got == again
 
 
+def test_ivf_distributed_refinement(spark, embeddings):
+    """refine_centroids' per-partition partial-sum pass must equal a
+    driver-side full-table Lloyd step exactly (same assignment, same
+    means), stay deterministic on repeat, and keep end-to-end recall."""
+    import numpy as np
+
+    from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce
+    from fuzzysearch_spark.operators.ivf import (
+        ivf_top1,
+        refine_centroids,
+        train_centroids,
+    )
+
+    cent0 = train_centroids(embeddings, n_centroids=10)
+    refined = refine_centroids(embeddings, cent0, n_iters=1)
+    again = refine_centroids(embeddings, cent0, n_iters=1)
+    assert np.array_equal(refined, again)  # deterministic repeat
+
+    # driver-side oracle for one full-table Lloyd step
+    vecs = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in embeddings.collect()]
+    )
+    d2 = ((vecs[:, None, :] - cent0[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    expect = cent0.copy()
+    for c in range(len(cent0)):
+        members = vecs[assign == c]
+        if len(members):
+            expect[c] = members.mean(axis=0)
+    assert np.allclose(refined, expect, rtol=0, atol=1e-9)
+
+    truth = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(embeddings, k=1).collect()
+    }
+    got = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in ivf_top1(
+            embeddings, n_centroids=10, n_probe=3, refine_iters=1
+        ).collect()
+    }
+    hits = sum(1 for v, t in truth.items() if got.get(v) == t)
+    assert hits / len(truth) >= 0.9
+
+
 def test_ivf_assign_lists_shape(spark, embeddings):
     from fuzzysearch_spark.operators.ivf import assign_lists, train_centroids
 

@@ -288,6 +288,31 @@ def test_verify_pairs_string_ids(spark):
     assert got == [("x", "y", 1)]
 
 
+def test_verify_pairs_hot_a_salting(spark):
+    """A document appearing in many pairs (hot a-side) splits across salt
+    groups (max_pairs_per_group) — every pair still verifies exactly once,
+    on both the broadcast and shuffle content-join paths."""
+    from fuzzysearch_spark.operators.verify import VerifyConfig, verify_pairs
+
+    n = 60
+    base = "shared prefix text for the hot document comparison "
+    docs = spark.createDataFrame(
+        [(0, base + "!")] + [(i, base + str(i % 5)) for i in range(1, n)],
+        ["doc_id", "content"],
+    )
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], ["a_id", "b_id"]
+    )
+    expected = sorted((0, i, 1) for i in range(1, n))  # one substitution
+
+    for cfg in (
+        VerifyConfig(max_l_dist=2, max_pairs_per_group=7),
+        VerifyConfig(max_l_dist=2, max_pairs_per_group=7, broadcast_ids_max=0),
+    ):
+        got = sorted(map(tuple, verify_pairs(pairs, docs, cfg).collect()))
+        assert got == expected, cfg
+
+
 def test_verify_pairs_shuffle_semi_join_path(spark):
     """Forcing the id set over broadcast_ids_max must give identical results
     through the shuffle semi-join fallback."""

@@ -58,14 +58,19 @@ def test_unfiltered_read_touches_all_partitions(spark, tmp_path):
 
 def test_length_predicate_pushes_down(spark, tmp_path):
     path = str(tmp_path / "corpus_len")
-    corpus = _corpus_df(spark).withColumn("n_chars", F.length("content"))
-    write_partitioned_corpus(corpus, path)
+    # write_partitioned_corpus materializes n_chars into the layout itself
+    write_partitioned_corpus(_corpus_df(spark), path)
 
-    df = read_corpus(spark, path, langs=["java"]).where(F.col("n_chars") >= 100)
+    df = read_corpus(spark, path, langs=["java"], min_chars=100)
     report = scan_report(df)
-    # the n_chars bound must reach the parquet reader (row-group min/max
-    # skipping), not run as a post-scan filter only
+    # the min_chars bound must reach the parquet reader as a PLAIN n_chars
+    # predicate (row-group min/max skipping), not run as a post-scan
+    # length(content) filter only
     assert report["pushed_filters"] and "n_chars" in report["pushed_filters"], report
+    # and the filter is also applied (correctness, not just pushdown)
+    assert df.count() == _corpus_df(spark).where(
+        (F.col("lang") == "java") & (F.length("content") >= 100)
+    ).count()
 
 
 def test_pipeline_runs_from_partitioned_source(spark, tmp_path):

@@ -65,8 +65,8 @@ def generate_input(path: str) -> int:
     # be finer than a row group, and 64 fat groups left the signature stage
     # with 23 MB-grained tasks — event logs showed a 39 s straggler closing
     # a 16-core wave (avg task 8.7 s). Finer groups pack the last wave tight.
-    # zstd-compressed (not snappy): the corpus is scanned three times per
-    # run (ingest sha256, signature UDF, verify content fetch) and a probe
+    # zstd-compressed (not snappy): the corpus is scanned twice per run
+    # (fused ingest sha256+signature UDF, verify content fetch) and a probe
     # decomposition showed the content scan is memory-bandwidth-bound (pair
     # efficiency 0.47 vs 0.99 for the kernel) — halving the bytes moving
     # through the memory system trades scarce bandwidth for plentiful,

@@ -94,7 +94,12 @@ def _cc_driver(e: DataFrame, emit_roots: bool = True) -> DataFrame:
         ]
     )
     t = time.time()
-    tbl = e.toArrow()
+    # coalesce (narrow, no shuffle) before the collect: the edge frame is a
+    # union of cached stage outputs carrying their parents' partition counts
+    # (100+), and on a multi-executor cluster manager each near-empty task
+    # costs ~30 ms of dispatch latency — a fixed, non-scaling cost on the
+    # critical path of a driver-side solve that itself takes ~0.1 s
+    tbl = e.coalesce(e.sparkSession.sparkContext.defaultParallelism).toArrow()
     LAST_RUN_STATS["collect_sec"] = round(time.time() - t, 3)
     if tbl.num_rows == 0:
         return spark.createDataFrame([], schema=out_schema)

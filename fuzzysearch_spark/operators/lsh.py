@@ -22,11 +22,12 @@ band table plus a light pair-key dedup shuffle:
   - bucket_size <= max_bucket: in-place JVM pair expansion of the
     collected member list — half the shuffled bytes of a sort-merge
     self-join and no sorts;
-  - max_bucket < bucket_size <= salt_cap: SALTED replicated self-join over
-    the (tiny) exploded member lists of just these buckets — the bucket's
-    quadratic pair set is still produced in full but spread over
-    ceil(size/max_bucket) salt groups instead of one straggler
-    (action='salted');
+  - max_bucket < bucket_size <= salt_cap: SALTED slice-block expansion —
+    the member list is cut into ceil(size/max_bucket) slices inside the
+    same aggregation pass, every (slice_i, slice_j) block row crosses ONE
+    hash exchange, and each task expands one <= max_bucket^2 block: the
+    bucket's quadratic pair set is still produced in full but no task owns
+    more than one block, with no join and no sorts (action='salted');
   - bucket_size > salt_cap: no pairs, reported (action='excluded') — at
     sane geometry such a bucket means near-identical content that
     exact-dedup should have removed, and its pair set would be quadratic
@@ -167,38 +168,68 @@ def lsh_candidate_pairs(
         ),
     )
 
-    # SALTED tier (max_bucket < size <= salt_cap, rare): replicated
-    # self-join over the exploded member lists of just these buckets — the
-    # probe side keeps one salt per member, the build side replicates each
-    # member into every salt group, so every (a, b) pair of an oversized
-    # bucket meets in exactly one salt group and no single task owns a
-    # whole bucket's quadratic pair set (which is exactly why the in-place
-    # expansion above cannot serve this tier).
-    members = (
+    # SALTED tier (max_bucket < size <= salt_cap, rare): the bucket's member
+    # list is cut into ceil(size/max_bucket) slices and every (slice_i,
+    # slice_j) pair with i <= j becomes one BLOCK row carrying the two
+    # slices — generated in the SAME aggregation pass as the normal tier.
+    # One hash exchange spreads the block rows across tasks, and each task
+    # expands its <= max_bucket^2 pair block in place: the bucket's
+    # quadratic pair set is produced in full but no single task owns more
+    # than one block (the straggler bound the in-place expansion alone
+    # cannot give), with no join, no sorts, and — unlike the replicated
+    # self-join this replaces — no second traversal of the member lists and
+    # only ONE near-empty scheduled stage when the tier is unoccupied
+    # (event logs showed the join formulation's empty exchange/sort stages
+    # costing 3-10 s of pure scheduling per run).
+    blocks = (
         oversized.where(F.col("action") == F.lit("salted"))
         .select(
-            "bk",
-            F.ceil(F.col("bucket_size") / F.lit(max_bucket))
-            .cast("int")
-            .alias("n_salts"),
-            F.explode("ids").alias("doc_id"),
+            F.explode(
+                F.expr(
+                    "flatten(transform("
+                    f" sequence(0, cast(ceil(size(ids) / {max_bucket}) as int) - 1), gi ->"
+                    f" transform(sequence(gi, cast(ceil(size(ids) / {max_bucket}) as int) - 1), gj ->"
+                    " struct("
+                    f"  slice(ids, gi * {max_bucket} + 1, {max_bucket}) AS l,"
+                    f"  IF(gj = gi, array(), slice(ids, gj * {max_bucket} + 1, {max_bucket})) AS r"
+                    " ))))"
+                )
+            ).alias("blk")
         )
+        .select("blk.l", "blk.r")
     )
-    left = members.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
-    ).drop("n_salts")
-    right = members.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
-    ).drop("n_salts")
-    l, r = left.alias("l"), right.alias("r")
-    pairs_salted = l.join(
-        r,
-        (F.col("l.bk") == F.col("r.bk"))
-        & (F.col("l.salt") == F.col("r.salt"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(
-        F.col("l.doc_id").alias("a_id"),
-        F.col("r.doc_id").alias("b_id"),
+    # hash partitioning on the block content: spreads blocks evenly without
+    # round-robin's sort-before-repartition pass, and the explicit count
+    # keeps AQE from byte-coalescing rows that expand ~max_bucket-fold.
+    # 1x parallelism, not the usual 4x: each block is already a bounded
+    # quantum of work, and when the tier is EMPTY (the common case) this
+    # stage is pure task-dispatch latency — measured ~30 ms/task on a
+    # multi-executor cluster manager, so the empty-tier floor scales with
+    # the partition count.
+    n_block_parts = docs_with_bands.sparkSession.sparkContext.defaultParallelism
+    spread = blocks.repartition(n_block_parts, F.xxhash64("l", "r"))
+    pairs_salted = (
+        spread.select(
+            F.explode(
+                F.when(
+                    F.size("r") == 0,
+                    # diagonal block: in-slice pairs, strict upper triangle
+                    F.expr(
+                        "flatten(transform(l, (x, i) ->"
+                        " transform(slice(l, i + 2, size(l) - i - 1), y ->"
+                        " struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                    ),
+                ).otherwise(
+                    # cross block: full slice_i x slice_j product
+                    F.expr(
+                        "flatten(transform(l, x -> transform(r, y ->"
+                        " struct(least(x, y) as a_id, greatest(x, y) as b_id))))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
+        .where(F.col("a_id") != F.col("b_id"))
     )
 
     pairs = pairs_normal.unionByName(pairs_salted).distinct()

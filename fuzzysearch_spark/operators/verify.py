@@ -173,7 +173,22 @@ def verify_pairs(
             .withColumnRenamed("sh", f"sh_{side}")
         )
 
-    p = pairs.join(_renamed("a"), "a_id").join(_renamed("b"), "b_id")
+    n_pairs = n_pairs_hint if n_pairs_hint is not None else pairs.count()
+
+    # Attach per-side light features. The pair table is usually orders of
+    # magnitude smaller than the corpus-wide feature table, so below the
+    # broadcast gate the PAIR side broadcasts and both joins run map-side
+    # over the (typically cached) feature table — the feature table never
+    # shuffles and AQE cannot under-parallelize the probe (event logs showed
+    # the sort-merge alternative coalesced to a handful of near-serial
+    # tasks: two full feats exchanges plus a 5-task join stage). Past the
+    # gate (pairs too big to broadcast) the shuffle join is the right plan
+    # and stays.
+    if n_pairs <= cfg.broadcast_ids_max:
+        p = _renamed("a").join(F.broadcast(pairs), "a_id")
+        p = _renamed("b").join(F.broadcast(p), "b_id")
+    else:
+        p = pairs.join(_renamed("a"), "a_id").join(_renamed("b"), "b_id")
 
     # pigeonhole length bound under the per-pair cap
     if cfg.rel_dist is None:
@@ -222,7 +237,6 @@ def verify_pairs(
     #    advisory-sized partitions at any scale. A single mapInPandas joins
     #    them per group and runs the DP kernel in the same python stage —
     #    no (content_a, content_b) wide frame ever materializes.
-    n_pairs = n_pairs_hint if n_pairs_hint is not None else pairs.count()
     # Per-a multiplicities (-> n_salts) ride a WINDOW over the surviving
     # pairs — one light exchange, no join back, no nested broadcast build —
     # and the rn=1 row of each a-group additionally spawns that group's
@@ -230,6 +244,14 @@ def verify_pairs(
     # pass over the light pair stream.
     from pyspark.sql import Window
 
+    # The window's exchange carries only (a_id, b_id) — a few MB even at
+    # 10^6 files — so AQE's advisory-size coalescing packs it into 1-5
+    # near-serial tasks (measured: a ~2 s serial window stage at every
+    # parallelism level). Pin the exchange to cluster parallelism once the
+    # pair count is past trivial; tiny inputs stay with AQE's plan.
+    if n_pairs > 50_000:
+        n_parts = 4 * surviving.sparkSession.sparkContext.defaultParallelism
+        surviving = surviving.repartition(n_parts, "a_id")
     w = Window.partitionBy("a_id")
     ann = surviving.select(
         "a_id",

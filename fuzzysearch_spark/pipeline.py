@@ -198,6 +198,11 @@ class DedupPipeline:
         """
         if self.cfg.resume and self._done(stage):
             return ensure_min_partitions(self.spark.read.parquet(self._path(stage)))
+        # tag every Spark job this stage triggers (thread-local, so run()'s
+        # concurrently-submitted stages tag independently): event-log
+        # JobStart properties then attribute Spark stages to dedup stages
+        # exactly, instead of by callsite guesswork (scripts/diag_scaling.py)
+        self.spark.sparkContext.setLocalProperty("fsw.stage", stage)
         t0 = time.time()
         result = compute()
         df, extras = result if isinstance(result, tuple) else (result, {})

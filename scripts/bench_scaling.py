@@ -111,8 +111,13 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # small inputs: split scans finely so every core gets work without a
-        # repartition shuffle (a production job reading TBs uses the default)
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # repartition shuffle (a production job reading TBs uses the default).
+        # 4m (~1 row group per split): event logs showed the 8m packing left
+        # the fused ingest scan a 15 s straggler closing a 16-core wave
+        # (avg task 8.6 s) — halving the split size halves the worst-case
+        # last-wave overhang at negligible per-task cost (A/B'd at both
+        # levels: -3..-7 s at 16 cores, neutral at 4)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
         # RAM-backed shuffle dirs: the sandbox has one shared virtio disk;
         # a real cluster's per-node NVMe shuffle storage scales with nodes
@@ -382,8 +387,16 @@ def main() -> None:
     # noise-robust estimator for "can this stage scale"
     if all(r.get("stages") for runs in all_runs.values() for r in runs):
         stage_names = best[lo]["stages"].keys()
+
+        # a stage's cost = barrier wall + plan_sec (driver-side jobs run
+        # while planning, e.g. the LSH bucket aggregation that materializes
+        # eagerly under scratch ownership — excluding plan time would let a
+        # stage hide work by moving it ahead of its barrier)
+        def _cost(r: dict, s: str) -> float:
+            return r["stages"].get(s, 0.0) + (r.get("stage_plan_sec") or {}).get(s, 0.0)
+
         min_st = {
-            c: {s: min(r["stages"][s] for r in all_runs[c]) for s in stage_names}
+            c: {s: min(_cost(r, s) for r in all_runs[c]) for s in stage_names}
             for c in CPU_LEVELS
         }
         summary["stage_efficiency_best_pair"] = {
@@ -392,9 +405,9 @@ def main() -> None:
             if min_st[hi][s] > 0  # s2 is a fused ~0-wall marker stage
         }
         summary["stage_efficiency_best_runs"] = {
-            s: round((best[lo]["stages"][s] / best[hi]["stages"][s]) / (hi / lo), 4)
+            s: round((_cost(best[lo], s) / _cost(best[hi], s)) / (hi / lo), 4)
             for s in stage_names
-            if best[hi]["stages"].get(s)
+            if _cost(best[hi], s)
         }
     # SCALING_OUT redirects the artifact (smoke/experiment runs must not
     # overwrite the recorded campaign in BENCH/scaling.json)

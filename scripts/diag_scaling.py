@@ -59,7 +59,7 @@ def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
         .config("spark.sql.shuffle.partitions", str(4 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.local.dir", shm)
         .config("spark.driver.memory", driver_mem)
@@ -183,6 +183,7 @@ def digest_eventlog(eventdir: str, app_id: str, cpus: int, t0_ms: int) -> list[d
 
     stage_tasks: dict[int, dict] = {}
     stage_info: dict[int, dict] = {}
+    stage_pstage: dict[int, str] = {}
     if True:
         for line in _lines():
             try:
@@ -190,7 +191,15 @@ def digest_eventlog(eventdir: str, app_id: str, cpus: int, t0_ms: int) -> list[d
             except json.JSONDecodeError:
                 continue
             et = ev.get("Event")
-            if et == "SparkListenerStageCompleted":
+            if et == "SparkListenerJobStart":
+                # the pipeline tags every job with its dedup stage
+                # (pipeline._load_or setLocalProperty) — authoritative
+                # Spark-stage -> dedup-stage attribution
+                ps = (ev.get("Properties") or {}).get("fsw.stage")
+                if ps:
+                    for si in ev.get("Stage Infos") or []:
+                        stage_pstage[si["Stage ID"]] = ps
+            elif et == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sid = si["Stage ID"]
                 stage_info[sid] = {
@@ -231,6 +240,7 @@ def digest_eventlog(eventdir: str, app_id: str, cpus: int, t0_ms: int) -> list[d
         rows.append(
             {
                 "sid": sid,
+                "pstage": stage_pstage.get(sid, "?"),
                 "name": si["name"],
                 "wall": round(wall, 1),
                 "tasks": si["n_tasks"],
@@ -274,6 +284,16 @@ def main() -> None:
     stage_wall = sum(x["wall"] for x in rows)
     task_sum = sum(x["task_sum"] for x in rows)
     gc_sum = sum(x["gc"] for x in rows)
+    roll: dict[str, dict] = {}
+    for x in rows:
+        d = roll.setdefault(
+            x.get("pstage", "?"),
+            {"wall": 0.0, "task_sum": 0.0, "gc": 0.0, "n_stages": 0},
+        )
+        d["wall"] = round(d["wall"] + x["wall"], 1)
+        d["task_sum"] = round(d["task_sum"] + x["task_sum"], 1)
+        d["gc"] = round(d["gc"] + x["gc"], 1)
+        d["n_stages"] += 1
     summary = {
         **{k: r[k] for k in ("cpus", "wall_sec", "files_per_sec", "n_out", "pipeline_stages")},
         "spark_stage_wall_sum": round(stage_wall, 1),
@@ -281,6 +301,7 @@ def main() -> None:
         "task_time_sum": round(task_sum, 1),
         "gc_sum": round(gc_sum, 1),
         "ideal_wall_at_cpus": round(task_sum / args.cpus, 1),
+        "per_pipeline_stage": roll,
     }
     print(json.dumps(summary))
     for x in rows:

@@ -166,6 +166,39 @@ def test_lsh_bucket_cap_reports_skew(spark):
     assert all_dup_pairs <= got2
 
 
+def test_lsh_eager_scratch_path_matches_lazy(spark):
+    """Under caller-owned ``scratch`` the operator materializes the bucket
+    agg eagerly and returns a LOCAL skew report; pairs and report must be
+    identical to the lazy path in all three tier situations (none /
+    salted / excluded), and the scratch cache must be released cleanly."""
+    # 20 docs share band 42 (one oversized bucket), 6 docs share band 7
+    # (a normal bucket), everyone has a unique band
+    rows = [(i, [42, 1000 + i]) for i in range(20)] + [
+        (100 + i, [7, 2000 + i]) for i in range(6)
+    ]
+    docs_with_bands = spark.createDataFrame(rows, ["doc_id", "bands"])
+
+    for kwargs in (
+        {"max_bucket": 50},               # no oversized buckets
+        {"max_bucket": 5},                # salted tier engaged
+        {"max_bucket": 5, "salt_cap": 10},  # excluded tier engaged
+    ):
+        lazy_pairs, lazy_rep = lsh_candidate_pairs(docs_with_bands, **kwargs)
+        scratch: list = []
+        eager_pairs, eager_rep = lsh_candidate_pairs(
+            docs_with_bands, scratch=scratch, **kwargs
+        )
+        assert sorted(map(tuple, eager_pairs.collect())) == sorted(
+            map(tuple, lazy_pairs.collect())
+        ), kwargs
+        assert sorted(map(tuple, eager_rep.collect())) == sorted(
+            map(tuple, lazy_rep.collect())
+        ), kwargs
+        assert scratch, "scratch path must register its cache for release"
+        for c in scratch:
+            c.unpersist()
+
+
 def test_lsh_salting_planted_recall(spark):
     """A true dup pair living ONLY in a >max_bucket bucket must still be
     found (the round-1 cap dropped it); salting keeps recall 1.0 and work

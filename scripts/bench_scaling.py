@@ -208,7 +208,27 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
     docs = spark.read.parquet(input_path)
     n_files = docs.count()  # warm the scan before timing
 
+    def _total_task_ms() -> int | None:
+        """Sum of task durations across executors (AppStatusStore).
+
+        The same pipeline on the same input should cost the same task-time
+        at any cluster size; the measured EXCESS at 4N vs N executors is
+        memory-subsystem contention between co-located executors — the
+        single-host artifact that a real multi-node cluster does not have.
+        Recording it per run lets the scaling artifact separate "the engine
+        serialized" from "the host's one memory system got slower".
+        """
+        try:
+            execs = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+            it = spark.sparkContext._jvm.scala.collection.JavaConverters.asJavaIterator(
+                execs.iterator()
+            )
+            return sum(e.totalDuration() for e in it)
+        except Exception:
+            return None
+
     mode = os.environ.get("SCALING_CHECKPOINT_MODE", "memory")
+    task_ms_before = _total_task_ms()
     t0 = time.time()
     out = DedupPipeline(
         spark,
@@ -238,6 +258,12 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
     if n_out is None:  # lazy modes defer row counts
         n_out = out.count()
     wall = time.time() - t0
+    task_ms_after = _total_task_ms()
+    task_sec = (
+        round((task_ms_after - task_ms_before) / 1000, 1)
+        if task_ms_before is not None and task_ms_after is not None
+        else None
+    )
     spark.stop()
     # wall not attributed to any stage barrier or planning job. Since the
     # round-3 scan fusion, every stage is on the critical path (s0 carries
@@ -255,6 +281,7 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
                 "n_out": n_out,
                 "files_per_sec": round(n_files / wall, 2),
                 "checkpoint_mode": mode,
+                "task_time_sec": task_sec,
                 "stages": stages,
                 "stage_plan_sec": plans,
                 "stage_detail": detail,
@@ -335,6 +362,22 @@ def main() -> None:
         )
         for i in range(min(len(all_runs[lo]), len(all_runs[hi])))
     ]
+    # work-normalized pairwise: the same job on the same input should cost
+    # the same total task-time at any cluster size; dividing the wall ratio
+    # by the SAME-REPEAT task-time inflation separates engine serialization
+    # (packing, barriers, stragglers — which this does NOT forgive) from
+    # memory-subsystem contention between co-located executors (which a
+    # real multi-node cluster does not have: each node brings its own
+    # memory channels). Diagnostic estimator — the headline stays the raw
+    # wall ratio.
+    inflation, pairwise_work = [], []
+    for i in range(min(len(all_runs[lo]), len(all_runs[hi]))):
+        t_lo = all_runs[lo][i].get("task_time_sec")
+        t_hi = all_runs[hi][i].get("task_time_sec")
+        if t_lo and t_hi:
+            inflation.append(round(t_hi / t_lo, 4))
+            pairwise_work.append(round(pairwise[i] * t_hi / t_lo, 4))
+
     outs = {r["n_out"] for runs in all_runs.values() for r in runs}
     assert len(outs) == 1, f"output diverged across parallelism/repeats: {outs}"
 
@@ -370,6 +413,8 @@ def main() -> None:
         "value_median_estimator": efficiency_median,
         "value_best_pairwise_repeat": max(pairwise) if pairwise else None,
         "pairwise_efficiencies_per_repeat": pairwise,
+        "task_time_inflation_per_repeat": inflation or None,
+        "pairwise_work_normalized_per_repeat": pairwise_work or None,
         "n_files": best[lo]["n_files"],
         "runs": {
             f"local[{c}]": {
@@ -377,6 +422,7 @@ def main() -> None:
                 "median_files_per_sec": round(med[c], 3),
                 "best_wall_sec": best[c]["wall_sec"],
                 "all_files_per_sec": [r["files_per_sec"] for r in all_runs[c]],
+                "all_task_time_sec": [r.get("task_time_sec") for r in all_runs[c]],
                 "best_run_stages": best[c].get("stages") or {},
             }
             for c in CPU_LEVELS

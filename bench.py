@@ -53,6 +53,9 @@ def _spark():
         .config("spark.local.dir", shm)
         .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # per-DataFrame-call Python call-site capture (error enrichment) is
+        # ~0.5 s of serial driver time per run; off for measured runs
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE: the zstd codec + 2048-row Arrow batches that win at 10^6-file
         # scale (BENCH/BASELINE.md) LOSE at this sf's row counts — compression

@@ -82,6 +82,7 @@ def lsh_candidate_pairs(
     max_bucket: int = 1000,
     salt_cap: int | None = None,
     scratch: list | None = None,
+    plan_bytes: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (a_id < b_id) from band-key collisions.
 
@@ -99,10 +100,18 @@ def lsh_candidate_pairs(
     Without ``scratch`` nothing persists: pairs-only consumers leak no
     executor storage, and each consumer re-traverses the (exchange-reused)
     aggregation.
+
+    ``plan_bytes``: caller-known input size for the partitioning-pin gate
+    below. The pipeline passes a row-count-derived estimate (it knows the
+    exact ingest row count from the s0 barrier), which skips the Catalyst
+    stats pass over the cached-signature subtree (~0.3-0.5 s of serial
+    driver time per run). Standalone callers omit it and get the
+    optimizer's own estimate, same gate either way.
     """
     if salt_cap is None:
         salt_cap = 50 * max_bucket
-    plan_bytes = estimated_plan_bytes(docs_with_bands)
+    if plan_bytes is None:
+        plan_bytes = estimated_plan_bytes(docs_with_bands)
 
     kv = explode_bands(docs_with_bands, id_col).select(
         "doc_id", F.xxhash64("band_idx", "band_key").alias("bk")

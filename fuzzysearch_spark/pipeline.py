@@ -387,11 +387,25 @@ class DedupPipeline:
             # pairs job fills the cache, so the post-barrier report collect
             # below is a cache-hit filter, not a re-aggregation ahead of
             # the barrier
+            # row-count-derived size for the operator's partitioning-pin
+            # gate: the s0 barrier already counted the corpus exactly, so
+            # handing the operator rows x per-row width (id + band array +
+            # simhash + n_chars) skips its Catalyst stats pass over the
+            # cached-signature subtree — serial driver time on every run.
+            # Lazy memory mode has no barrier counts; the operator falls
+            # back to the optimizer's own estimate.
+            n_docs = self._stage_rows.get("s0_ingest")
+            plan_bytes = (
+                n_docs * (36 + 8 * self.cfg.signature.bands)
+                if n_docs is not None
+                else None
+            )
             pairs, report = lsh_candidate_pairs(
                 reps,
                 max_bucket=self.cfg.max_bucket,
                 salt_cap=self.cfg.salt_cap,
                 scratch=scratch,
+                plan_bytes=plan_bytes,
             )
 
             def skew_report():

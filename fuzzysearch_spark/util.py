@@ -4,6 +4,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """A byte-size Spark conf ("4m", "134217728", "128mb") as an int."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower().rstrip("b")
+        if raw and raw[-1] in _SIZE_SUFFIX:
+            return int(float(raw[:-1]) * _SIZE_SUFFIX[raw[-1]])
+        return int(raw)
+    except Exception:
+        return default
+
 
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism when the plan has fewer.
@@ -13,10 +26,22 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     core. At production scale the scan already has >= cores partitions and
     this is a no-op — the guard never coalesces, so it cannot add a shuffle
     to a large input.
+
+    The partition-count probe (``df.rdd``) runs analysis + physical
+    planning driver-side (~0.5 s per call, at any scale), so it is gated
+    behind Catalyst's own size estimate: once the input is provably past
+    ``min_partitions`` file splits (bytes >= min_partitions *
+    maxPartitionBytes — split packing can only add splits beyond that
+    bound, never remove them), the guard is a no-op by construction and
+    the probe is skipped. Unknown stats read as "assume large", the same
+    production-means-no-op posture the docstring above commits to.
     """
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
+    max_split = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    if estimated_plan_bytes(df) >= min_partitions * max_split:
+        return df
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
     return df

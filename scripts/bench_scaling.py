@@ -61,10 +61,14 @@ def generate_input(path: str) -> int:
         k: [r[k] for r in planted.rows]
         for k in ("repo", "path", "commit", "lang", "content")
     }
-    # ~256 row groups (~6 MB each at default doc sizes): scan splits can't
-    # be finer than a row group, and 64 fat groups left the signature stage
-    # with 23 MB-grained tasks — event logs showed a 39 s straggler closing
-    # a 16-core wave (avg task 8.7 s). Finer groups pack the last wave tight.
+    # ~1024 row groups (~0.8 MB zstd each at default doc sizes): scan
+    # splits can't be finer than a row group, and Spark assigns each group
+    # to the byte-range split holding its midpoint — with ~256 groups the
+    # 4 MB splits carried 1 OR 2 groups (+-100% task-size variance, an
+    # up-to-2x straggler closing every 16-core wave); at ~4-5 groups per
+    # split the variance drops to ~+-10% and the last wave packs tight.
+    # (64 fat groups were worse still: 23 MB-grained tasks, a 39 s
+    # straggler. Footer overhead at 0.8 MB groups is negligible.)
     # zstd-compressed (not snappy): the corpus is scanned twice per run
     # (fused ingest sha256+signature UDF, verify content fetch) and a probe
     # decomposition showed the content scan is memory-bandwidth-bound (pair
@@ -75,7 +79,7 @@ def generate_input(path: str) -> int:
     pq.write_table(
         pa.table(cols),
         path,
-        row_group_size=max(N_FILES // 256, 1),
+        row_group_size=max(N_FILES // 1024, 1),
         compression="zstd",
         compression_level=3,
     )
@@ -124,6 +128,11 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
         .config("spark.local.dir", shm)
         .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 captures a Python call-site per DataFrame API call for
+        # error enrichment — an inspect.stack walk plus a py4j round trip
+        # each, ~0.5 s of serial driver time per run (cProfile-measured).
+        # Pure debugging aid; off for measured runs.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # zstd shuffle/broadcast compression: trades plentiful CPU for the
         # scarce resource at every scale — network on a real cluster, the

@@ -67,6 +67,12 @@ def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{eventdir}")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # mirror the bench_scaling recipe exactly — a diag run must measure
+        # the same engine configuration the campaign records
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
@@ -89,15 +95,17 @@ def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
     if master == "executors":
         import zipfile
 
-        zip_path = os.path.join(shm, "fuzzysearch_spark_diag.zip")
-        if not os.path.exists(zip_path):
-            with zipfile.ZipFile(zip_path, "w") as z:
-                pkg = os.path.join(REPO, "fuzzysearch_spark")
-                for root, _, files in os.walk(pkg):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            z.write(full, os.path.relpath(full, REPO))
+        # ALWAYS rebuild: addPyFile paths shadow PYTHONPATH on executors,
+        # so a zip cached from an earlier session would silently measure
+        # stale engine code (same rule as bench_scaling)
+        zip_path = os.path.join(shm, f"fuzzysearch_spark_diag_{os.getpid()}.zip")
+        with zipfile.ZipFile(zip_path, "w") as z:
+            pkg = os.path.join(REPO, "fuzzysearch_spark")
+            for root, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, REPO))
         spark.sparkContext.addPyFile(zip_path)
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId

@@ -16,6 +16,7 @@ Local sandbox smoke run (single JVM standing in for a cluster):
         --conf spark.io.compression.codec=zstd \
         --conf spark.sql.execution.arrow.maxRecordsPerBatch=2048 \
         --conf spark.sql.parquet.columnarReaderBatchSize=1024 \
+        --conf spark.python.sql.dataFrameDebugging.enabled=false \
         scripts/run_dedup.py --input ... --workdir ... --output ...
 
 (zstd shuffle compression, ~9 MB Arrow batches, and 1024-row parquet reader

@@ -399,3 +399,40 @@ def test_estimated_plan_bytes_gates_sanely(spark, tmp_path):
     # derived plans stay estimable and stay on the small side
     est2 = estimated_plan_bytes(tiny.groupBy("s").agg(F.count("*").alias("n")))
     assert 0 < est2 < PIN_PARTITIONING_MIN_BYTES
+
+
+def test_ensure_min_partitions_paths(spark, tmp_path):
+    """Small file-backed scans still get the repartition guard; inputs the
+    size estimate proves already-split past parallelism take the fast path
+    (no .rdd probe, frame returned untouched)."""
+    from fuzzysearch_spark.util import _conf_bytes, ensure_min_partitions
+
+    assert _conf_bytes(spark, "nonexistent.key", 7) == 7
+    spark.conf.set("fsw.test.bytes", "4m")
+    assert _conf_bytes(spark, "fsw.test.bytes", 0) == 4 << 20
+    spark.conf.set("fsw.test.bytes", "128mb")
+    assert _conf_bytes(spark, "fsw.test.bytes", 0) == 128 << 20
+    spark.conf.set("fsw.test.bytes", "134217728")
+    assert _conf_bytes(spark, "fsw.test.bytes", 0) == 134217728
+
+    p = str(tmp_path / "guard.parquet")
+    spark.createDataFrame(
+        [(i, "x" * 200) for i in range(500)], ["i", "s"]
+    ).coalesce(1).write.parquet(p)
+
+    # default maxPartitionBytes (128m): the tiny scan is 1 split and the
+    # guard must still repartition it up to cluster parallelism
+    small = spark.read.parquet(p)
+    out = ensure_min_partitions(small, 4)
+    assert out.rdd.getNumPartitions() >= 4
+
+    # with a floor-sized split conf the same file is provably past the
+    # partition floor -> fast path returns the frame object untouched
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        fast = spark.read.parquet(p)
+        assert ensure_min_partitions(fast, 4) is fast
+        assert fast.rdd.getNumPartitions() >= 4  # the skipped probe holds
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -64,7 +64,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(a_id, b_id, jaccard) for pairs with exact n-gram Jaccard >= threshold."""
+    """(a_id, b_id, jaccard) for pairs with exact n-gram Jaccard >= threshold.
+
+    The intersection is a gram-key SELF-JOIN deliberately, not the LSH
+    operator's collect_list + in-agg pair expansion: exact n-grams are
+    near-unique (measured ~singleton groups for almost every gram), so an
+    aggregation materializes millions of size-1 lists only to filter them,
+    while the sort-merge join streams the few matches (A/B at sf0.1: join
+    8.0 s vs in-agg 9.5-14.3 s). The in-agg trick wins on HEAVY key
+    distributions (LSH band buckets); the join wins on near-unique keys.
+    """
     grams = char_ngram_shingles(docs, n, id_col, text_col, hashed=True)
     card = grams.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = grams.alias("a")

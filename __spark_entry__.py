@@ -15,12 +15,24 @@ those, and pytest pins them against ground truth instead.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# one session-scoped root for every temp dir this module creates (query
+# materializations, pipeline workdirs): removed at interpreter exit, so
+# repeated query sweeps cannot leak temp disk for the process lifetime
+_TMP_ROOT = tempfile.mkdtemp(prefix="fsw_session_")
+atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+
+
+def _tmpdir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -49,7 +61,7 @@ def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
     unpersist BEFORE returning, so a full ``queries()`` sweep leaves no
     cached RDDs behind for the session's lifetime (the driver's later
     action replays a plain scan of the tiny result file)."""
-    path = tempfile.mkdtemp(prefix="fsw_q_")
+    path = _tmpdir("fsw_q_")
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -75,7 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
-    workdir = tempfile.mkdtemp(prefix="fsw_entry_")
+    workdir = _tmpdir("fsw_entry_")
     cfg = DedupConfig(
         workdir=workdir,
         resume=False,
@@ -205,10 +217,15 @@ def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs Hamming<=3 (both over the same simhashes).
 
     The pigeonhole theorem (hamming <= k => >= 1 of k+1 sub-bands equal)
-    guarantees the banded join loses no pair, and the bit_count filter
+    guarantees the banded join loses no pair PROVIDED no sub-band bucket
+    exceeds the skew machinery's salt_cap (pairs in larger buckets are
+    dropped-and-reported, never silent), and the bit_count filter
     guarantees it adds none — so the equi-join output must EXACTLY equal
-    the quadratic ground truth. The oracle pins emptiness, turning the
-    banding join into a hash-checked invariant in CORRECTNESS."""
+    the quadratic ground truth. The audit folds any 'excluded' skew-report
+    row into its output (as (bk, bucket_size)), so a capped bucket turns
+    the emptiness pin red instead of passing vacuously; the oracle pins
+    emptiness, turning the banding join into a hash-checked invariant in
+    CORRECTNESS."""
     from fuzzysearch_spark.functions.signatures import simhash_udf
     from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
 
@@ -222,9 +239,17 @@ def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
         .select("a_id", "b_id")
     )
-    cands = simhash_near_dup_pairs(sigs, max_hamming=3).select("a_id", "b_id")
-    return truth.join(cands, ["a_id", "b_id"], "left_anti").unionByName(
-        cands.join(truth, ["a_id", "b_id"], "left_anti")
+    reports: list = []
+    cands = simhash_near_dup_pairs(sigs, max_hamming=3, report_out=reports).select(
+        "a_id", "b_id"
+    )
+    excluded = reports[0].where(F.col("action") == "excluded").select(
+        F.col("bk").alias("a_id"), F.col("bucket_size").cast("long").alias("b_id")
+    )
+    return (
+        truth.join(cands, ["a_id", "b_id"], "left_anti")
+        .unionByName(cands.join(truth, ["a_id", "b_id"], "left_anti"))
+        .unionByName(excluded)
     )
 
 
@@ -253,7 +278,7 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     cfg = DedupConfig(
-        workdir=tempfile.mkdtemp(prefix="fsw_audit_"),
+        workdir=_tmpdir("fsw_audit_"),
         resume=False,
         verify=VerifyConfig(max_l_dist=8),
     )

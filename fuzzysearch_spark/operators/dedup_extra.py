@@ -116,6 +116,8 @@ def simhash_near_dup_pairs(
     simhash_col: str = "simhash",
     max_bucket: int = 1000,
     salt_cap: int | None = None,
+    report_out: list | None = None,
+    plan_bytes: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, hamming) pairs within a SimHash Hamming ball.
 
@@ -128,11 +130,29 @@ def simhash_near_dup_pairs(
     empty/near-empty document simhashes to 0, and boilerplate makes 16-bit
     sub-bands collide by the thousands — so candidate generation reuses the
     LSH operator's tiered machinery (single-exchange expansion up to
-    ``max_bucket``, salted replicated self-join up to ``salt_cap``,
+    ``max_bucket``, salted slice-block expansion up to ``salt_cap``,
     reported exclusion above) instead of a raw self-join whose hot bucket
-    would serialize one quadratic task. The mass-duplicate classes a
-    bucket-exclusion would hit (e.g. millions of empty documents) are
-    exactly what upstream exact dedup collapses first.
+    would serialize one quadratic task.
+
+    PRECONDITION for completeness: the pigeonhole guarantee ("every
+    Hamming<=k pair collides on a sub-band") holds for the RETURNED pairs
+    only while no sub-band bucket exceeds ``salt_cap`` (default
+    ``50 * max_bucket``) — pairs inside a larger bucket are dropped and
+    REPORTED, never silently lost. Pass ``report_out`` (a caller-owned
+    list) to receive the skew-report DataFrame — rows (bk, bucket_size,
+    action) with action in {'salted', 'excluded'} — and treat any
+    'excluded' row as a recall alert (the equivalence audit in
+    ``__spark_entry__`` folds such rows into its emptiness pin, so an
+    exclusion turns the oracle red instead of passing vacuously). The
+    mass-duplicate classes exclusion would hit (e.g. millions of empty
+    documents all simhashing to 0) are exactly what upstream exact dedup
+    collapses first.
+
+    ``plan_bytes``: caller-known estimate of the (doc_id, simhash) input —
+    forwards to the LSH operator's partitioning-pin gate so small inputs
+    skip the 4x-parallelism repartition (Catalyst's own estimate of a
+    post-UDF plan reads as huge, which would pin wide exchanges on a
+    5k-row bench input).
     """
     from fuzzysearch_spark.operators.lsh import lsh_candidate_pairs
 
@@ -151,9 +171,14 @@ def simhash_near_dup_pairs(
     with_bands = docs_with_simhash.select(
         F.col(id_col).alias("doc_id"), bands.alias("bands")
     )
-    pairs, _report = lsh_candidate_pairs(
-        with_bands, max_bucket=max_bucket, salt_cap=salt_cap
+    pairs, report = lsh_candidate_pairs(
+        with_bands,
+        max_bucket=max_bucket,
+        salt_cap=salt_cap,
+        plan_bytes=plan_bytes,
     )
+    if report_out is not None:
+        report_out.append(report)
     sigs = docs_with_simhash.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
     return (
         pairs.join(

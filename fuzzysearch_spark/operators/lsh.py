@@ -32,11 +32,18 @@ band table plus a light pair-key dedup shuffle:
     sane geometry such a bucket means near-identical content that
     exact-dedup should have removed, and its pair set would be quadratic
     in a way no partitioning can amortize. Nothing is dropped silently.
-  Memory bound: a bucket's member list materializes once in the aggregation
-  buffer (Spark's object-hash aggregate falls back to sort-based + spill
-  under pressure), so an excluded mega-bucket costs one bounded straggler
-  task — shuffle-read of its member rows — never an OOM and never a
-  quadratic expansion;
+  Memory posture: a bucket's member list materializes once, in a single
+  aggregation buffer (Spark's sort-based fallback spills BETWEEN groups,
+  not within one), at 8 bytes per member — so an excluded mega-bucket
+  costs one straggler task holding size(bucket)*8 B of heap (10^8 members
+  ~= 800 MB), linear in its shuffle-read and never a quadratic expansion.
+  That is a practical bound, not a hard no-OOM guarantee: a bucket orders
+  of magnitude past ``salt_cap`` can still pressure an executor, and the
+  defense in depth is upstream exact dedup collapsing the identical-content
+  mass that creates such buckets (PySpark cannot cap a collect_list inside
+  the aggregation buffer; capping would need a custom TypedImperativeAggregate
+  or a pre-pass, and the pre-pass is the two-traversal design this operator
+  exists to avoid);
 * bucket keys are xxhash64(band_idx, band_key): 8 shuffled bytes per band
   row instead of 12, at the cost that a 64-bit collision MERGES two
   buckets. A merge can only add candidate pairs (verify rejects them) or

@@ -6,6 +6,12 @@ from pyspark.sql import DataFrame
 
 _SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
+# Catalyst propagates Long.MaxValue-ish defaults for relations with unknown
+# stats (RDD-backed frames, some post-UDF plans). Estimates at or above this
+# ceiling are sentinels, not measurements — callers that gate a *skip* on
+# "provably large" must treat them as unknown and fall back to probing.
+CREDIBLE_STATS_MAX_BYTES = 1 << 50
+
 
 def _conf_bytes(spark, key: str, default: int) -> int:
     """A byte-size Spark conf ("4m", "134217728", "128mb") as an int."""
@@ -33,14 +39,18 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     ``min_partitions`` file splits (bytes >= min_partitions *
     maxPartitionBytes — split packing can only add splits beyond that
     bound, never remove them), the guard is a no-op by construction and
-    the probe is skipped. Unknown stats read as "assume large", the same
-    production-means-no-op posture the docstring above commits to.
+    the probe is skipped. The skip only trusts CREDIBLE estimates: unknown
+    stats propagate Catalyst's Long.MaxValue-ish sentinels, which would
+    otherwise read as "provably large" for exactly the frames most likely
+    to be single-partition (RDD-backed, post-UDF) — those fall back to the
+    probe.
     """
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
     max_split = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-    if estimated_plan_bytes(df) >= min_partitions * max_split:
+    est = estimated_plan_bytes(df)
+    if min_partitions * max_split <= est < CREDIBLE_STATS_MAX_BYTES:
         return df
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)

@@ -241,6 +241,31 @@ def test_simhash_hot_subband_salted_recall(spark):
     assert got == expected
 
 
+def test_simhash_excluded_bucket_is_reported_not_silent(spark):
+    """A sub-band bucket past salt_cap drops its pairs, but the caller can
+    see it: ``report_out`` receives the skew report with the 'excluded'
+    row (the entry audit folds these into its emptiness pin)."""
+    from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
+
+    n = 30
+    sims = [(i, i << 16) for i in range(n)]  # band 0 (low 16 bits) all collide
+    docs = spark.createDataFrame(sims, ["doc_id", "simhash"])
+
+    reports: list = []
+    pairs = simhash_near_dup_pairs(
+        docs, max_hamming=3, max_bucket=5, salt_cap=10, report_out=reports
+    )
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    rep = reports[0].collect()
+    assert any(
+        r["action"] == "excluded" and r["bucket_size"] == n for r in rep
+    ), "the hot sub-band bucket must surface in the report"
+    # the excluded bucket's pairs are genuinely gone (this is the recall
+    # alert the report exists to raise) — docs 0/1 differ only in the high
+    # bits, their sole collision was the excluded low-16 bucket
+    assert (0, 1) not in got
+
+
 def test_lsh_skew_detection_on_pinned_path(spark, tmp_path, monkeypatch):
     """The big-input (pinned-partitioning) path detects heavy buckets with
     EXACT in-aggregation sizes; salting recall holds. Forced onto that path
@@ -436,3 +461,12 @@ def test_ensure_min_partitions_paths(spark, tmp_path):
         assert fast.rdd.getNumPartitions() >= 4  # the skipped probe holds
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # sentinel stats (RDD-backed frame, no file sizes) must NOT take the
+    # fast path: a genuinely single-partition input with unknown stats
+    # falls back to the probe and gets repartitioned
+    from fuzzysearch_spark.util import CREDIBLE_STATS_MAX_BYTES, estimated_plan_bytes
+
+    rdd_df = spark.sparkContext.parallelize([(i,) for i in range(10)], 1).toDF(["i"])
+    assert estimated_plan_bytes(rdd_df) >= CREDIBLE_STATS_MAX_BYTES
+    assert ensure_min_partitions(rdd_df, 4).rdd.getNumPartitions() >= 4

@@ -422,6 +422,15 @@ EMB_DIM = 64
 ANN_PLANES = 8
 ANN_SEED = 7
 
+# IVF geometry shared by q_ann_ivf_top1 and its oracle; the oracle trains
+# the quantizer driver-side on the CORRECTNESS scale factor (the driver
+# compares at sf0.01) and inlines the centroid matrix as SQL literals
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+IVF_ITERS = 4
+IVF_SEED = 7
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate nearest neighbor with Hamming-1
@@ -438,14 +447,24 @@ def q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor: seeded k-means coarse quantizer
     (trained on a hash-bounded sample), home-list assignment map-side,
-    n_probe-list candidate join, exact cosine re-rank. No SQL oracle
-    (iterative Lloyd training isn't SQL-expressible); pytest pins recall
-    >= 0.9 and determinism vs the brute-force oracle
-    (tests/test_extras.py::test_ivf_top1_recall_vs_bruteforce)."""
+    n_probe-list candidate join, exact cosine re-rank. Oracle: training is
+    seeded and deterministic, so ``_ann_ivf_oracle_sql`` retrains the same
+    quantizer driver-side (bit-identical replica, see
+    ``train_centroids_local``) and inlines the centroid matrix into DuckDB
+    SQL as literals — argmin assignment, n_probe bucket join, and exact
+    re-rank all mirrored expression-for-expression. Recall >= 0.9 vs brute
+    force stays pytest-pinned (tests/test_extras.py)."""
     from fuzzysearch_spark.operators.ivf import ivf_top1
 
     emb = _read(spark, sf_dir, "embeddings")
-    return ivf_top1(emb, n_centroids=16, n_probe=4, round_to=4)
+    return ivf_top1(
+        emb,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        n_iters=IVF_ITERS,
+        seed=IVF_SEED,
+        round_to=4,
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,6 +737,78 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+def _ann_ivf_oracle_sql() -> str:
+    """DuckDB mirror of q_ann_ivf_top1 with the TRAINED centroids inlined.
+
+    Training is a pure function of (embeddings table, seed):
+    ``train_centroids_local`` reproduces the Spark trainer bit-for-bit
+    (same xxhash64 draw, same Lloyd loop object code), so the oracle can
+    train on the CORRECTNESS parquet driver-side and emit the centroid
+    matrix as SQL literals — the same pattern `_ann_lsh_oracle_sql` uses
+    for its hyperplanes. Assignment mirrors ``assign_lists`` exactly:
+    d2-ordering by csq - 2*dot (the row-constant ||x||^2 dropped), ties to
+    the lower cid; candidates = members of the n_probe nearest lists;
+    re-rank by ROUND(cosine, 4) with ties to the smaller neighbor id.
+    """
+    import duckdb
+    import numpy as np
+
+    from fuzzysearch_spark.operators.ivf import train_centroids_local
+
+    rel = duckdb.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
+        f"FROM '{ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rel], dtype=np.int64)
+    vecs = np.array([r[1] for r in rel], dtype=np.float64)
+    cent = train_centroids_local(
+        ids, vecs, n_centroids=IVF_CENTROIDS, n_iters=IVF_ITERS, seed=IVF_SEED
+    )
+    csq = (cent**2).sum(axis=1)  # same precomputation as assign_lists
+    n_probe = min(IVF_PROBE, len(cent))
+    values = ",\n              ".join(
+        f"({cid}, {csq[cid]!r}, ["
+        + ", ".join(repr(float(x)) for x in cent[cid])
+        + "]::DOUBLE[])"
+        for cid in range(len(cent))
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        c(cid, csq, cvec) AS (
+          SELECT * FROM (VALUES
+              {values}
+          )
+        ),
+        probes AS (
+          SELECT v.vec_id, v.vec, c.cid,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY c.csq - 2 * list_dot_product(v.vec, c.cvec),
+                              c.cid) - 1 AS probe_rank
+          FROM v CROSS JOIN c
+        ),
+        home AS (
+          SELECT vec_id AS neighbor_id, cid FROM probes WHERE probe_rank = 0
+        ),
+        cand AS (
+          SELECT DISTINCT p.vec_id, h.neighbor_id
+          FROM probes p JOIN home h USING (cid)
+          WHERE p.probe_rank < {n_probe} AND p.vec_id != h.neighbor_id
+        )
+        SELECT cand.vec_id, cand.neighbor_id,
+               ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+        FROM cand
+        JOIN v a ON a.vec_id = cand.vec_id
+        JOIN v b ON b.vec_id = cand.neighbor_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY cand.vec_id
+            ORDER BY ROUND(list_cosine_similarity(a.vec, b.vec), 4) DESC,
+                     cand.neighbor_id ASC) = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_clusters": """
@@ -814,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.4
         """,
         "ann_lsh_top1": _ann_lsh_oracle_sql(),
+        "ann_ivf_top1": _ann_ivf_oracle_sql(),
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

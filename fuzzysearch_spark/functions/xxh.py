@@ -1,0 +1,73 @@
+"""Driver-replicable mirror of Spark's ``xxhash64`` for long/int inputs.
+
+Spark's ``F.xxhash64(cols...)`` folds XXH64 over the columns left-to-right,
+starting from seed 42, using the type-specialized single-value paths
+(``hashLong`` for LongType, ``hashInt`` for IntegerType). This module
+re-implements those two paths vectorized in numpy (xxHash is a public
+algorithm — github.com/Cyan4973/xxHash; the specialization matches Spark's
+``org.apache.spark.sql.catalyst.expressions.XxHash64``), so a driver-side
+process WITHOUT a SparkSession (e.g. the DuckDB oracle builder in
+``__spark_entry__``) can reproduce the engine's seeded pseudo-random draws
+bit-for-bit. Parity with the real ``F.xxhash64`` is pinned by
+tests/test_extras.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+SPARK_XXHASH64_DEFAULT_SEED = 42
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def xxh64_long(values: np.ndarray, seed) -> np.ndarray:
+    """XXH64 single-long path (Spark ``XXH64.hashLong``), vectorized.
+
+    ``values``: int64/uint64 array; ``seed``: scalar or same-shape array.
+    Returns uint64.
+    """
+    with np.errstate(over="ignore"):
+        v = np.asarray(values, dtype=np.int64).view(np.uint64)
+        s = np.asarray(seed, dtype=np.uint64)
+        h = s + _P5 + np.uint64(8)
+        k1 = _rotl(v * _P2, 31) * _P1
+        h = h ^ k1
+        h = _rotl(h, 27) * _P1 + _P4
+        return _fmix(h)
+
+
+def xxh64_int(value: int, seed) -> np.ndarray:
+    """XXH64 single-int path (Spark ``XXH64.hashInt``), vectorized over seed."""
+    with np.errstate(over="ignore"):
+        v = np.uint64(np.uint32(value))
+        s = np.asarray(seed, dtype=np.uint64)
+        h = s + _P5 + np.uint64(4)
+        h = h ^ (v * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        return _fmix(h)
+
+
+def spark_xxhash64_long_int(longs: np.ndarray, int_literal: int) -> np.ndarray:
+    """Mirror of ``F.xxhash64(long_col, F.lit(int_literal))`` as SIGNED
+    int64 (Spark's output type, so ordering comparisons match Spark's)."""
+    h = xxh64_long(longs, SPARK_XXHASH64_DEFAULT_SEED)
+    return xxh64_int(int_literal, h).view(np.int64)

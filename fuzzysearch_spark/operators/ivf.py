@@ -48,6 +48,21 @@ def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def _lloyd(sample: np.ndarray, k: int, n_iters: int) -> np.ndarray:
+    """Lloyd iterations on an ALREADY hash-ordered sample (shared by the
+    Spark trainer and the driver-side oracle replica — one code path, so
+    the two are bitwise identical by construction)."""
+    centroids = sample[:k].copy()  # smallest-hash rows (already sorted)
+    for _ in range(n_iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -65,7 +80,8 @@ def train_centroids(
     so identical on every run and every cluster size). Sample: smallest
     ``sample_cap`` hashes, same property. Empty clusters keep their
     previous centroid (standard Lloyd fallback), so the result is always
-    exactly n_centroids rows.
+    exactly n_centroids rows. ``train_centroids_local`` reproduces this
+    exactly without a SparkSession (the oracle path).
     """
     hashed = embeddings.select(
         F.col(vec_col).alias("vec"),
@@ -79,18 +95,34 @@ def train_centroids(
     )
     if len(sample) == 0:
         raise ValueError("cannot train IVF centroids on an empty table")
-    k = min(n_centroids, len(sample))
-    centroids = sample[:k].copy()  # smallest-hash rows (already sorted)
-    for _ in range(n_iters):
-        # one Lloyd step over the sample, driver-side numpy (the sample is
-        # bounded; refine_centroids holds the distributed full-table pass)
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids
+    return _lloyd(sample, min(n_centroids, len(sample)), n_iters)
+
+
+def train_centroids_local(
+    vec_ids: np.ndarray,
+    vectors: np.ndarray,
+    n_centroids: int = 16,
+    n_iters: int = 4,
+    seed: int = 7,
+    sample_cap: int = 100_000,
+) -> np.ndarray:
+    """Driver-side replica of ``train_centroids`` over in-memory arrays —
+    NO SparkSession. Bitwise identical: the init/sample hash is the numpy
+    mirror of Spark's ``xxhash64(vec_id, lit(seed))``
+    (``functions/xxh.py``), ordering is the same signed-long sort, and the
+    Lloyd loop is literally the same function. Used by the DuckDB oracle
+    in ``__spark_entry__`` to inline the trained centroid matrix into SQL;
+    parity with the Spark trainer is pinned by tests/test_extras.py.
+    """
+    from fuzzysearch_spark.functions.xxh import spark_xxhash64_long_int
+
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    if len(ids) == 0:
+        raise ValueError("cannot train IVF centroids on an empty table")
+    h = spark_xxhash64_long_int(ids, seed)
+    order = np.argsort(h, kind="stable")[:sample_cap]
+    sample = np.asarray(vectors, dtype=np.float64)[order]
+    return _lloyd(sample, min(n_centroids, len(sample)), n_iters)
 
 
 def refine_centroids(

@@ -82,6 +82,49 @@ def test_ivf_top1_recall_vs_bruteforce(spark, embeddings):
     assert got == again
 
 
+def test_spark_xxhash64_replica_parity(spark):
+    """The numpy mirror of F.xxhash64(long, lit(int)) must be bit-identical
+    to Spark's (it seeds the IVF oracle's driver-side quantizer replica)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.functions.xxh import spark_xxhash64_long_int
+
+    ids = [0, 1, -1, 7, 42, 123456789, -(2**40), 2**62, -(2**63), 2**63 - 1]
+    for lit in (0, 7, 1729, -3):
+        df = spark.createDataFrame([(int(i),) for i in ids], ["v"])
+        got = [
+            r["h"]
+            for r in df.select(
+                F.xxhash64(F.col("v"), F.lit(lit)).alias("h")
+            ).collect()
+        ]
+        want = spark_xxhash64_long_int(np.array(ids, dtype=np.int64), lit)
+        assert got == want.tolist(), lit
+
+
+def test_train_centroids_local_replica_parity(spark, embeddings):
+    """train_centroids_local (no SparkSession) must reproduce the Spark
+    trainer bitwise — the invariant the inlined-centroid IVF oracle rests
+    on."""
+    import numpy as np
+
+    from fuzzysearch_spark.operators.ivf import (
+        train_centroids,
+        train_centroids_local,
+    )
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    vecs = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    for k, iters, seed in ((10, 4, 7), (5, 2, 11)):
+        c_spark = train_centroids(embeddings, k, iters, seed)
+        c_local = train_centroids_local(ids, vecs, k, iters, seed)
+        assert np.array_equal(c_spark, c_local), (k, iters, seed)
+
+
 def test_ivf_distributed_refinement(spark, embeddings):
     """refine_centroids' per-partition partial-sum pass must equal a
     driver-side full-table Lloyd step exactly (same assignment, same

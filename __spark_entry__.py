@@ -8,9 +8,10 @@ cluster assignments.
 from SURVEY.md §2 plus the training-data extras; oracle SQL mirrors each
 Spark plan expression-for-expression (same rounding, same tie-breaks) so the
 DuckDB comparison is exact. Queries without an oracle entry are the
-genuinely non-SQL-expressible ones (MinHash-LSH, SimHash, winnowing
-containment, the full pipeline) — the driver records rows-only checks for
-those, and pytest pins them against ground truth instead.
+genuinely non-SQL-expressible ones (MinHash-LSH and SimHash candidate sets,
+winnowing containment, the media feature vectors) — the driver records
+rows-only checks for those, and each is pinned by an oracle-green emptiness
+audit and/or pytest ground truth instead.
 """
 
 from __future__ import annotations
@@ -366,7 +367,9 @@ def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_find_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed find_near_matches (D1): fixed needle over every document."""
+    """Distributed find_near_matches (D1): fixed needle over every document.
+    Oracle: pigeonhole-bounded window enumeration + DuckDB levenshtein with
+    the reference's consolidation tie-breaks (_find_near_matches_oracle_sql)."""
     from fuzzysearch_spark.operators.substring import find_near_matches_df
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
@@ -377,7 +380,7 @@ def q_find_near_matches_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked long-content search (D3+D5): content sliced into overlapping
     512-char chunk rows, searched, rebased, globally consolidated. Equality
     with the unchunked path is pytest-pinned (tests/test_chunked.py); the
-    driver records rows."""
+    oracle is the same window-enumeration SQL as q_find_near_matches."""
     from fuzzysearch_spark.operators.substring import find_near_matches_long_df
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
@@ -617,8 +620,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over a deterministic media table:
     real PPM/BMP/WAV/concatenated-PPM decode through mapInPandas, with
     unsupported (compressed) payloads surfaced via fmt/decoded columns.
-    No SQL oracle (numpy codecs aren't SQL-expressible); pytest pins the
-    per-format decode behavior (tests/test_codecs.py, test_extras.py)."""
+    Oracle (_media_oracle_sql): regenerates the same table driver-side and
+    recomputes fmt sniff / decode policy / sizes / sha / feature widths in
+    DuckDB+hashlib; the feature VALUES stay pytest-pinned per format
+    (tests/test_codecs.py, test_extras.py)."""
     from fuzzysearch_spark.multimodal import extract_media_features, synthetic_media
 
     media = synthetic_media(spark, n=90, seed=5)
@@ -632,8 +637,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sampled-frame video decode (concatenated-PPM random access):
     JVM-side magic filter + sequence/explode sampling, numpy frame decode
-    per Arrow batch. Rows-only check; pytest cross-checks frame features
-    against a driver-side decode."""
+    per Arrow batch. Oracle mirrors the sampling enumeration + feature
+    width in DuckDB; pytest cross-checks the frame feature VALUES against
+    a driver-side decode."""
     from fuzzysearch_spark.multimodal import frame_features, synthetic_media
 
     media = synthetic_media(spark, n=90, seed=5)
@@ -809,6 +815,189 @@ def _ann_ivf_oracle_sql() -> str:
     """
 
 
+def _find_near_matches_oracle_sql(needle: str, max_l_dist: int) -> str:
+    """Brute-force DuckDB mirror of q_find_near_matches (and its chunked
+    twin, whose equality with the unchunked path is pytest-pinned).
+
+    Candidate enumeration is the reference's own pigeonhole argument
+    (/root/reference/src/fuzzysearch/levenshtein_ngram.py:159-198): split
+    the needle into ``max_l_dist + 1`` contiguous parts; any window within
+    the budget contains one part EXACTLY, displaced by at most
+    ``max_l_dist`` — so candidate window starts are the exact part hits
+    +- the displacement, window lengths span len(needle) +- max_l_dist,
+    and DuckDB's ``levenshtein`` scores each window. Consolidation mirrors
+    the reference exactly (common.py:161-189): transitive interval-overlap
+    groups (gaps-and-islands over the running max end), best per group by
+    (dist, -length, start, end). The enumeration covers EVERY in-budget
+    window — a superset of the engine's seed-expanded match set — so the
+    two consolidations agree whenever each group's best is unique under
+    the reference tie-break; if a corpus ever hits the residual tie corner
+    (engine expansion keeps the shortest of two equal-dist ends), the
+    oracle goes red rather than silently passing.
+    """
+    k = max_l_dist
+    n = len(needle)
+    part_len = n // (k + 1)
+    lit = needle.replace("'", "''")
+    parts = []
+    for j in range(k + 1):
+        d = j * part_len
+        end = d + part_len if j < k else n  # last part absorbs the remainder
+        parts.append((d, needle[d:end].replace("'", "''")))
+    hit_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, CAST(i AS BIGINT) AS i, {d} AS d
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {len(p) - 2}, 1))) AS t(i)
+  WHERE substr(text, CAST(i AS INT), {len(p)}) = '{p}'"""
+        for d, p in parts
+    )
+    offs = ", ".join(str(o) for o in range(-k, k + 1))
+    lens = ", ".join(str(n + o) for o in range(-k, k + 1) if n + o > 0)
+    return f"""
+WITH hits AS (
+{hit_selects}
+),
+starts AS (
+  SELECT DISTINCT doc_id, CAST(i - d + off AS INT) AS s
+  FROM hits, unnest([{offs}]) AS o(off)
+  WHERE i - d + off >= 1
+),
+windows AS (
+  SELECT DISTINCT st.doc_id, st.s, CAST(L AS INT) AS L,
+         levenshtein(substr(dx.text, st.s, CAST(L AS INT)), '{lit}') AS dist
+  FROM starts st
+  JOIN documents dx ON dx.doc_id = st.doc_id
+  , unnest([{lens}]) AS lw(L)
+  WHERE st.s + L - 1 <= length(dx.text)
+),
+m AS (
+  SELECT doc_id, s - 1 AS start, s - 1 + L AS "end", dist
+  FROM windows WHERE dist <= {k}
+),
+flagged AS (
+  SELECT *, CASE WHEN start >= COALESCE(MAX("end") OVER (
+                PARTITION BY doc_id ORDER BY start, "end"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN 1 ELSE 0 END AS new_grp
+  FROM m
+),
+grp AS (
+  SELECT *, SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start, "end"
+            ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT doc_id, CAST(start AS INT) AS start, CAST("end" AS INT) AS "end",
+       CAST(dist AS INT) AS dist
+FROM grp
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, g
+    ORDER BY dist, "end" - start DESC, start, "end") = 1
+"""
+
+
+def _media_oracle_sql(kind: str) -> str:
+    """DuckDB mirrors of q_media_features / q_frame_features.
+
+    The synthetic media table is a pure function of (n, seed)
+    (``synthetic_media_rows``), so the oracle regenerates the same rows,
+    writes them to a stable parquet path, and recomputes every
+    SQL-expressible output column independently: sha256/octet_length over
+    the payload blob, the magic-byte format sniff (full mirror of
+    ``codecs.sniff_format``'s decision tree), the decode policy
+    (self-describing formats decode, compressed/unknown fall back — the
+    payloads are valid by construction, so a decoder regression flips
+    ``decoded`` and goes red), the per-kind feature WIDTH, and the
+    frame-sampling enumeration (every_nth sequence over n_frames for
+    P6-magic videos). The feature VECTOR VALUES are the one surface SQL
+    cannot reach; those stay pytest-pinned per format
+    (tests/test_codecs.py, tests/test_extras.py).
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzzysearch_spark.multimodal import synthetic_media_rows
+
+    n, seed = 90, 5
+    path = f"/tmp/fsw_media_oracle_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        rows = synthetic_media_rows(n, seed)
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "kind": pa.array([r[1] for r in rows], pa.string()),
+                    "width": pa.array([r[2] for r in rows], pa.int32()),
+                    "height": pa.array([r[3] for r in rows], pa.int32()),
+                    "n_frames": pa.array([r[4] for r in rows], pa.int32()),
+                    "payload": pa.array(
+                        [bytes(r[5]) for r in rows], pa.binary()
+                    ),
+                    # independent driver-side recomputation: the Spark UDF's
+                    # per-row sha must reproduce hashlib over the same bytes
+                    # (DuckDB 1.0 has no sha256 over BLOBs)
+                    "sha_expected": pa.array(
+                        [hashlib.sha256(bytes(r[5])).hexdigest() for r in rows],
+                        pa.string(),
+                    ),
+                }
+            ),
+            path,
+        )
+    # decision-tree mirror of codecs.sniff_format (prefix order preserved);
+    # DuckDB 1.0 cannot slice BLOBs, so prefixes compare on hex(payload)
+    magics = [
+        ("5036", "ppm"),           # P6
+        ("5035", "pgm"),           # P5
+        ("424D", "bmp"),           # BM
+        (None, "wav"),             # RIFF....WAVE (two-region check below)
+        ("89504E470D0A1A0A", "png"),
+        ("FFD8FF", "jpeg"),
+        ("47494638", "gif"),
+        ("494433", "mp3"),         # ID3
+        ("FFFB", "mp3"),
+        ("4F676753", "ogg"),       # OggS
+        ("664C6143", "flac"),      # fLaC
+        ("0000001866747970", "mp4"),
+        ("0000002066747970", "mp4"),
+    ]
+    branches = []
+    for hx, name in magics:
+        if hx is None:
+            branches.append(
+                "WHEN left(hx, 8) = '52494646'"
+                " AND substr(hx, 17, 8) = '57415645' THEN 'wav'"
+            )
+        else:
+            branches.append(f"WHEN left(hx, {len(hx)}) = '{hx}' THEN '{name}'")
+    sniff = "CASE " + "\n               ".join(branches) + " ELSE 'unknown' END"
+    if kind == "frames":
+        return f"""
+            SELECT media_id, CAST(f AS INT) AS frame_idx, 22 AS feat_dim
+            FROM read_parquet('{path}'),
+                 unnest(range(0, greatest(n_frames, 1), 2)) AS t(f)
+            WHERE kind = 'video' AND left(upper(hex(payload)), 4) = '5036'
+        """
+    return f"""
+        WITH raw AS (
+          SELECT *, upper(hex(payload)) AS hx FROM read_parquet('{path}')
+        ),
+        m AS (
+          SELECT media_id, kind, payload, sha_expected,
+                 {sniff} AS fmt
+          FROM raw
+        )
+        SELECT media_id, kind, fmt,
+               fmt IN ('ppm', 'pgm', 'bmp', 'wav') AS decoded,
+               CAST(octet_length(payload) AS INT) AS n_bytes,
+               CASE WHEN fmt IN ('ppm', 'pgm', 'bmp') THEN 22
+                    WHEN fmt = 'wav' THEN 14
+                    ELSE 16 END AS feat_dim,
+               sha_expected AS payload_sha
+        FROM m
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_clusters": """
@@ -872,6 +1061,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MIN(lbl) AS cluster_id
             FROM walk GROUP BY doc_id
         """,
+        "find_near_matches": _find_near_matches_oracle_sql(
+            "value table part", max_l_dist=1
+        ),
+        "find_near_matches_chunked": _find_near_matches_oracle_sql(
+            "value table part", max_l_dist=1
+        ),
         "find_exact_matches": """
             SELECT doc_id,
                    CAST(i - 1 AS INT) AS start,
@@ -1059,4 +1254,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
         """,
+        "media_features": _media_oracle_sql("media"),
+        "frame_features": _media_oracle_sql("frames"),
     }

@@ -163,10 +163,12 @@ def frame_features(media: DataFrame, every_nth: int = 10) -> DataFrame:
     return sampled.mapInPandas(_frames, schema=FRAME_FEATURE_SCHEMA)
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 5):
-    """Deterministic media table with REAL payloads for tests/benches:
+def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[tuple]:
+    """Deterministic media rows with REAL payloads (no SparkSession):
     PPM/BMP images, PCM WAV audio, concatenated-PPM video — plus every 7th
-    row a PNG-magic payload to exercise the unsupported-format policy."""
+    row a PNG-magic payload to exercise the unsupported-format policy.
+    Shared by ``synthetic_media`` and the DuckDB media oracle in
+    ``__spark_entry__`` (same rows on both sides by construction)."""
     from fuzzysearch_spark import codecs
 
     rng = np.random.default_rng(seed)
@@ -193,4 +195,9 @@ def synthetic_media(spark, n: int = 64, seed: int = 5):
             clip = rng.integers(0, 256, (frames, h, w, 3), dtype=np.uint8)
             payload = codecs.encode_video(clip)
         rows.append((i, kind, w, h, frames, bytearray(payload)))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5):
+    """``synthetic_media_rows`` as a Spark DataFrame (tests/benches)."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), schema=MEDIA_SCHEMA)

@@ -400,6 +400,130 @@ def q_find_exact_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_vs_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stream-vs-corpus dedup, correctness-gated.
+
+    Runs the REAL streaming operator (``streaming_candidates_vs_corpus``:
+    arriving docs band-join the static corpus signature table, SimHash
+    Hamming prefilter, watermark dedup) over a deterministic re-crawl —
+    every 10th corpus document re-arrives across two micro-batch files —
+    drains it through a memory sink, and returns the union of two
+    violation sets, both expected EMPTY:
+
+    * symmetric difference between the drained stream output and the
+      batch mirror of the same join (same signature UDF, same band keys,
+      same Hamming<=3 filter) — stream execution must equal batch
+      semantics exactly;
+    * re-arrived documents whose identical corpus twin (the self-pair,
+      Hamming 0 by construction) the stream missed — recall truth that
+      DuckDB can state independently of MinHash.
+
+    The oracle pins emptiness, so the streaming path gets a hash-checked
+    CORRECTNESS row (the reference has no streaming form; this is the
+    engine's own stream/batch-equivalence contract, also pytest-pinned in
+    tests/test_extras.py)."""
+    from fuzzysearch_spark.functions.signatures import (
+        SignatureConfig,
+        band_keys_col,
+        signature_struct_udf,
+    )
+    from fuzzysearch_spark.streaming.near_dup_stream import (
+        streaming_candidates_vs_corpus,
+    )
+
+    _force_utc(spark)
+    cfg = SignatureConfig()
+    docs = _docs(spark, sf_dir)
+    sig = signature_struct_udf(cfg)
+    corpus_sigs = docs.withColumn("sig", sig(F.col("text"))).select(
+        "doc_id",
+        band_keys_col(F.col("sig.minhash"), cfg).alias("bands"),
+        F.col("sig.simhash").alias("simhash"),
+    ).persist()
+
+    # deterministic re-crawl: every 10th doc, split into two micro-batches
+    arriving = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.to_timestamp(
+            F.when(F.col("doc_id") % 20 == 0, "2026-01-01 00:00:00").otherwise(
+                "2026-01-01 00:05:00"
+            )
+        ).alias("ts"),
+        F.col("text"),
+    ).persist()
+    src = _tmpdir("fsw_stream_src_")
+    arriving.where(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f0"))
+    arriving.where(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f1"))
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    out = streaming_candidates_vs_corpus(
+        stream, corpus_sigs, cfg, text_col="text", simhash_max_hamming=3
+    )
+    sink = "fsw_stream_vs_corpus_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = _materialized(
+            spark, spark.table(sink).select("corpus_id", "stream_id")
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(sink)
+
+    # batch mirror: identical signature/band/Hamming logic, batch execution
+    s = arriving.withColumn("sig", sig(F.col("text"))).select(
+        F.col("doc_id").alias("stream_id"),
+        F.col("sig.simhash").alias("stream_simhash"),
+        F.posexplode(band_keys_col(F.col("sig.minhash"), cfg)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    c = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("simhash").alias("corpus_simhash"),
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    )
+    batch = (
+        s.join(c, ["band_idx", "band_key"])
+        .where(
+            F.bit_count(
+                F.col("corpus_simhash").bitwiseXOR(F.col("stream_simhash"))
+            )
+            <= 3
+        )
+        .select("corpus_id", "stream_id")
+        .distinct()
+    )
+    # truth DuckDB can state independently: every re-arrival must surface
+    # its identical corpus twin (identical content => identical signature
+    # => all bands collide at Hamming 0)
+    self_pairs = arriving.select(
+        F.col("doc_id").alias("corpus_id"), F.col("doc_id").alias("stream_id")
+    )
+    viol = (
+        streamed.join(batch, ["corpus_id", "stream_id"], "left_anti")
+        .unionByName(batch.join(streamed, ["corpus_id", "stream_id"], "left_anti"))
+        .unionByName(self_pairs.join(streamed, ["corpus_id", "stream_id"], "left_anti"))
+    )
+    res = _materialized(spark, viol)
+    arriving.unpersist()
+    corpus_sigs.unpersist()
+    return res
+
+
 def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor per embedding vector."""
     from fuzzysearch_spark.operators.ann import cosine_topk_bruteforce
@@ -661,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "containment_recall_audit": q_containment_recall_audit,
         "pipeline_recall_audit": q_pipeline_recall_audit,
+        "stream_vs_corpus_audit": q_stream_vs_corpus_audit,
         "find_near_matches": q_find_near_matches,
         "find_near_matches_chunked": q_find_near_matches_chunked,
         "find_exact_matches": q_find_exact_matches,
@@ -1029,6 +1154,14 @@ def oracle_sql() -> dict[str, str]:
         # MinHash-LSH pipeline end-to-end
         "pipeline_recall_audit": """
             SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+            WHERE FALSE
+        """,
+        # emptiness pin: the streaming stream-vs-corpus join must equal its
+        # batch mirror AND surface every re-arrived document's identical
+        # corpus twin
+        "stream_vs_corpus_audit": """
+            SELECT CAST(NULL AS BIGINT) AS corpus_id,
+                   CAST(NULL AS BIGINT) AS stream_id
             WHERE FALSE
         """,
         "edit_distance_pairs": _JACCARD_CTE

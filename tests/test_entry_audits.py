@@ -62,6 +62,23 @@ def test_chained_queries_leave_no_cached_rdds(spark):
     assert after <= before, f"leaked persistent RDDs: {after - before}"
 
 
+def test_stream_vs_corpus_audit_empty_nonvacuous_and_leakfree(spark):
+    """The streaming stream-vs-corpus join equals its batch mirror and
+    surfaces every re-arrived doc's corpus twin (audit empty); the
+    re-crawl subset is non-empty (non-vacuous); the query releases its
+    persists (no-leak contract)."""
+    e = _entry()
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert e.q_stream_vs_corpus_audit(spark, SF_DIR).count() == 0
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked persistent RDDs: {after - before}"
+    docs = e._docs(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    assert docs.where(F.col("doc_id") % 10 == 0).count() > 0
+
+
 def test_containment_recall_audit_empty_and_nonvacuous(spark):
     from pyspark.sql import functions as F
 

@@ -203,14 +203,20 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 pairs via pigeonhole sub-band join (S2 analog)."""
+    """SimHash Hamming<=3 pairs via pigeonhole sub-band join (S2 analog).
+
+    Signatures persist so the UDF pass over content runs ONCE (the pair
+    operator consumes them twice: band derivation + the Hamming join);
+    materialize-then-unpersist keeps the no-leak contract."""
     from fuzzysearch_spark.functions.signatures import simhash_udf
     from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
 
-    docs = _docs(spark, sf_dir).select(
+    sigs = _docs(spark, sf_dir).select(
         "doc_id", simhash_udf()(F.col("text")).alias("simhash")
-    )
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    ).persist()
+    out = _materialized(spark, simhash_near_dup_pairs(sigs, max_hamming=3))
+    sigs.unpersist()
+    return out
 
 
 def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +238,7 @@ def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = _docs(spark, sf_dir).select(
         "doc_id", simhash_udf()(F.col("text")).alias("simhash")
-    )
+    ).persist()  # 5 consumers below — the UDF pass runs once
     a = sigs.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
     truth = (
@@ -247,11 +253,14 @@ def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = reports[0].where(F.col("action") == "excluded").select(
         F.col("bk").alias("a_id"), F.col("bucket_size").cast("long").alias("b_id")
     )
-    return (
+    out = _materialized(
+        spark,
         truth.join(cands, ["a_id", "b_id"], "left_anti")
         .unionByName(cands.join(truth, ["a_id", "b_id"], "left_anti"))
-        .unionByName(excluded)
+        .unionByName(excluded),
     )
+    sigs.unpersist()
+    return out
 
 
 def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

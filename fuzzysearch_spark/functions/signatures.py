@@ -207,6 +207,165 @@ def simhash64(data: bytes) -> int:
     return int(out.astype(np.int64))
 
 
+# Hybrid kernel split points, measured on local[1] synthetic sweeps (see
+# git history / BENCH notes): below the split, cross-doc batching amortizes
+# numpy per-call overhead (3.5x at 150 B, 2.4x at 300 B); above it, the
+# per-doc path wins because each doc's working set stays cache-resident
+# while the batched pass streams multi-MB index arrays through DRAM
+# (minhash crossover ~1.5 KB; simhash, whose per-doc path has many more
+# small numpy calls, crosses over near ~5 KB). Outputs are BIT-IDENTICAL
+# on both sides of the split (parity-pinned), so the split is purely a
+# performance dial.
+MINHASH_BATCH_SPLIT = 1536
+SIMHASH_BATCH_SPLIT = 4096
+
+_MAX64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _batch_minhash_small(datas: list, out: np.ndarray, idx: np.ndarray, seeds: np.ndarray, k: int) -> None:
+    """Cross-doc batched MinHash for the small-doc slice ``idx`` (every doc
+    len >= k): ONE concatenated buffer, ONE rolling-hash pass, ONE
+    scatter-min — the per-doc loop's numpy call overhead amortizes across
+    the whole Arrow batch. Boundary-crossing shingle positions are
+    neutralized by setting their hash to the max sentinel (they can only
+    lose the per-bin min, and a bin nobody wins is 'empty' either way), so
+    results equal the per-doc kernel bit-for-bit."""
+    m = len(seeds)
+    buf = b"".join(datas[i] for i in idx)
+    starts = np.concatenate(
+        ([0], np.cumsum(np.fromiter((len(datas[i]) for i in idx), dtype=np.int64, count=len(idx))))
+    )
+    arr = np.frombuffer(buf, np.uint8).astype(np.uint64)
+    n_pos = len(arr) - k + 1
+    acc = np.zeros(n_pos, np.uint64)
+    for j in range(k):
+        acc = acc * _ROLL_BASE + arr[j : n_pos + j]
+    h = _mix64(_mix64(acc) ^ seeds[0])
+    for j in range(1, k):  # kill shingles spanning a doc boundary
+        pts = starts[1:] - j
+        h[pts[pts < n_pos]] = _MAX64
+    doc_all = np.repeat(
+        np.arange(len(idx), dtype=np.int64), np.diff(starts)
+    )[:n_pos]
+    flat = doc_all * m + (h % np.uint64(m)).astype(np.int64)
+    sig = np.full(len(idx) * m, _MAX64, dtype=np.uint64)
+    np.minimum.at(sig, flat, h)
+    sig = sig.reshape(len(idx), m)
+    empty = sig == _MAX64
+    rows = np.flatnonzero(empty.any(axis=1))
+    if len(rows):
+        # row-vectorized rotation densification (same rule as the per-doc
+        # kernel: nearest filled bin at-or-left, circular via last filled)
+        pos = np.arange(m, dtype=np.int64)
+        fp = np.where(~empty[rows], pos, np.int64(-1))
+        src = np.maximum.accumulate(fp, axis=1)
+        src = np.where(src < 0, src[:, -1][:, None], src)
+        sig[rows] = np.take_along_axis(sig[rows], src, axis=1)
+    out[idx] = (sig >> np.uint64(1)).astype(np.int64)
+
+
+def batch_minhash_signatures(datas: list, seeds: np.ndarray, k: int) -> np.ndarray:
+    """MinHash signatures for a whole Arrow batch of byte strings —
+    bit-identical to ``minhash_signature(shingle_hashes(d, k), seeds)``
+    per doc (parity-pinned by tests), hybrid-scheduled by doc size (see
+    MINHASH_BATCH_SPLIT)."""
+    n = len(datas)
+    m = len(seeds)
+    out = np.empty((n, m), dtype=np.int64)
+    lens = np.fromiter(map(len, datas), dtype=np.int64, count=n)
+    empty_idx = np.flatnonzero(lens == 0)
+    if len(empty_idx):
+        out[empty_idx] = np.int64(np.uint64(_MERSENNE61))
+    # short docs (< k bytes) hash the whole content at reduced k — a
+    # different polynomial degree per doc, so they stay per-doc (rare)
+    for i in np.flatnonzero((lens > 0) & (lens < k)):
+        out[i] = minhash_signature(shingle_hashes(datas[i], k), seeds)
+    big = np.flatnonzero(lens >= MINHASH_BATCH_SPLIT)
+    for i in big:
+        out[i] = minhash_signature(shingle_hashes(datas[i], k), seeds)
+    small = np.flatnonzero((lens >= k) & (lens < MINHASH_BATCH_SPLIT))
+    if len(small):
+        _batch_minhash_small(datas, out, small, seeds, k)
+    return out
+
+
+def _batch_simhash_small(datas: list, out: np.ndarray, idx: np.ndarray) -> None:
+    """Cross-doc batched SimHash for the small-doc slice ``idx``: docs join
+    into one NUL-separated buffer (NUL is a token break, so tokens never
+    span docs), and tokenization / polynomial hashing / per-(doc, token)
+    dedup run once per batch. The per-doc (weights @ bits) mat-vec stays a
+    loop over contiguous slices — identical shapes and summation order to
+    the per-doc kernel, so outputs are bit-identical."""
+    buf = b"\x00".join(datas[i] for i in idx)
+    arr = np.frombuffer(buf, np.uint8)
+    n_bytes = len(arr)
+    lens = np.fromiter((len(datas[i]) for i in idx), dtype=np.int64, count=len(idx))
+    doc_starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    is_word = (
+        ((arr >= 48) & (arr <= 57))
+        | ((arr >= 65) & (arr <= 90))
+        | ((arr >= 97) & (arr <= 122))
+        | (arr == 95)
+        | (arr >= 128)
+    )
+    if not is_word.any():
+        out[idx] = 0
+        return
+    padded = np.concatenate(([False], is_word, [False]))
+    tstarts = np.flatnonzero(~padded[:-1] & padded[1:])
+    tends = np.flatnonzero(padded[:-1] & ~padded[1:])
+    powers = np.empty(n_bytes, dtype=np.uint64)
+    inv_powers = np.empty(n_bytes, dtype=np.uint64)
+    powers[0] = 1
+    inv_powers[0] = 1
+    if n_bytes > 1:
+        np.cumprod(np.full(n_bytes - 1, _ROLL_BASE, dtype=np.uint64), out=powers[1:])
+        np.cumprod(np.full(n_bytes - 1, _ROLL_BASE_INV, dtype=np.uint64), out=inv_powers[1:])
+    weighted = np.concatenate([arr.astype(np.uint64) * powers, [np.uint64(0)]])
+    bounds = np.empty(2 * len(tstarts), dtype=np.intp)
+    bounds[0::2] = tstarts
+    bounds[1::2] = tends
+    seg = np.add.reduceat(weighted, bounds)[0::2]
+    tlens = (tends - tstarts).astype(np.uint64)
+    hashes = _mix64(seg * inv_powers[tstarts] + tlens * _LEN_SALT)
+    tdoc = np.searchsorted(doc_starts, tstarts, side="right") - 1
+    # per-(doc, hash) unique + counts in one lexsort — within each doc the
+    # unique hashes come out ascending, exactly np.unique's order
+    order = np.lexsort((hashes, tdoc))
+    td, hs = tdoc[order], hashes[order]
+    new = np.concatenate(([True], (td[1:] != td[:-1]) | (hs[1:] != hs[:-1])))
+    gidx = np.flatnonzero(new)
+    uh, ud = hs[gidx], td[gidx]
+    weights = np.diff(np.concatenate((gidx, [len(hs)]))).astype(np.float64)
+    bits = np.unpackbits(
+        uh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    dstarts = np.flatnonzero(np.concatenate(([True], ud[1:] != ud[:-1])))
+    dends = np.concatenate((dstarts[1:], [len(ud)]))
+    shifts = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out[idx] = 0  # docs with zero tokens keep simhash 0
+    for s, e in zip(dstarts, dends):
+        w = weights[s:e]
+        tally = 2.0 * (w @ bits[s:e]) - w.sum()
+        sim = shifts[tally > 0].sum(dtype=np.uint64)
+        out[idx[ud[s]]] = np.int64(sim)
+
+
+def batch_simhash64(datas: list) -> np.ndarray:
+    """SimHash64 for a whole Arrow batch — bit-identical to ``simhash64``
+    per doc (parity-pinned), hybrid-scheduled by SIMHASH_BATCH_SPLIT."""
+    n = len(datas)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(map(len, datas), dtype=np.int64, count=n)
+    big = np.flatnonzero(lens >= SIMHASH_BATCH_SPLIT)
+    for i in big:
+        out[i] = simhash64(datas[i])
+    small = np.flatnonzero((lens > 0) & (lens < SIMHASH_BATCH_SPLIT))
+    if len(small):
+        _batch_simhash_small(datas, out, small)
+    return out
+
+
 def minhash_udf(cfg: SignatureConfig):
     """pandas UDF: content:str -> array<long> MinHash signature."""
     from pyspark.sql.functions import pandas_udf
@@ -217,16 +376,11 @@ def minhash_udf(cfg: SignatureConfig):
     @pandas_udf("array<long>")
     def _minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
-            out = [
-                minhash_signature(
-                    shingle_hashes(
-                        (s or "").encode("utf-8", "surrogatepass"), k
-                    ),
-                    seeds,
-                )
-                for s in series
+            datas = [
+                (s or "").encode("utf-8", "surrogatepass") for s in series
             ]
-            yield pd.Series(out)
+            sigs = batch_minhash_signatures(datas, seeds, k)
+            yield pd.Series(list(sigs))
 
     return _minhash
 
@@ -247,12 +401,14 @@ def signature_struct_udf(cfg: SignatureConfig):
     @pandas_udf("struct<minhash:array<long>, simhash:long>")
     def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
-            mh, sh = [], []
-            for s in series:
-                data = (s or "").encode("utf-8", "surrogatepass")
-                mh.append(minhash_signature(shingle_hashes(data, k), seeds))
-                sh.append(simhash64(data))
-            yield pd.DataFrame({"minhash": mh, "simhash": pd.Series(sh, dtype="int64")})
+            datas = [
+                (s or "").encode("utf-8", "surrogatepass") for s in series
+            ]
+            mh = batch_minhash_signatures(datas, seeds, k)
+            sh = batch_simhash64(datas)
+            yield pd.DataFrame(
+                {"minhash": list(mh), "simhash": pd.Series(sh, dtype="int64")}
+            )
 
     return _sig
 
@@ -265,10 +421,9 @@ def simhash_udf():
     def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
             yield pd.Series(
-                [
-                    simhash64((s or "").encode("utf-8", "surrogatepass"))
-                    for s in series
-                ],
+                batch_simhash64(
+                    [(s or "").encode("utf-8", "surrogatepass") for s in series]
+                ),
                 dtype="int64",
             )
 

@@ -174,8 +174,21 @@ def lsh_candidate_pairs(
 
     # Oversized slice: exact sizes, so the salted/excluded split is never a
     # sampling estimate. Usually empty; tiny otherwise (<= salt_cap ids per
-    # row). A filter over the (possibly cached) agg output.
-    oversized = grouped.where(F.size("ids") > max_bucket).withColumn(
+    # row). A filter over the (possibly cached) agg output. Under caller-
+    # owned scratch the agg is CACHED, so this branch is a cache scan —
+    # coalesce it hard: the common case is an EMPTY tier, where a full-width
+    # scan is pure task-dispatch latency (event logs: 64 near-empty tasks,
+    # ~2 s of wall at 16 cores, ~30 ms/task on a cluster manager), and a
+    # non-empty tier only does light list slicing here (the quadratic
+    # expansion happens after the block exchange at full parallelism).
+    # WITHOUT scratch the branch re-runs the agg merge from the reused
+    # exchange — full width is correct there, narrowing it would serialize
+    # a real aggregation.
+    n_block_parts = docs_with_bands.sparkSession.sparkContext.defaultParallelism
+    oversized_src = grouped.where(F.size("ids") > max_bucket)
+    if scratch is not None:
+        oversized_src = oversized_src.coalesce(max(2, n_block_parts // 8))
+    oversized = oversized_src.withColumn(
         "bucket_size", F.size("ids")
     ).withColumn(
         "action",
@@ -222,7 +235,6 @@ def lsh_candidate_pairs(
     # stage is pure task-dispatch latency — measured ~30 ms/task on a
     # multi-executor cluster manager, so the empty-tier floor scales with
     # the partition count.
-    n_block_parts = docs_with_bands.sparkSession.sparkContext.defaultParallelism
     spread = blocks.repartition(n_block_parts, F.xxhash64("l", "r"))
     pairs_salted = (
         spread.select(

@@ -126,3 +126,53 @@ def test_simhash_locality():
     assert simhash64(base) == simhash64(base)
     assert simhash64(b"") == 0
     assert simhash64(b"!@# $%^") == 0
+
+
+def test_batched_kernels_bit_identical_to_per_doc():
+    """The hybrid cross-doc batched kernels must equal the per-doc kernels
+    BIT-FOR-BIT on every size regime: empty, shorter-than-k, around the
+    shingle length, around both hybrid split points, far above them, and
+    multi-byte UTF-8 — the splits are performance dials, never semantics."""
+    import numpy as np
+
+    from fuzzysearch_spark.functions.signatures import (
+        MINHASH_BATCH_SPLIT,
+        SIMHASH_BATCH_SPLIT,
+        SignatureConfig,
+        batch_minhash_signatures,
+        batch_simhash64,
+        minhash_signature,
+        shingle_hashes,
+        simhash64,
+    )
+
+    cfg = SignatureConfig()
+    seeds = cfg.hash_seeds()
+    k = cfg.shingle_k
+    rng = np.random.default_rng(7)
+
+    def doc(nbytes: int) -> bytes:
+        words = []
+        total = 0
+        while total < nbytes:
+            w = bytes(rng.integers(97, 123, size=int(rng.integers(1, 12))).astype(np.uint8))
+            words.append(w)
+            total += len(w) + 1
+        return b" ".join(words)[:nbytes]
+
+    datas = [b"", b"a", b"ab", doc(k - 1), doc(k), doc(k + 1)]
+    for split in (MINHASH_BATCH_SPLIT, SIMHASH_BATCH_SPLIT):
+        datas += [doc(split - 1), doc(split), doc(split + 1)]
+    datas += [doc(3 * SIMHASH_BATCH_SPLIT), "straße ünïcode →🎉".encode("utf-8"),
+              b"   \t\n  ", doc(300), doc(700)]
+    rng.shuffle(datas)
+
+    ref_mh = np.array(
+        [minhash_signature(shingle_hashes(d, k), seeds) for d in datas]
+    )
+    got_mh = batch_minhash_signatures(datas, seeds, k)
+    assert np.array_equal(ref_mh, got_mh)
+
+    ref_sh = np.array([simhash64(d) for d in datas], dtype=np.int64)
+    got_sh = batch_simhash64(datas)
+    assert np.array_equal(ref_sh, got_sh)

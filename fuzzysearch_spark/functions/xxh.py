@@ -58,7 +58,7 @@ def xxh64_long(values: np.ndarray, seed) -> np.ndarray:
 def xxh64_int(value: int, seed) -> np.ndarray:
     """XXH64 single-int path (Spark ``XXH64.hashInt``), vectorized over seed."""
     with np.errstate(over="ignore"):
-        v = np.uint64(np.uint32(value))
+        v = np.uint64(int(value) & 0xFFFFFFFF)
         s = np.asarray(seed, dtype=np.uint64)
         h = s + _P5 + np.uint64(4)
         h = h ^ (v * _P1)

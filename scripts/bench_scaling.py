@@ -98,14 +98,17 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
     # the env var reaches them since they fork from this process
     os.environ["SPARK_LOCAL_DIRS"] = shm
     mode_exec = os.environ.get("SCALING_MODE", "executors") == "executors"
+    exec_cores = int(os.environ.get("SCALING_EXEC_CORES", "4"))
     if mode_exec:
         # real separate executor JVMs (the faithful N-vs-4N-executor proxy:
         # per-executor GC, shuffle clients, and Python worker pools, exactly
         # as on a cluster — single-JVM local[k] concentrates all of that
-        # contention in one process). cpus = total cores, 4 per executor.
-        n_exec = max(1, cpus // 4)
+        # contention in one process). cpus = total cores, SCALING_EXEC_CORES
+        # (default 4) per executor — so 2,8 with SCALING_EXEC_CORES=2 is the
+        # 1-executor-vs-4-executor pair made of 2-core executors.
+        n_exec = max(1, cpus // exec_cores)
         exec_mem = int(os.environ.get("SCALING_EXECUTOR_MB", "16384"))
-        master = f"local-cluster[{n_exec},4,{exec_mem}]"
+        master = f"local-cluster[{n_exec},{exec_cores},{exec_mem}]"
     else:
         master = f"local[{cpus}]"
     builder = (
@@ -170,7 +173,10 @@ def child(cpus: int, input_path: str, workdir: str) -> None:
             # each executor JVM sizes GC/JIT/netty pools by ITS 4 cores, as
             # it would on a real node — not by the host's 32 (4 co-located
             # JVMs each spawning host-sized GC thread pools contend)
-            .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4")
+            .config(
+                "spark.executor.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={exec_cores}",
+            )
         )
     extra = os.environ.get("SCALING_EXTRA_CONF", "")
     if extra:  # "k=v;k=v" experiment overrides
@@ -391,8 +397,10 @@ def main() -> None:
     assert len(outs) == 1, f"output diverged across parallelism/repeats: {outs}"
 
     mode_exec = os.environ.get("SCALING_MODE", "executors") == "executors"
+    exec_cores = int(os.environ.get("SCALING_EXEC_CORES", "4"))
     metric = (
-        f"scaling_efficiency_{max(1, lo // 4)}_to_{max(1, hi // 4)}_executors"
+        f"scaling_efficiency_{max(1, lo // exec_cores)}_to_"
+        f"{max(1, hi // exec_cores)}_executors"
         if mode_exec
         else f"scaling_efficiency_{lo}_to_{hi}_cores"
     )
@@ -406,11 +414,12 @@ def main() -> None:
         ),
         "method": (
             "same job + same input, fresh JVM tree per run, "
-            f"local-cluster[{max(1, lo // 4)},4] vs local-cluster[{max(1, hi // 4)},4] "
+            f"local-cluster[{max(1, lo // exec_cores)},{exec_cores}] vs "
+            f"local-cluster[{max(1, hi // exec_cores)},{exec_cores}] "
             f"({lo} vs {hi} cores), checkpoint_mode="
             + os.environ.get("SCALING_CHECKPOINT_MODE", "memory")
             + ", zstd io codec, 2048-row Arrow batches, "
-            "-XX:ActiveProcessorCount=4 per executor"
+            f"-XX:ActiveProcessorCount={exec_cores} per executor"
             if mode_exec
             else f"same job + same input, fresh JVM per run, local[{lo}] vs local[{hi}]"
         ),

@@ -44,9 +44,10 @@ def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
     os.makedirs(eventdir, exist_ok=True)
     os.environ["SPARK_LOCAL_DIRS"] = shm
 
+    exec_cores = int(os.environ.get("SCALING_EXEC_CORES", "4"))
     if master == "executors":
-        n_exec = max(1, cpus // 4)
-        master_url = f"local-cluster[{n_exec},4,{exec_mem_mb}]"
+        n_exec = max(1, cpus // exec_cores)
+        master_url = f"local-cluster[{n_exec},{exec_cores},{exec_mem_mb}]"
     else:
         master_url = f"local[{cpus}]"
 
@@ -88,7 +89,7 @@ def run_pipeline(cpus: int, input_path: str, mode: str, master: str,
             # thread pools thrash the box (measured: 161 s GC in one stage)
             .config(
                 "spark.executor.extraJavaOptions",
-                "-XX:ActiveProcessorCount=4",
+                f"-XX:ActiveProcessorCount={exec_cores}",
             )
         )
     spark = builder.getOrCreate()

@@ -29,7 +29,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LEVELS = (4, 16)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("PROBE_LEVELS", "4,16").split(",")
+)
 
 
 def _mk_pairs(n: int, seed: int):

@@ -34,7 +34,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LEVELS = (4, 16)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("PROBE_LEVELS", "4,16").split(",")
+)
 
 
 # --- kernel probe (multiprocessing, no Spark) --------------------------------

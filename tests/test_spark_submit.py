@@ -1,0 +1,100 @@
+"""End-to-end test of the literal ``spark-submit --py-files`` path.
+
+The north rule requires the job to run "via spark-submit --py-files on
+multi-executor clusters". The campaigns exercise the programmatic
+equivalent (``addPyFile`` onto ``local-cluster`` masters); this test runs
+the REAL thing: the engine zipped, the entry script copied OUTSIDE the
+repo so the driver cannot import the package from an adjacent directory,
+and ``spark-submit --master local-cluster[2,2,1024] --py-files <zip>``
+executing the full pipeline — then checks row count, planted dup-pair
+recall >= 0.99, and sha256 lineage.
+
+Gated behind FSW_RUN_SUBMIT_SMOKE=1 because it costs ~60 s of subprocess
+wall (zip + 2-executor cluster startup + 2k-file pipeline); the executed
+evidence for the shipped engine is recorded in BENCH/BASELINE.md
+("spark-submit path" note: 20k files, recall 0.9948, sha clean).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from collections import defaultdict
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("FSW_RUN_SUBMIT_SMOKE") != "1",
+    reason="spark-submit subprocess smoke (~60s); set FSW_RUN_SUBMIT_SMOKE=1",
+)
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    sys.path.insert(0, REPO)
+    from fuzzysearch_spark import corpus as C
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    planted = C.generate(n_files=2000, seed=7)
+    inp = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.Table.from_pylist(planted.rows), inp, compression="zstd")
+
+    zip_path = str(tmp_path / "fuzzysearch_spark.zip")
+    shutil.make_archive(zip_path[:-4], "zip", root_dir=REPO, base_dir="fuzzysearch_spark")
+    script = str(tmp_path / "run_dedup.py")  # outside the repo: no adjacent package
+    shutil.copy(os.path.join(REPO, "scripts", "run_dedup.py"), script)
+
+    out_dir = str(tmp_path / "clusters.parquet")
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local-cluster[2,2,1024]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.io.compression.codec=zstd",
+            script,
+            "--input", inp,
+            "--workdir", str(tmp_path / "wd"),
+            "--output", out_dir,
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 2000
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT repo, path, cluster_id, sha256 FROM '{out_dir}/*.parquet'"
+    ).fetchall()
+    assert len(rows) == 2000
+    cl = {(r, p): c for r, p, c, _ in rows}
+    sha = {(r, p): s for r, p, _, s in rows}
+
+    tc = defaultdict(list)
+    for t in planted.truth_clusters():
+        tc[t["cluster_id"]].append(t["doc_id"])
+    truth_pairs = [
+        (a, b)
+        for ids in tc.values()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+    ]
+    key = [(row["repo"], row["path"]) for row in planted.rows]
+    hit = sum(1 for a, b in truth_pairs if cl[key[a]] == cl[key[b]])
+    assert hit / len(truth_pairs) >= 0.99
+
+    for i in range(0, 2000, 97):
+        want = hashlib.sha256(planted.rows[i]["content"].encode()).hexdigest()
+        assert sha[key[i]] == want

@@ -172,7 +172,8 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (no SQL oracle: pytest pins recall)."""
+    """MinHash-LSH candidate pairs; oracle inlines per-doc band keys
+    (see _minhash_lsh_oracle_sql) and pytest pins recall."""
     from fuzzysearch_spark.functions.signatures import SignatureConfig
     from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
 
@@ -335,6 +336,17 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     cands = containment_candidates(docs, min_shared=6)
     return containment_pairs(docs, cands, min_block_chars=120)
+
+
+def q_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs (pre-verify): documents sharing >= 6 rare
+    fingerprints. Oracle inlines per-doc fingerprints
+    (_containment_candidates_oracle_sql); the downstream block verify stays
+    rows-only (Python kernel) + emptiness-audit-pinned."""
+    from fuzzysearch_spark.operators.substring import containment_candidates
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return containment_candidates(docs, min_shared=6)
 
 
 def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "simhash_equivalence_audit": q_simhash_equivalence_audit,
         "containment_pairs": q_containment_pairs,
+        "containment_candidates": q_containment_candidates,
         "containment_recall_audit": q_containment_recall_audit,
         "pipeline_recall_audit": q_pipeline_recall_audit,
         "stream_vs_corpus_audit": q_stream_vs_corpus_audit,
@@ -946,6 +959,161 @@ def _ann_ivf_oracle_sql() -> str:
             PARTITION BY cand.vec_id
             ORDER BY ROUND(list_cosine_similarity(a.vec, b.vec), 4) DESC,
                      cand.neighbor_id ASC) = 1
+    """
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    """DuckDB mirror of q_minhash_lsh_candidates with per-document BAND
+    KEYS inlined as literals.
+
+    Signatures are a pure function of (content, SignatureConfig): the
+    builder recomputes them with the engine's parity-pinned numpy kernel
+    (``batch_minhash_signatures``) and derives each band key with the
+    driver-replicable xxhash64 mirror (``functions/xxh.py``) folded
+    exactly as Spark's ``F.xxhash64(F.slice(minhash, 1 + band*r, r))``
+    folds array elements — seed 42, hashLong per element with the running
+    hash as the next seed (fold parity pinned by
+    tests/test_extras.py::test_spark_xxhash64_array_fold_parity). The SQL
+    then does the query's RELATIONAL work independently: self-join on
+    (band_idx, band_key), strict inequality, DISTINCT (a_id < b_id) — the
+    same inlined-parameter pattern as ``_ann_ivf_oracle_sql``. At sf0.01
+    every bucket sits far below max_bucket, so the engine's skew tiers
+    are provably inactive and the normal tier IS the semantics. One
+    intentional divergence: the engine buckets on the 8-byte merged key
+    ``xxhash64(band_idx, band_key)`` (documented <1e-7 merge-risk bound);
+    a freak merge makes this oracle go red, never false-pass.
+    """
+    import duckdb
+    import numpy as np
+
+    from fuzzysearch_spark.functions.signatures import (
+        SignatureConfig,
+        batch_minhash_signatures,
+    )
+    from fuzzysearch_spark.functions.xxh import (
+        SPARK_XXHASH64_DEFAULT_SEED,
+        xxh64_long,
+    )
+
+    cfg = SignatureConfig()
+    rel = duckdb.sql(
+        "SELECT doc_id, text "
+        f"FROM '{ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rel], dtype=np.int64)
+    datas = [(r[1] or "").encode("utf-8", "surrogatepass") for r in rel]
+    sig = batch_minhash_signatures(datas, cfg.hash_seeds(), cfg.shingle_k)
+    r = cfg.rows_per_band
+    lanes = sig.reshape(len(ids) * cfg.bands, r)
+    h = np.full(len(lanes), SPARK_XXHASH64_DEFAULT_SEED, dtype=np.uint64)
+    for j in range(r):
+        h = xxh64_long(lanes[:, j], h)
+    band_key = h.view(np.int64)
+    doc = np.repeat(ids, cfg.bands)
+    band_idx = np.tile(np.arange(cfg.bands), len(ids))
+    values = ",\n              ".join(
+        f"({int(doc[i])}, {int(band_idx[i])}, {int(band_key[i])})"
+        for i in range(len(doc))
+    )
+    return f"""
+        WITH b(doc_id, band_idx, band_key) AS (
+          SELECT * FROM (VALUES
+              {values}
+          )
+        )
+        SELECT DISTINCT
+               x.doc_id AS a_id,
+               y.doc_id AS b_id
+        FROM b x JOIN b y USING (band_idx, band_key)
+        WHERE x.doc_id < y.doc_id
+    """
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """DuckDB mirror of q_simhash_near_dup_pairs with per-document SIMHASH
+    values inlined as literals.
+
+    ``batch_simhash64`` (the engine's own parity-pinned numpy kernel,
+    identical encoding path to the UDF) supplies the 64-bit signatures;
+    the SQL brute-forces the Hamming ball independently of the engine's
+    banded join — whose equality with brute force is itself oracle-pinned
+    by q_simhash_equivalence_audit — so this row hash-checks the pair
+    OUTPUT (ids + hamming distances), not just emptiness. DuckDB's
+    ``bit_count``/``xor`` operate on two's-complement BIGINTs exactly like
+    Spark's, and hamming casts to INTEGER to match Spark's bit_count type.
+    """
+    import duckdb
+
+    from fuzzysearch_spark.functions.signatures import batch_simhash64
+
+    rel = duckdb.sql(
+        "SELECT doc_id, text "
+        f"FROM '{ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    datas = [(r[1] or "").encode("utf-8", "surrogatepass") for r in rel]
+    sh = batch_simhash64(datas)
+    values = ",\n              ".join(
+        f"({int(r[0])}, {int(s)})" for r, s in zip(rel, sh)
+    )
+    return f"""
+        WITH s(doc_id, sh) AS (
+          SELECT * FROM (VALUES
+              {values}
+          )
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
+def _containment_candidates_oracle_sql() -> str:
+    """DuckDB mirror of q_containment_candidates with per-document
+    WINNOWING FINGERPRINTS inlined as literals.
+
+    ``winnow_fingerprints`` (the engine's pure numpy kernel, same
+    encoding and ``>> 1`` int64 narrowing as the UDF) supplies each
+    document's distinct fingerprint set; the SQL independently does the
+    query's relational work — document-frequency filter
+    (> max_fingerprint_df dropped), rare-fingerprint self-join,
+    shared-count >= min_shared — mirroring ``containment_candidates``
+    (operators/substring.py) clause for clause.
+    """
+    import duckdb
+    import numpy as np
+
+    from fuzzysearch_spark.operators.substring import winnow_fingerprints
+
+    rel = duckdb.sql(
+        "SELECT doc_id, text "
+        f"FROM '{ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for doc_id, text in rel:
+        fps = (
+            winnow_fingerprints(
+                (text or "").encode("utf-8", "surrogatepass"), 16, 8
+            )
+            >> np.uint64(1)
+        ).astype(np.int64)
+        rows.extend(f"({int(doc_id)}, {int(fp)})" for fp in fps)
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH fp(doc_id, fp) AS (
+          SELECT * FROM (VALUES
+              {values}
+          )
+        ),
+        rare AS (
+          SELECT doc_id, fp FROM fp
+          QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 200
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 6
     """
 
 
@@ -1141,6 +1309,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_CTE
         + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.7",
+        # inlined-parameter oracles (the _ann_ivf_oracle_sql pattern):
+        # per-doc band keys / simhash values as literals, the relational
+        # work (joins, Hamming filter, dedup) done independently in SQL
+        "minhash_lsh_candidates": _minhash_lsh_oracle_sql(),
+        "simhash_near_dup_pairs": _simhash_pairs_oracle_sql(),
+        "containment_candidates": _containment_candidates_oracle_sql(),
         # emptiness pin: every ground-truth pair must appear among the LSH
         # candidates (the Spark side computes truth EXCEPT candidates)
         "lsh_recall_audit": """

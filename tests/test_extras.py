@@ -103,6 +103,32 @@ def test_spark_xxhash64_replica_parity(spark):
         assert got == want.tolist(), lit
 
 
+def test_spark_xxhash64_array_fold_parity(spark):
+    """The element-fold numpy mirror of F.xxhash64(array<long>) must be
+    bit-identical to Spark's — the invariant the inlined-band-key LSH
+    oracle rests on (band key = xxhash64 over a signature slice)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.functions.xxh import (
+        SPARK_XXHASH64_DEFAULT_SEED,
+        xxh64_long,
+    )
+
+    rng = np.random.default_rng(99)
+    arrays = rng.integers(-(2**62), 2**62, size=(40, 16), dtype=np.int64)
+    arrays[0, :] = 0
+    arrays[1, :] = -1
+    df = spark.createDataFrame(
+        [([int(x) for x in row],) for row in arrays], ["arr"]
+    )
+    got = [r["h"] for r in df.select(F.xxhash64("arr").alias("h")).collect()]
+    h = np.full(len(arrays), SPARK_XXHASH64_DEFAULT_SEED, dtype=np.uint64)
+    for j in range(arrays.shape[1]):
+        h = xxh64_long(arrays[:, j], h)
+    assert got == h.view(np.int64).tolist()
+
+
 def test_train_centroids_local_replica_parity(spark, embeddings):
     """train_centroids_local (no SparkSession) must reproduce the Spark
     trainer bitwise — the invariant the inlined-centroid IVF oracle rests

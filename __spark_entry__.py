@@ -327,7 +327,10 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-seeded block containment (substring dedup stage)."""
+    """Winnowing-seeded block containment (substring dedup stage).
+    Oracle rebuilds candidates from inlined fingerprints and redoes the
+    block verify relationally over a positional-gram fixture parquet
+    (_containment_pairs_oracle_sql)."""
     from fuzzysearch_spark.operators.substring import (
         containment_candidates,
         containment_pairs,
@@ -341,8 +344,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing candidate pairs (pre-verify): documents sharing >= 6 rare
     fingerprints. Oracle inlines per-doc fingerprints
-    (_containment_candidates_oracle_sql); the downstream block verify stays
-    rows-only (Python kernel) + emptiness-audit-pinned."""
+    (_containment_candidates_oracle_sql); the downstream block verify has
+    its own gram-fixture oracle (_containment_pairs_oracle_sql)."""
     from fuzzysearch_spark.operators.substring import containment_candidates
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
@@ -1068,39 +1071,44 @@ def _simhash_pairs_oracle_sql() -> str:
     """
 
 
-def _containment_candidates_oracle_sql() -> str:
-    """DuckDB mirror of q_containment_candidates with per-document
-    WINNOWING FINGERPRINTS inlined as literals.
-
-    ``winnow_fingerprints`` (the engine's pure numpy kernel, same
-    encoding and ``>> 1`` int64 narrowing as the UDF) supplies each
-    document's distinct fingerprint set; the SQL independently does the
-    query's relational work — document-frequency filter
-    (> max_fingerprint_df dropped), rare-fingerprint self-join,
-    shared-count >= min_shared — mirroring ``containment_candidates``
-    (operators/substring.py) clause for clause.
-    """
+def _oracle_docs() -> list[tuple[int, bytes]]:
+    """(doc_id, utf-8 bytes) for every ORACLE_SF_DIR document — the shared
+    input of the inlined-parameter dedup oracles (same encoding as the
+    engine's Arrow kernels)."""
     import duckdb
-    import numpy as np
-
-    from fuzzysearch_spark.operators.substring import winnow_fingerprints
 
     rel = duckdb.sql(
         "SELECT doc_id, text "
         f"FROM '{ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
+    return [
+        (int(r[0]), (r[1] or "").encode("utf-8", "surrogatepass")) for r in rel
+    ]
+
+
+def _winnow_rare_fp_cte() -> str:
+    """CTE fragment ``fp(doc_id, fp) AS (...), rare AS (...)`` with
+    per-document WINNOWING FINGERPRINTS inlined as literals.
+
+    ``winnow_fingerprints`` (the engine's pure numpy kernel, same
+    encoding and ``>> 1`` int64 narrowing as the UDF) supplies each
+    document's distinct fingerprint set; ``rare`` applies the
+    document-frequency filter (> max_fingerprint_df dropped) in SQL,
+    mirroring ``containment_candidates`` (operators/substring.py).
+    Shared by the candidates oracle and the containment_pairs oracle.
+    """
+    import numpy as np
+
+    from fuzzysearch_spark.operators.substring import winnow_fingerprints
+
     rows = []
-    for doc_id, text in rel:
-        fps = (
-            winnow_fingerprints(
-                (text or "").encode("utf-8", "surrogatepass"), 16, 8
-            )
-            >> np.uint64(1)
-        ).astype(np.int64)
-        rows.extend(f"({int(doc_id)}, {int(fp)})" for fp in fps)
+    for doc_id, data in _oracle_docs():
+        fps = (winnow_fingerprints(data, 16, 8) >> np.uint64(1)).astype(
+            np.int64
+        )
+        rows.extend(f"({doc_id}, {int(fp)})" for fp in fps)
     values = ",\n              ".join(rows)
-    return f"""
-        WITH fp(doc_id, fp) AS (
+    return f"""fp(doc_id, fp) AS (
           SELECT * FROM (VALUES
               {values}
           )
@@ -1108,12 +1116,129 @@ def _containment_candidates_oracle_sql() -> str:
         rare AS (
           SELECT doc_id, fp FROM fp
           QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 200
-        )
+        )"""
+
+
+def _containment_candidates_oracle_sql() -> str:
+    """DuckDB mirror of q_containment_candidates over the inlined
+    fingerprint CTE (``_winnow_rare_fp_cte``): rare-fingerprint self-join,
+    shared-count >= min_shared — mirroring ``containment_candidates``
+    (operators/substring.py) clause for clause.
+    """
+    return f"""
+        WITH {_winnow_rare_fp_cte()}
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(COUNT(*) AS BIGINT) AS shared
         FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= 6
+    """
+
+
+def _containment_pairs_oracle_sql() -> str:
+    """DuckDB mirror of q_containment_pairs — candidates AND the block
+    verify, with per-document POSITIONAL K-GRAM HASHES as a fixture
+    parquet (the media-oracle pattern: too many rows to inline as
+    literals, one row per byte position).
+
+    ``_positional_gram_hashes`` (the engine's pure per-doc numpy kernel,
+    the exact function ``longest_shared_run`` calls) supplies each
+    document's position-indexed gram hashes; the SQL then redoes ALL the
+    relational work of the verify kernel independently:
+
+    - candidates: the same inlined-fingerprint CTE as the candidates
+      oracle (shared >= 6);
+    - orientation: small/large by byte length with the kernel's tie rule
+      (small = a when len(a) <= len(b), substring.py
+      ``_block_containment_udf``);
+    - hits: semi-join of the small doc's positional grams against the
+      large doc's gram SET (= ``np.isin``);
+    - gaps-and-islands over hit positions with max_gap, run length =
+      max(pos) - min(pos) + k, keep pairs with a run >= min_block_chars
+      — clause for clause ``longest_shared_run`` (substring.py:140).
+
+    Docs shorter than k hash with kk = min(k, len) on both sides, exactly
+    because the fixture stores the kernel's own output.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzzysearch_spark.operators.substring import _positional_gram_hashes
+
+    docs = _oracle_docs()
+    slug = hashlib.sha256(ORACLE_SF_DIR.encode()).hexdigest()[:12]
+    gpath = f"/tmp/fsw_grams_oracle_{slug}.parquet"
+    if not os.path.exists(gpath):
+        ids, poss, grams = [], [], []
+        for doc_id, data in docs:
+            g = _positional_gram_hashes(data, 16).view(np.int64)
+            ids.append(np.full(len(g), doc_id, dtype=np.int64))
+            poss.append(np.arange(len(g), dtype=np.int64))
+            grams.append(g)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                    "pos": pa.array(np.concatenate(poss), pa.int64()),
+                    "gram": pa.array(np.concatenate(grams), pa.int64()),
+                }
+            ),
+            gpath,
+        )
+    nbytes_values = ",\n              ".join(
+        f"({doc_id}, {len(data)})" for doc_id, data in docs
+    )
+    return f"""
+        WITH {_winnow_rare_fp_cte()},
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 6
+        ),
+        nb(doc_id, n_bytes) AS (
+          SELECT * FROM (VALUES
+              {nbytes_values}
+          )
+        ),
+        oriented AS (
+          SELECT c.a_id, c.b_id,
+                 CASE WHEN na.n_bytes <= nbb.n_bytes
+                      THEN c.a_id ELSE c.b_id END AS small_id,
+                 CASE WHEN na.n_bytes <= nbb.n_bytes
+                      THEN c.b_id ELSE c.a_id END AS large_id
+          FROM cand c
+          JOIN nb na ON na.doc_id = c.a_id
+          JOIN nb nbb ON nbb.doc_id = c.b_id
+        ),
+        grams AS (SELECT * FROM '{gpath}'),
+        hits AS (
+          SELECT o.a_id, o.b_id, g.pos
+          FROM oriented o
+          JOIN grams g ON g.doc_id = o.small_id
+          WHERE EXISTS (
+            SELECT 1 FROM grams gl
+            WHERE gl.doc_id = o.large_id AND gl.gram = g.gram
+          )
+        ),
+        islands AS (
+          SELECT a_id, b_id, pos,
+                 SUM(CASE WHEN pos - lag_pos > 48 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY a_id, b_id ORDER BY pos) AS island
+          FROM (
+            SELECT a_id, b_id, pos,
+                   LAG(pos) OVER (PARTITION BY a_id, b_id ORDER BY pos)
+                     AS lag_pos
+            FROM hits
+          )
+        )
+        SELECT DISTINCT a_id, b_id
+        FROM islands
+        GROUP BY a_id, b_id, island
+        HAVING MAX(pos) - MIN(pos) + 16 >= 120
     """
 
 
@@ -1315,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _minhash_lsh_oracle_sql(),
         "simhash_near_dup_pairs": _simhash_pairs_oracle_sql(),
         "containment_candidates": _containment_candidates_oracle_sql(),
+        "containment_pairs": _containment_pairs_oracle_sql(),
         # emptiness pin: every ground-truth pair must appear among the LSH
         # candidates (the Spark side computes truth EXCEPT candidates)
         "lsh_recall_audit": """

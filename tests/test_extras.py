@@ -737,3 +737,90 @@ def test_streaming_candidates_vs_corpus(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_containment_pairs_oracle_matches_kernel(tmp_path, monkeypatch):
+    """The gram-fixture DuckDB oracle must agree with the engine's own
+    longest_shared_run verify (same orientation tie rule) on a planted
+    corpus with boundary-length shared blocks and edit damage — the
+    invariant the containment_pairs CORRECTNESS row rests on. No Spark:
+    candidates come from a python mirror of containment_candidates."""
+    import random
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from fuzzysearch_spark.operators.substring import (
+        longest_shared_run,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(41)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    docs = {}
+    nxt = 1
+    # pairs sharing blocks spanning the 120-char verify boundary, with and
+    # without mid-block edit damage (gap <= 48 must bridge, > 48 must split)
+    for block_len in (100, 118, 120, 125, 136, 200, 400):
+        for damage in (None, 20, 60):
+            block = rand_text(block_len)
+            if damage is not None and damage < block_len - 32:
+                half = block[: block_len // 2]
+                b_block = half + rand_text(damage) + block[block_len // 2 + damage:]
+            else:
+                b_block = block
+            a_txt = rand_text(150) + block + rand_text(150)
+            b_txt = rand_text(80) + b_block + rand_text(80)
+            docs[nxt] = a_txt
+            docs[nxt + 1] = b_txt
+            nxt += 2
+    # equal-length pair (orientation tie rule: small = a)
+    tie = rand_text(140)
+    docs[nxt] = rand_text(30) + tie + rand_text(30)
+    docs[nxt + 1] = rand_text(30) + tie + rand_text(30)
+    nxt += 2
+    # unrelated noise docs
+    for _ in range(6):
+        docs[nxt] = rand_text(250)
+        nxt += 1
+
+    pq_path = tmp_path / "documents.parquet"
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[d] for d in docs]}
+    ).to_parquet(pq_path)
+    monkeypatch.setattr(e, "ORACLE_SF_DIR", str(tmp_path))
+
+    got = sorted(
+        tuple(r) for r in duckdb.sql(e._containment_pairs_oracle_sql()).fetchall()
+    )
+
+    enc = {d: t.encode("utf-8", "surrogatepass") for d, t in docs.items()}
+    fp_docs = defaultdict(set)
+    for d, data in enc.items():
+        for fp in np.unique(winnow_fingerprints(data, 16, 8)):
+            fp_docs[int(fp)].add(d)
+    shared = defaultdict(int)
+    for fp, ds in fp_docs.items():
+        if len(ds) > 200:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    want = []
+    for (a, b), c in shared.items():
+        if c < 6:
+            continue
+        xb, yb = enc[a], enc[b]
+        small, large = (xb, yb) if len(xb) <= len(yb) else (yb, xb)
+        if longest_shared_run(small, large, 16, 48) >= 120:
+            want.append((a, b))
+    assert got == sorted(want)
+    assert len(want) >= 8  # the plant actually exercises the verify

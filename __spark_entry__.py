@@ -337,8 +337,12 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    cands = containment_candidates(docs, min_shared=6)
-    return containment_pairs(docs, cands, min_block_chars=120)
+    scratch: list = []
+    cands = containment_candidates(docs, min_shared=6, scratch=scratch)
+    out = _materialized(spark, containment_pairs(docs, cands, min_block_chars=120))
+    for f in scratch:
+        f.unpersist()
+    return out
 
 
 def q_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +353,35 @@ def q_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.operators.substring import containment_candidates
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    return containment_candidates(docs, min_shared=6)
+    scratch: list = []
+    out = _materialized(
+        spark, containment_candidates(docs, min_shared=6, scratch=scratch)
+    )
+    for f in scratch:
+        f.unpersist()
+    return out
+
+
+def q_containment_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact suffix-array LCS over the winnowing candidates — the exact
+    rung of the containment stage (north-rule "suffix-array substring
+    dedup"). Oracle recomputes the LCS by gram diagonals over the
+    positional-gram fixture (_containment_exact_oracle_sql) — a different
+    algorithm agreeing on the same answer."""
+    from fuzzysearch_spark.operators.substring import (
+        containment_candidates,
+        exact_containment_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    scratch: list = []
+    cands = containment_candidates(docs, min_shared=6, scratch=scratch)
+    out = _materialized(
+        spark, exact_containment_pairs(docs, cands, min_block_chars=64)
+    )
+    for f in scratch:
+        f.unpersist()
+    return out
 
 
 def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,12 +414,16 @@ def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     content = docs.select("doc_id", F.col("text").alias("content"))
+    scratch: list = []
     found = containment_pairs(
         content,
-        containment_candidates(content, min_shared=6),
+        containment_candidates(content, min_shared=6, scratch=scratch),
         min_block_chars=120,
     )
-    return truth.join(found, ["a_id", "b_id"], "left_anti")
+    out = _materialized(spark, truth.join(found, ["a_id", "b_id"], "left_anti"))
+    for f in scratch:
+        f.unpersist()
+    return out
 
 
 def q_find_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "simhash_equivalence_audit": q_simhash_equivalence_audit,
         "containment_pairs": q_containment_pairs,
+        "containment_pairs_exact": q_containment_pairs_exact,
         "containment_candidates": q_containment_candidates,
         "containment_recall_audit": q_containment_recall_audit,
         "pipeline_recall_audit": q_pipeline_recall_audit,
@@ -1135,6 +1172,41 @@ def _containment_candidates_oracle_sql() -> str:
     """
 
 
+def _grams_fixture_path(docs: list[tuple[int, bytes]]) -> str:
+    """Write (once per ORACLE_SF_DIR) the positional-gram fixture parquet:
+    one row per byte position per document, ``_positional_gram_hashes``
+    output (the exact arrays the engine's verify kernels consume).
+    Shared by the containment_pairs and containment_pairs_exact oracles."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzzysearch_spark.operators.substring import _positional_gram_hashes
+
+    slug = hashlib.sha256(ORACLE_SF_DIR.encode()).hexdigest()[:12]
+    gpath = f"/tmp/fsw_grams_oracle_{slug}.parquet"
+    if not os.path.exists(gpath):
+        ids, poss, grams = [], [], []
+        for doc_id, data in docs:
+            g = _positional_gram_hashes(data, 16).view(np.int64)
+            ids.append(np.full(len(g), doc_id, dtype=np.int64))
+            poss.append(np.arange(len(g), dtype=np.int64))
+            grams.append(g)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                    "pos": pa.array(np.concatenate(poss), pa.int64()),
+                    "gram": pa.array(np.concatenate(grams), pa.int64()),
+                }
+            ),
+            gpath,
+        )
+    return gpath
+
+
 def _containment_pairs_oracle_sql() -> str:
     """DuckDB mirror of q_containment_pairs — candidates AND the block
     verify, with per-document POSITIONAL K-GRAM HASHES as a fixture
@@ -1160,34 +1232,8 @@ def _containment_pairs_oracle_sql() -> str:
     Docs shorter than k hash with kk = min(k, len) on both sides, exactly
     because the fixture stores the kernel's own output.
     """
-    import hashlib
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from fuzzysearch_spark.operators.substring import _positional_gram_hashes
-
     docs = _oracle_docs()
-    slug = hashlib.sha256(ORACLE_SF_DIR.encode()).hexdigest()[:12]
-    gpath = f"/tmp/fsw_grams_oracle_{slug}.parquet"
-    if not os.path.exists(gpath):
-        ids, poss, grams = [], [], []
-        for doc_id, data in docs:
-            g = _positional_gram_hashes(data, 16).view(np.int64)
-            ids.append(np.full(len(g), doc_id, dtype=np.int64))
-            poss.append(np.arange(len(g), dtype=np.int64))
-            grams.append(g)
-        pq.write_table(
-            pa.table(
-                {
-                    "doc_id": pa.array(np.concatenate(ids), pa.int64()),
-                    "pos": pa.array(np.concatenate(poss), pa.int64()),
-                    "gram": pa.array(np.concatenate(grams), pa.int64()),
-                }
-            ),
-            gpath,
-        )
+    gpath = _grams_fixture_path(docs)
     nbytes_values = ",\n              ".join(
         f"({doc_id}, {len(data)})" for doc_id, data in docs
     )
@@ -1239,6 +1285,70 @@ def _containment_pairs_oracle_sql() -> str:
         FROM islands
         GROUP BY a_id, b_id, island
         HAVING MAX(pos) - MIN(pos) + 16 >= 120
+    """
+
+
+def _containment_exact_oracle_sql() -> str:
+    """DuckDB mirror of q_containment_pairs_exact — exact LCS by GRAM
+    DIAGONALS, a genuinely different algorithm from the engine's suffix
+    array (kernels/sa.py), over the same positional-gram fixture.
+
+    A common substring of length m >= k at offsets (i, j) is exactly a
+    run of m - k + 1 consecutive matching k-grams on the diagonal
+    d = j - i; so LCS (for LCS >= k) = k - 1 + the longest consecutive
+    run of gram matches on any one diagonal:
+
+    - hits: positional grams of a JOINed to positional grams of b on
+      gram value (all pairs of positions, not a semi-join);
+    - islands per (pair, diagonal): gaps-and-islands with strict
+      consecutiveness (pos step of exactly 1);
+    - lcs_len = max over islands of (max(pos) - min(pos) + k), keep
+      pairs >= min_block_chars.
+
+    64-bit mixed grams make a collision extending a maximal run
+    astronomically unlikely; the oracle-vs-kernel agreement is pinned by
+    test_containment_exact_oracle_matches_kernel on planted corpora.
+    """
+    docs = _oracle_docs()
+    gpath = _grams_fixture_path(docs)
+    return f"""
+        WITH {_winnow_rare_fp_cte()},
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 6
+        ),
+        grams AS (SELECT * FROM '{gpath}'),
+        hits AS (
+          SELECT c.a_id, c.b_id, ga.pos AS pos,
+                 gb.pos - ga.pos AS diag
+          FROM cand c
+          JOIN grams ga ON ga.doc_id = c.a_id
+          JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+        ),
+        islands AS (
+          SELECT a_id, b_id, diag, pos,
+                 SUM(CASE WHEN pos - lag_pos > 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY a_id, b_id, diag ORDER BY pos)
+                   AS island
+          FROM (
+            SELECT a_id, b_id, diag, pos,
+                   LAG(pos) OVER (PARTITION BY a_id, b_id, diag
+                                  ORDER BY pos) AS lag_pos
+            FROM hits
+          )
+        ),
+        runs AS (
+          SELECT a_id, b_id,
+                 MAX(pos) - MIN(pos) + 16 AS run_len
+          FROM islands
+          GROUP BY a_id, b_id, diag, island
+        )
+        SELECT a_id, b_id, CAST(MAX(run_len) AS BIGINT) AS lcs_len
+        FROM runs
+        GROUP BY a_id, b_id
+        HAVING MAX(run_len) >= 64
     """
 
 
@@ -1441,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_pairs": _simhash_pairs_oracle_sql(),
         "containment_candidates": _containment_candidates_oracle_sql(),
         "containment_pairs": _containment_pairs_oracle_sql(),
+        "containment_pairs_exact": _containment_exact_oracle_sql(),
         # emptiness pin: every ground-truth pair must appear among the LSH
         # candidates (the Spark side computes truth EXCEPT candidates)
         "lsh_recall_audit": """

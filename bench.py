@@ -121,6 +121,7 @@ def main():
         "near_dup_clusters",
         "simhash_near_dup_pairs",
         "containment_pairs",
+        "containment_pairs_exact",
         "find_near_matches",
         "find_near_matches_chunked",
         "find_exact_matches",

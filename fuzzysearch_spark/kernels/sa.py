@@ -1,0 +1,127 @@
+"""Suffix-array kernel: exact longest-common-substring for the containment
+dedup stage (the north-star's "suffix-array substring dedup", exact rung).
+
+Pure numpy, no Spark imports — usable from pandas UDFs and from oracle
+fixtures alike, like every other kernel in this package.
+
+* ``suffix_array`` — prefix-doubling construction (Manber/Myers 1990) with
+  ``np.lexsort`` doing each doubling round's two-key sort JVM-free at
+  C speed: O(n log n) rounds of O(n log n) sorts, all vectorized. The
+  per-round rank arrays are kept — they double as the binary-lifting
+  tables for the LCP step.
+* ``adjacent_lcp`` — LCP of suffix-array-adjacent suffixes by binary
+  lifting over the saved rank tables (walk power-of-two prefix lengths
+  high to low, advance where ranks agree). Fully vectorized across all
+  n-1 adjacent pairs at once — no Kasai-style sequential scan, so the
+  whole kernel stays in numpy.
+* ``lcs_suffix_array`` — exact LCS length of two byte strings: suffixes
+  of ``a`` ⊕ SEP ⊕ ``b`` ⊕ TERM (SEP/TERM are out-of-alphabet sentinels,
+  so no match crosses the join and every suffix is distinct), answer =
+  max LCP over suffix-array-adjacent pairs drawn from different halves
+  (the classic reduction: any cross-pair LCP is bounded by some adjacent
+  cross pair's LCP).
+
+Role in the engine: ``operators/substring.py``'s production verify
+(``longest_shared_run``) is gram-seeded and gap-tolerant — the scale
+path. This kernel is its *exact* counterpart (no hashing, no gap
+heuristic), the same relationship ``ngram_jaccard_pairs`` has to the
+MinHash estimate: a ground-truth rung the approximate path is audited
+against. Reference anchor: the seed-and-expand the reference applies to
+one needle (/root/reference/src/fuzzysearch/levenshtein_ngram.py:159-198)
+is here replaced by whole-document suffix structure, which a needle-at-a-
+time design never needs but cross-document containment does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEP = 256
+_TERM = 257
+
+
+def suffix_array(arr: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Suffix array of an integer sequence.
+
+    Returns ``(sa, ranks)`` where ``sa[t]`` is the start of the t-th
+    suffix in lexicographic order and ``ranks`` is the list of dense rank
+    arrays at prefix lengths 1, 2, 4, ... (the binary-lifting tables
+    ``adjacent_lcp`` consumes). The caller must ensure the last element
+    of ``arr`` is a unique minimum-or-maximum sentinel if distinct
+    suffixes are required; ``lcs_suffix_array`` appends one.
+    """
+    a = np.asarray(arr, dtype=np.int64)
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), []
+    order = np.argsort(a, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    sorted_vals = a[order]
+    rank[order] = np.cumsum(
+        np.concatenate(([0], (sorted_vals[1:] != sorted_vals[:-1]).astype(np.int64)))
+    )
+    ranks = [rank]
+    k = 1
+    while k < n and rank[order[-1]] != n - 1:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1, r2 = rank[order], key2[order]
+        changed = np.concatenate(
+            ([0], ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64))
+        )
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.cumsum(changed)
+        ranks.append(rank)
+        k *= 2
+    return order, ranks
+
+
+def adjacent_lcp(sa: np.ndarray, ranks: list[np.ndarray]) -> np.ndarray:
+    """LCP length of each adjacent suffix pair ``(sa[t], sa[t+1])``.
+
+    Binary lifting: for prefix length L = 2^p (largest first), wherever
+    the two suffixes' rank-at-L agree, L characters provably match
+    (given a unique terminator, padded-rank equality cannot be a
+    short-suffix coincidence) — add L and advance both. Vectorized over
+    all adjacent pairs simultaneously.
+    """
+    n = len(sa)
+    if n <= 1:
+        return np.zeros(max(n - 1, 0), dtype=np.int64)
+    i = sa[:-1].copy()
+    j = sa[1:].copy()
+    lcp = np.zeros(n - 1, dtype=np.int64)
+    for p in range(len(ranks) - 1, -1, -1):
+        span = 1 << p
+        r = ranks[p]
+        m = (i < n) & (j < n)
+        m[m] = r[i[m]] == r[j[m]]
+        lcp[m] += span
+        i[m] += span
+        j[m] += span
+    return lcp
+
+
+def lcs_suffix_array(a: bytes, b: bytes) -> int:
+    """Exact length of the longest common (contiguous) substring of two
+    byte strings, via one suffix array over their sentinel-joined
+    concatenation. O((|a|+|b|) log^2) time, fully vectorized."""
+    if not a or not b:
+        return 0
+    arr = np.concatenate(
+        [
+            np.frombuffer(a, dtype=np.uint8).astype(np.int64),
+            np.array([_SEP], dtype=np.int64),
+            np.frombuffer(b, dtype=np.uint8).astype(np.int64),
+            np.array([_TERM], dtype=np.int64),
+        ]
+    )
+    sa, ranks = suffix_array(arr)
+    lcp = adjacent_lcp(sa, ranks)
+    na = len(a)
+    left, right = sa[:-1], sa[1:]
+    cross = ((left < na) & (right > na)) | ((left > na) & (right < na))
+    if not cross.any():
+        return 0
+    return int(lcp[cross].max())

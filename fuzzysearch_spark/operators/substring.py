@@ -84,17 +84,29 @@ def containment_candidates(
     id_col: str = "doc_id",
     content_col: str = "content",
     broadcast_fp_max_bytes: int = 128 * 1024 * 1024,
+    scratch: list | None = None,
 ) -> DataFrame:
     """(a_id, b_id, shared) candidate pairs sharing >= min_shared fingerprints.
 
     Fingerprints occurring in more than ``max_fingerprint_df`` documents
     (license banners, boilerplate) are dropped from candidate generation —
     the same explicit skew-vs-recall dial as the LSH bucket cap.
+
+    Cache ownership (the ``lsh.py`` contract): the fingerprint frame is
+    referenced three times (both self-join sides + the df-count filter),
+    so without a cache the winnowing UDF re-scans the corpus three times.
+    When ``scratch`` (a caller-owned list) is passed, ``fp`` is persisted
+    — one corpus pass — and appended to ``scratch``; the CALLER unpersists
+    after materializing. Without ``scratch`` nothing persists and the
+    plan stays leak-free at triple-scan cost.
     """
     fp = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(winnow_udf(k, w)(F.col(content_col))).alias("fp"),
     ).distinct()
+    if scratch is not None:
+        fp = fp.persist()
+        scratch.append(fp)
 
     common = fp.groupBy("fp").agg(F.count("*").alias("df_count")).where(
         F.col("df_count") > max_fingerprint_df
@@ -205,6 +217,85 @@ def containment_pairs(
         with_content.withColumn("contained", check("content_a", "content_b"))
         .where(F.col("contained"))
         .select("a_id", "b_id")
+    )
+
+
+def exact_containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    min_block_chars: int = 300,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(a_id, b_id, lcs_len) — candidate pairs whose EXACT longest common
+    substring is >= min_block_chars, by per-pair suffix array.
+
+    The exact rung of the containment stage (north-rule "suffix-array
+    substring dedup"): ``containment_pairs``' production verify
+    (``longest_shared_run``) is gram-seeded and gap-tolerant — fast and
+    edit-damage-robust, but approximate in both directions (hash grams,
+    bridged gaps). This operator recomputes the shared block exactly
+    (``kernels/sa.py``) over the same candidate set, so the approximate
+    verify can be audited pair for pair — the same role
+    ``ngram_jaccard_pairs`` plays for the MinHash estimate. Same
+    content-join shape as ``containment_pairs``; for corpora where one
+    hot document appears in many candidate pairs, route the pair frame
+    through ``operators/verify.py``'s salted one-sided content ship
+    instead (the candidate generator's per-fingerprint df cap already
+    bounds pair fan-out here).
+
+    The threshold is applied INSIDE the mapInPandas kernel (verify.py's
+    pattern): one suffix array per pair, survivors emitted directly — a
+    ``withColumn`` + ``where`` + keep-the-column shape would make
+    Catalyst evaluate the UDF twice (once under the Filter, once for the
+    output projection).
+    """
+    from fuzzysearch_spark.kernels.sa import lcs_suffix_array
+
+    contents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("c")
+    )
+    with_content = (
+        candidates.select("a_id", "b_id")
+        .join(
+            contents.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+                "c", "content_a"
+            ),
+            "a_id",
+        )
+        .join(
+            contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "c", "content_b"
+            ),
+            "b_id",
+        )
+        .select("a_id", "b_id", "content_a", "content_b")
+    )
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a_ids, b_ids, lens = [], [], []
+            for a_id, b_id, x, y in zip(
+                pdf["a_id"], pdf["b_id"], pdf["content_a"], pdf["content_b"]
+            ):
+                lcs = lcs_suffix_array(
+                    (x or "").encode("utf-8", "surrogatepass"),
+                    (y or "").encode("utf-8", "surrogatepass"),
+                )
+                if lcs >= min_block_chars:
+                    a_ids.append(a_id)
+                    b_ids.append(b_id)
+                    lens.append(lcs)
+            yield pd.DataFrame(
+                {
+                    "a_id": pd.Series(a_ids, dtype="int64"),
+                    "b_id": pd.Series(b_ids, dtype="int64"),
+                    "lcs_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return with_content.mapInPandas(
+        _verify, "a_id long, b_id long, lcs_len long"
     )
 
 

@@ -1,0 +1,235 @@
+"""Suffix-array kernel (kernels/sa.py) + exact containment rung.
+
+Pins: SA construction vs a naive sort, binary-lifting LCP vs a naive
+scan, LCS vs quadratic DP, the Spark operator vs the kernel, and the
+gram-diagonal DuckDB oracle vs the kernel (the invariant the
+containment_pairs_exact CORRECTNESS row rests on).
+"""
+
+import random
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from fuzzysearch_spark.kernels.sa import (
+    adjacent_lcp,
+    lcs_suffix_array,
+    suffix_array,
+)
+
+
+def _naive_sa(seq):
+    return sorted(range(len(seq)), key=lambda i: seq[i:])
+
+
+def _naive_lcs(a: bytes, b: bytes) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    best = 0
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def _with_term(s: bytes) -> np.ndarray:
+    return np.concatenate(
+        [np.frombuffer(s, dtype=np.uint8).astype(np.int64), [300]]
+    )
+
+
+@pytest.mark.parametrize(
+    "s",
+    [b"", b"a", b"banana", b"aaaaaaaa", b"abababab", b"\x00\x00\x01", b"mississippi"],
+)
+def test_suffix_array_known_strings(s):
+    arr = _with_term(s)
+    sa, ranks = suffix_array(arr)
+    assert sa.tolist() == _naive_sa(list(arr))
+    lcp = adjacent_lcp(sa, ranks)
+    seq = list(arr)
+    for t in range(len(sa) - 1):
+        x, y = seq[sa[t]:], seq[sa[t + 1]:]
+        m = 0
+        while m < len(x) and m < len(y) and x[m] == y[m]:
+            m += 1
+        assert lcp[t] == m
+
+
+def test_suffix_array_randomized_vs_naive():
+    rng = random.Random(7)
+    for _ in range(150):
+        n = rng.randint(0, 60)
+        sigma = rng.choice([2, 3, 5, 26, 256])
+        arr = _with_term(bytes(rng.randrange(sigma) for _ in range(n)))
+        sa, ranks = suffix_array(arr)
+        assert sa.tolist() == _naive_sa(list(arr))
+        lcp = adjacent_lcp(sa, ranks)
+        seq = list(arr)
+        for t in range(len(sa) - 1):
+            x, y = seq[sa[t]:], seq[sa[t + 1]:]
+            m = 0
+            while m < len(x) and m < len(y) and x[m] == y[m]:
+                m += 1
+            assert lcp[t] == m
+
+
+def test_lcs_randomized_vs_dp():
+    rng = random.Random(11)
+    for trial in range(150):
+        sigma = rng.choice([2, 4, 26])
+        a = bytes(rng.randrange(sigma) for _ in range(rng.randint(0, 80)))
+        b = bytes(rng.randrange(sigma) for _ in range(rng.randint(0, 80)))
+        if rng.random() < 0.4 and len(a) > 10:
+            blk = a[2: 2 + rng.randint(3, len(a) - 2)]
+            pos = rng.randint(0, len(b))
+            b = b[:pos] + blk + b[pos:]
+        assert lcs_suffix_array(a, b) == _naive_lcs(a, b), (trial, a, b)
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        (b"samesame", b"samesame"),          # identical strings
+        ("héllo wörld".encode(), "wörld héllo".encode()),  # multibyte utf-8
+        (b"\xff\xfe\xfd" * 5, b"\xfd\xfe\xff" * 5),  # sentinel-adjacent bytes
+        (b"", b"x"),
+        (b"x", b""),
+        (b"abc", b"xyz"),                    # disjoint alphabets -> 0
+    ],
+)
+def test_lcs_edges(a, b):
+    assert lcs_suffix_array(a, b) == _naive_lcs(a, b)
+
+
+def test_exact_containment_pairs_spark(spark):
+    """The Spark operator returns exactly the kernel's verdicts over a
+    planted corpus: shared blocks above/below threshold, edit damage
+    breaking an exact run that the gap-tolerant verify would bridge."""
+    import pandas as pd
+
+    from fuzzysearch_spark.operators.substring import (
+        containment_candidates,
+        exact_containment_pairs,
+    )
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    block_big = rand_text(200)       # above threshold
+    block_small = rand_text(80)      # below threshold 120
+    damaged = block_big[:100] + "XXXX" + block_big[104:]  # exact run split
+
+    docs = {
+        1: rand_text(100) + block_big + rand_text(100),
+        2: rand_text(50) + block_big + rand_text(50),
+        3: rand_text(100) + block_small + rand_text(100),
+        4: rand_text(50) + block_small + rand_text(50),
+        5: rand_text(100) + damaged + rand_text(100),
+        6: rand_text(300),
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "content": list(docs.values())})
+    )
+    cands = containment_candidates(sdf, min_shared=2, w=4)
+    got = {
+        (r.a_id, r.b_id): r.lcs_len
+        for r in exact_containment_pairs(sdf, cands, min_block_chars=120).collect()
+    }
+    # (1,2) share the full 200-char block; (1,5)/(2,5) share only the
+    # ~100-char undamaged prefix of the damaged copy (< 120, modulo
+    # chance 1-in-27 context extensions); (3,4)'s 80-char block is under
+    # threshold — so exactly one pair survives at 120
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 200
+    # dropping the threshold surfaces every kernel verdict: the operator
+    # must agree with the kernel pair for pair, value for value
+    low = {
+        (r.a_id, r.b_id): r.lcs_len
+        for r in exact_containment_pairs(sdf, cands, min_block_chars=50).collect()
+    }
+    enc = {d: t.encode("utf-8", "surrogatepass") for d, t in docs.items()}
+    want = {}
+    for a, b in sorted((r.a_id, r.b_id) for r in cands.collect()):
+        lcs = lcs_suffix_array(enc[a], enc[b])
+        if lcs >= 50:
+            want[(a, b)] = lcs
+    assert low == want
+    assert {(1, 5), (2, 5), (3, 4)} <= set(low)  # the plant surfaced them
+
+
+def test_containment_exact_oracle_matches_kernel(tmp_path, monkeypatch):
+    """The gram-diagonal DuckDB oracle must agree with lcs_suffix_array
+    (a different algorithm: diagonal runs vs suffix structure) on a
+    planted corpus with boundary-length blocks and edit damage."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from fuzzysearch_spark.operators.substring import winnow_fingerprints
+
+    rng = random.Random(41)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    docs = {}
+    nxt = 1
+    for block_len in (48, 63, 64, 65, 80, 200, 400):
+        for damage in (None, 20):
+            block = rand_text(block_len)
+            if damage is not None and damage < block_len - 32:
+                half = block[: block_len // 2]
+                b_block = half + rand_text(damage) + block[block_len // 2 + damage:]
+            else:
+                b_block = block
+            docs[nxt] = rand_text(150) + block + rand_text(150)
+            docs[nxt + 1] = rand_text(80) + b_block + rand_text(80)
+            nxt += 2
+    for _ in range(6):
+        docs[nxt] = rand_text(250)
+        nxt += 1
+
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[d] for d in docs]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    monkeypatch.setattr(e, "ORACLE_SF_DIR", str(tmp_path))
+
+    got = sorted(
+        tuple(r) for r in duckdb.sql(e._containment_exact_oracle_sql()).fetchall()
+    )
+
+    enc = {d: t.encode("utf-8", "surrogatepass") for d, t in docs.items()}
+    fp_docs = defaultdict(set)
+    for d, data in enc.items():
+        for fp in np.unique(winnow_fingerprints(data, 16, 8)):
+            fp_docs[int(fp)].add(d)
+    shared = defaultdict(int)
+    for fp, ds in fp_docs.items():
+        if len(ds) > 200:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    want = []
+    for (a, b), c in shared.items():
+        if c < 6:
+            continue
+        lcs = lcs_suffix_array(enc[a], enc[b])
+        if lcs >= 64:
+            want.append((a, b, lcs))
+    assert got == sorted(want)
+    assert len(want) >= 5  # the plant actually exercises the verify

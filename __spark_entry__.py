@@ -326,20 +326,43 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _cont_candidates(docs: DataFrame, scratch: list) -> DataFrame:
+    """Winnowing candidates at the containment-stage constants (_CONT_*,
+    defined next to the oracle builders so engine and oracle share one
+    set of tuning literals), fingerprint frame persisted into the
+    caller-owned ``scratch``."""
+    from fuzzysearch_spark.operators.substring import containment_candidates
+
+    return containment_candidates(
+        docs,
+        k=_CONT_K,
+        w=_CONT_W,
+        min_shared=_CONT_MIN_SHARED,
+        max_fingerprint_df=_CONT_MAX_FP_DF,
+        scratch=scratch,
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-seeded block containment (substring dedup stage).
     Oracle rebuilds candidates from inlined fingerprints and redoes the
     block verify relationally over a positional-gram fixture parquet
     (_containment_pairs_oracle_sql)."""
-    from fuzzysearch_spark.operators.substring import (
-        containment_candidates,
-        containment_pairs,
-    )
+    from fuzzysearch_spark.operators.substring import containment_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     scratch: list = []
-    cands = containment_candidates(docs, min_shared=6, scratch=scratch)
-    out = _materialized(spark, containment_pairs(docs, cands, min_block_chars=120))
+    cands = _cont_candidates(docs, scratch)
+    out = _materialized(
+        spark,
+        containment_pairs(
+            docs,
+            cands,
+            min_block_chars=_CONT_MIN_BLOCK,
+            k=_CONT_K,
+            max_gap=_CONT_MAX_GAP,
+        ),
+    )
     for f in scratch:
         f.unpersist()
     return out
@@ -350,13 +373,9 @@ def q_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints. Oracle inlines per-doc fingerprints
     (_containment_candidates_oracle_sql); the downstream block verify has
     its own gram-fixture oracle (_containment_pairs_oracle_sql)."""
-    from fuzzysearch_spark.operators.substring import containment_candidates
-
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     scratch: list = []
-    out = _materialized(
-        spark, containment_candidates(docs, min_shared=6, scratch=scratch)
-    )
+    out = _materialized(spark, _cont_candidates(docs, scratch))
     for f in scratch:
         f.unpersist()
     return out
@@ -368,16 +387,16 @@ def q_containment_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup"). Oracle recomputes the LCS by gram diagonals over the
     positional-gram fixture (_containment_exact_oracle_sql) — a different
     algorithm agreeing on the same answer."""
-    from fuzzysearch_spark.operators.substring import (
-        containment_candidates,
-        exact_containment_pairs,
-    )
+    from fuzzysearch_spark.operators.substring import exact_containment_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     scratch: list = []
-    cands = containment_candidates(docs, min_shared=6, scratch=scratch)
+    cands = _cont_candidates(docs, scratch)
     out = _materialized(
-        spark, exact_containment_pairs(docs, cands, min_block_chars=64)
+        spark,
+        exact_containment_pairs(
+            docs, cands, min_block_chars=_CONT_EXACT_MIN_BLOCK
+        ),
     )
     for f in scratch:
         f.unpersist()
@@ -392,10 +411,7 @@ def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash can be the minimum of at most w windows), far above min_shared=6,
     and the shared run >= 300 >= min_block_chars passes the verifier. The
     oracle pins emptiness."""
-    from fuzzysearch_spark.operators.substring import (
-        containment_candidates,
-        containment_pairs,
-    )
+    from fuzzysearch_spark.operators.substring import containment_pairs
 
     docs = _docs(spark, sf_dir)
     a = docs.select(F.col("doc_id").alias("small_id"), F.col("text").alias("small"))
@@ -417,8 +433,10 @@ def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch: list = []
     found = containment_pairs(
         content,
-        containment_candidates(content, min_shared=6, scratch=scratch),
-        min_block_chars=120,
+        _cont_candidates(content, scratch),
+        min_block_chars=_CONT_MIN_BLOCK,
+        k=_CONT_K,
+        max_gap=_CONT_MAX_GAP,
     )
     out = _materialized(spark, truth.join(found, ["a_id", "b_id"], "left_anti"))
     for f in scratch:
@@ -1108,67 +1126,111 @@ def _simhash_pairs_oracle_sql() -> str:
     """
 
 
-def _oracle_docs() -> list[tuple[int, bytes]]:
-    """(doc_id, utf-8 bytes) for every ORACLE_SF_DIR document — the shared
-    input of the inlined-parameter dedup oracles (same encoding as the
-    engine's Arrow kernels)."""
+_ORACLE_CORPUS_CACHE: dict[str, tuple] = {}
+
+
+def _oracle_corpus() -> tuple[str, list[tuple[int, bytes]]]:
+    """(content digest, [(doc_id, utf-8 bytes), ...]) for the ORACLE_SF_DIR
+    documents table — the shared input of the inlined-parameter dedup
+    oracles (same encoding as the engine's Arrow kernels).
+
+    The digest keys every derived artifact (fixture parquet names, the
+    memoized fingerprint CTE), so a regenerated corpus at the same path
+    can never feed stale fixtures to an oracle; the memo means one parquet
+    read + one winnowing pass per corpus however many oracle builders run.
+    """
+    import hashlib
+
     import duckdb
 
+    path = f"{ORACLE_SF_DIR}/documents.parquet"
+    with open(path, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cached = _ORACLE_CORPUS_CACHE.get(path)
+    if cached is not None and cached[0] == digest:
+        return cached
     rel = duckdb.sql(
-        "SELECT doc_id, text "
-        f"FROM '{ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
+        f"SELECT doc_id, text FROM '{path}' ORDER BY doc_id"
     ).fetchall()
-    return [
+    docs = [
         (int(r[0]), (r[1] or "").encode("utf-8", "surrogatepass")) for r in rel
     ]
+    entry = (digest, docs)
+    _ORACLE_CORPUS_CACHE[path] = entry
+    return entry
 
 
-def _winnow_rare_fp_cte() -> str:
-    """CTE fragment ``fp(doc_id, fp) AS (...), rare AS (...)`` with
-    per-document WINNOWING FINGERPRINTS inlined as literals.
+def _oracle_docs() -> list[tuple[int, bytes]]:
+    return _oracle_corpus()[1]
+
+
+# the containment-stage tuning constants, used by BOTH the q_containment_*
+# Spark queries and the oracle SQL builders below — one definition keeps
+# engine and oracle in lockstep
+_CONT_K, _CONT_W = 16, 8
+_CONT_MIN_SHARED = 6
+_CONT_MAX_FP_DF = 200
+_CONT_MAX_GAP = 48
+_CONT_MIN_BLOCK = 120
+_CONT_EXACT_MIN_BLOCK = 64
+
+_CAND_CTE_CACHE: dict[str, str] = {}
+
+
+def _cand_cte() -> str:
+    """CTE fragment ``fp, rare, cand`` with per-document WINNOWING
+    FINGERPRINTS inlined as literals — the shared candidate-generation
+    front half of all three containment oracles.
 
     ``winnow_fingerprints`` (the engine's pure numpy kernel, same
     encoding and ``>> 1`` int64 narrowing as the UDF) supplies each
-    document's distinct fingerprint set; ``rare`` applies the
-    document-frequency filter (> max_fingerprint_df dropped) in SQL,
-    mirroring ``containment_candidates`` (operators/substring.py).
-    Shared by the candidates oracle and the containment_pairs oracle.
+    document's distinct fingerprint set; the SQL independently applies
+    the document-frequency filter (> _CONT_MAX_FP_DF dropped), the rare
+    self-join, and the shared-count >= _CONT_MIN_SHARED cut — mirroring
+    ``containment_candidates`` (operators/substring.py) clause for
+    clause. Memoized per corpus digest.
     """
     import numpy as np
 
     from fuzzysearch_spark.operators.substring import winnow_fingerprints
 
+    digest, docs = _oracle_corpus()
+    cached = _CAND_CTE_CACHE.get(digest)
+    if cached is not None:
+        return cached
     rows = []
-    for doc_id, data in _oracle_docs():
-        fps = (winnow_fingerprints(data, 16, 8) >> np.uint64(1)).astype(
-            np.int64
-        )
+    for doc_id, data in docs:
+        fps = (
+            winnow_fingerprints(data, _CONT_K, _CONT_W) >> np.uint64(1)
+        ).astype(np.int64)
         rows.extend(f"({doc_id}, {int(fp)})" for fp in fps)
     values = ",\n              ".join(rows)
-    return f"""fp(doc_id, fp) AS (
+    cte = f"""fp(doc_id, fp) AS (
           SELECT * FROM (VALUES
               {values}
           )
         ),
         rare AS (
           SELECT doc_id, fp FROM fp
-          QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 200
+          QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {_CONT_MAX_FP_DF}
+        ),
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {_CONT_MIN_SHARED}
         )"""
+    _CAND_CTE_CACHE[digest] = cte
+    return cte
 
 
 def _containment_candidates_oracle_sql() -> str:
-    """DuckDB mirror of q_containment_candidates over the inlined
-    fingerprint CTE (``_winnow_rare_fp_cte``): rare-fingerprint self-join,
-    shared-count >= min_shared — mirroring ``containment_candidates``
-    (operators/substring.py) clause for clause.
-    """
+    """DuckDB mirror of q_containment_candidates: the shared candidate
+    CTE (``_cand_cte``), selected as-is."""
     return f"""
-        WITH {_winnow_rare_fp_cte()}
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(COUNT(*) AS BIGINT) AS shared
-        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 6
+        WITH {_cand_cte()}
+        SELECT a_id, b_id, shared FROM cand
     """
 
 
@@ -1177,20 +1239,20 @@ def _grams_fixture_path(docs: list[tuple[int, bytes]]) -> str:
     one row per byte position per document, ``_positional_gram_hashes``
     output (the exact arrays the engine's verify kernels consume).
     Shared by the containment_pairs and containment_pairs_exact oracles."""
-    import hashlib
-
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from fuzzysearch_spark.operators.substring import _positional_gram_hashes
 
-    slug = hashlib.sha256(ORACLE_SF_DIR.encode()).hexdigest()[:12]
+    # keyed by corpus CONTENT digest, not path: a regenerated corpus at
+    # the same path gets a fresh fixture, never a stale one
+    slug = _oracle_corpus()[0][:12]
     gpath = f"/tmp/fsw_grams_oracle_{slug}.parquet"
     if not os.path.exists(gpath):
         ids, poss, grams = [], [], []
         for doc_id, data in docs:
-            g = _positional_gram_hashes(data, 16).view(np.int64)
+            g = _positional_gram_hashes(data, _CONT_K).view(np.int64)
             ids.append(np.full(len(g), doc_id, dtype=np.int64))
             poss.append(np.arange(len(g), dtype=np.int64))
             grams.append(g)
@@ -1218,8 +1280,8 @@ def _containment_pairs_oracle_sql() -> str:
     document's position-indexed gram hashes; the SQL then redoes ALL the
     relational work of the verify kernel independently:
 
-    - candidates: the same inlined-fingerprint CTE as the candidates
-      oracle (shared >= 6);
+    - candidates: the shared inlined-fingerprint CTE (``_cand_cte``,
+      thresholds from the _CONT_* constants);
     - orientation: small/large by byte length with the kernel's tie rule
       (small = a when len(a) <= len(b), substring.py
       ``_block_containment_udf``);
@@ -1238,13 +1300,7 @@ def _containment_pairs_oracle_sql() -> str:
         f"({doc_id}, {len(data)})" for doc_id, data in docs
     )
     return f"""
-        WITH {_winnow_rare_fp_cte()},
-        cand AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-          HAVING COUNT(*) >= 6
-        ),
+        WITH {_cand_cte()},
         nb(doc_id, n_bytes) AS (
           SELECT * FROM (VALUES
               {nbytes_values}
@@ -1272,7 +1328,7 @@ def _containment_pairs_oracle_sql() -> str:
         ),
         islands AS (
           SELECT a_id, b_id, pos,
-                 SUM(CASE WHEN pos - lag_pos > 48 THEN 1 ELSE 0 END)
+                 SUM(CASE WHEN pos - lag_pos > {_CONT_MAX_GAP} THEN 1 ELSE 0 END)
                    OVER (PARTITION BY a_id, b_id ORDER BY pos) AS island
           FROM (
             SELECT a_id, b_id, pos,
@@ -1284,7 +1340,7 @@ def _containment_pairs_oracle_sql() -> str:
         SELECT DISTINCT a_id, b_id
         FROM islands
         GROUP BY a_id, b_id, island
-        HAVING MAX(pos) - MIN(pos) + 16 >= 120
+        HAVING MAX(pos) - MIN(pos) + {_CONT_K} >= {_CONT_MIN_BLOCK}
     """
 
 
@@ -1312,13 +1368,7 @@ def _containment_exact_oracle_sql() -> str:
     docs = _oracle_docs()
     gpath = _grams_fixture_path(docs)
     return f"""
-        WITH {_winnow_rare_fp_cte()},
-        cand AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-          HAVING COUNT(*) >= 6
-        ),
+        WITH {_cand_cte()},
         grams AS (SELECT * FROM '{gpath}'),
         hits AS (
           SELECT c.a_id, c.b_id, ga.pos AS pos,
@@ -1341,14 +1391,14 @@ def _containment_exact_oracle_sql() -> str:
         ),
         runs AS (
           SELECT a_id, b_id,
-                 MAX(pos) - MIN(pos) + 16 AS run_len
+                 MAX(pos) - MIN(pos) + {_CONT_K} AS run_len
           FROM islands
           GROUP BY a_id, b_id, diag, island
         )
         SELECT a_id, b_id, CAST(MAX(run_len) AS BIGINT) AS lcs_len
         FROM runs
         GROUP BY a_id, b_id
-        HAVING MAX(run_len) >= 64
+        HAVING MAX(run_len) >= {_CONT_EXACT_MIN_BLOCK}
     """
 
 

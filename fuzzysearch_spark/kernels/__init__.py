@@ -27,3 +27,8 @@ from fuzzysearch_spark.kernels.budgeted import (  # noqa: F401
 from fuzzysearch_spark.kernels.no_dels import no_deletions_search  # noqa: F401
 from fuzzysearch_spark.kernels.dispatch import find_matches, pick_kernel  # noqa: F401
 from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance  # noqa: F401
+from fuzzysearch_spark.kernels.sa import (  # noqa: F401
+    adjacent_lcp,
+    lcs_suffix_array,
+    suffix_array,
+)

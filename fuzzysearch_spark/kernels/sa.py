@@ -54,23 +54,26 @@ def suffix_array(arr: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=np.int64), []
+    # int32 ranks: n is an in-memory array length (< 2^31), and the saved
+    # per-round tables are the kernel's dominant memory — ~log2(n) arrays
+    # of 4 B/char instead of 8
     order = np.argsort(a, kind="stable")
-    rank = np.empty(n, dtype=np.int64)
+    rank = np.empty(n, dtype=np.int32)
     sorted_vals = a[order]
     rank[order] = np.cumsum(
-        np.concatenate(([0], (sorted_vals[1:] != sorted_vals[:-1]).astype(np.int64)))
+        np.concatenate(([0], (sorted_vals[1:] != sorted_vals[:-1]).astype(np.int32)))
     )
     ranks = [rank]
     k = 1
     while k < n and rank[order[-1]] != n - 1:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.full(n, -1, dtype=np.int32)
         key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
         r1, r2 = rank[order], key2[order]
         changed = np.concatenate(
-            ([0], ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64))
+            ([0], ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int32))
         )
-        rank = np.empty(n, dtype=np.int64)
+        rank = np.empty(n, dtype=np.int32)
         rank[order] = np.cumsum(changed)
         ranks.append(rank)
         k *= 2
@@ -125,3 +128,55 @@ def lcs_suffix_array(a: bytes, b: bytes) -> int:
     if not cross.any():
         return 0
     return int(lcp[cross].max())
+
+
+def lcs_gram_diagonals(a: bytes, b: bytes, k: int = 64) -> int:
+    """LCS length (>= k, else 0) by k-gram DIAGONAL runs — the O(n + m)
+    memory path for pairs too large for the suffix array's rank tables.
+
+    A common substring of length L >= k at offsets (i, j) is exactly a run
+    of L - k + 1 consecutive matching k-gram hashes on the diagonal j - i,
+    so LCS = k - 1 + the longest strictly-consecutive run on any one
+    diagonal. Exact modulo 64-bit gram-hash collisions (a collision can
+    only matter if it lands adjacent to a maximal run on its exact
+    diagonal: ~(n_a * n_b) / 2^64 per pair, vanishing).
+
+    Memory is O(n + matches). On real text/code, k=64 grams are
+    near-unique, so matches ~ O(shared content); adversarially repetitive
+    inputs (multi-MB of one repeated motif) can still inflate the match
+    join — such corpora should use the gap-tolerant production verify
+    (``operators/substring.longest_shared_run``), this being the audit
+    rung. Returns 0 whenever LCS < k, so callers must pick k <=
+    min_block_chars.
+    """
+    from fuzzysearch_spark.operators.substring import _positional_gram_hashes
+
+    if len(a) < k or len(b) < k:
+        # gram hashing would silently shrink k (kk = min(k, len)); the
+        # strings are small enough for the exact kernel anyway
+        return lcs_suffix_array(a, b)
+    ga = _positional_gram_hashes(a, k)
+    gb = _positional_gram_hashes(b, k)
+    order = np.argsort(gb, kind="stable")
+    gbs = gb[order]
+    lo = np.searchsorted(gbs, ga, side="left")
+    hi = np.searchsorted(gbs, ga, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return 0
+    # multi-arange: for each a-position, the slice order[lo:hi] of matching
+    # b-positions, flattened
+    ai = np.repeat(np.arange(len(ga), dtype=np.int64), counts)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts[:-1]))), counts
+    )
+    bi = order[np.repeat(lo, counts) + offs]
+    diag = bi - ai
+    o2 = np.lexsort((ai, diag))
+    d2, a2 = diag[o2], ai[o2]
+    starts = np.flatnonzero(
+        np.concatenate(([True], (d2[1:] != d2[:-1]) | (a2[1:] != a2[:-1] + 1)))
+    )
+    ends = np.concatenate((starts[1:] - 1, [len(a2) - 1]))
+    return int((a2[ends] - a2[starts] + k).max())

@@ -194,68 +194,20 @@ def _block_containment_udf(min_block_chars: int, k: int, max_gap: int):
     return _contained
 
 
-def containment_pairs(
+def _pair_contents(
     docs: DataFrame,
     candidates: DataFrame,
-    min_block_chars: int = 300,
-    k: int = 16,
-    max_gap: int = 48,
-    id_col: str = "doc_id",
-    content_col: str = "content",
+    id_col: str,
+    content_col: str,
 ) -> DataFrame:
-    """(a_id, b_id) pairs sharing a contiguous >= min_block_chars block."""
+    """(a_id, b_id, content_a, content_b) — candidate pairs joined to both
+    documents' content. Shared by the gap-tolerant and exact verifies; for
+    corpora where one hot document appears in many candidate pairs, swap
+    this for ``operators/verify.py``'s salted one-sided content ship."""
     contents = docs.select(
         F.col(id_col).alias("doc_id"), F.col(content_col).alias("c")
     )
-    with_content = (
-        candidates.select("a_id", "b_id")
-        .join(contents.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "content_a"), "a_id")
-        .join(contents.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "content_b"), "b_id")
-    )
-    check = _block_containment_udf(min_block_chars, k, max_gap)
     return (
-        with_content.withColumn("contained", check("content_a", "content_b"))
-        .where(F.col("contained"))
-        .select("a_id", "b_id")
-    )
-
-
-def exact_containment_pairs(
-    docs: DataFrame,
-    candidates: DataFrame,
-    min_block_chars: int = 300,
-    id_col: str = "doc_id",
-    content_col: str = "content",
-) -> DataFrame:
-    """(a_id, b_id, lcs_len) — candidate pairs whose EXACT longest common
-    substring is >= min_block_chars, by per-pair suffix array.
-
-    The exact rung of the containment stage (north-rule "suffix-array
-    substring dedup"): ``containment_pairs``' production verify
-    (``longest_shared_run``) is gram-seeded and gap-tolerant — fast and
-    edit-damage-robust, but approximate in both directions (hash grams,
-    bridged gaps). This operator recomputes the shared block exactly
-    (``kernels/sa.py``) over the same candidate set, so the approximate
-    verify can be audited pair for pair — the same role
-    ``ngram_jaccard_pairs`` plays for the MinHash estimate. Same
-    content-join shape as ``containment_pairs``; for corpora where one
-    hot document appears in many candidate pairs, route the pair frame
-    through ``operators/verify.py``'s salted one-sided content ship
-    instead (the candidate generator's per-fingerprint df cap already
-    bounds pair fan-out here).
-
-    The threshold is applied INSIDE the mapInPandas kernel (verify.py's
-    pattern): one suffix array per pair, survivors emitted directly — a
-    ``withColumn`` + ``where`` + keep-the-column shape would make
-    Catalyst evaluate the UDF twice (once under the Filter, once for the
-    output projection).
-    """
-    from fuzzysearch_spark.kernels.sa import lcs_suffix_array
-
-    contents = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(content_col).alias("c")
-    )
-    with_content = (
         candidates.select("a_id", "b_id")
         .join(
             contents.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
@@ -272,16 +224,80 @@ def exact_containment_pairs(
         .select("a_id", "b_id", "content_a", "content_b")
     )
 
+
+def containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    min_block_chars: int = 300,
+    k: int = 16,
+    max_gap: int = 48,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(a_id, b_id) pairs sharing a contiguous >= min_block_chars block."""
+    with_content = _pair_contents(docs, candidates, id_col, content_col)
+    check = _block_containment_udf(min_block_chars, k, max_gap)
+    return (
+        with_content.withColumn("contained", check("content_a", "content_b"))
+        .where(F.col("contained"))
+        .select("a_id", "b_id")
+    )
+
+
+def exact_containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    min_block_chars: int = 300,
+    max_sa_bytes: int = 8 << 20,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(a_id, b_id, lcs_len) — candidate pairs whose EXACT longest common
+    substring is >= min_block_chars, by per-pair suffix array.
+
+    The exact rung of the containment stage (north-rule "suffix-array
+    substring dedup"): ``containment_pairs``' production verify
+    (``longest_shared_run``) is gram-seeded and gap-tolerant — fast and
+    edit-damage-robust, but approximate in both directions (hash grams,
+    bridged gaps). This operator recomputes the shared block exactly
+    (``kernels/sa.py``) over the same candidate set, so the approximate
+    verify can be audited pair for pair — the same role
+    ``ngram_jaccard_pairs`` plays for the MinHash estimate.
+
+    Memory is per-pair bounded: pairs whose combined encoded length
+    exceeds ``max_sa_bytes`` skip the suffix array (whose ~log2(n)
+    rank tables cost 4 B/char each — fine at source-file sizes, not at
+    tens of MB inside 16+ concurrent Python workers) and use the
+    O(n + matches) gram-diagonal path (``lcs_gram_diagonals``, exact
+    modulo a ~2^-64-per-gram-pair hash-collision bound, gram k capped
+    at min_block_chars so no block is invisible to it).
+
+    The threshold is applied INSIDE the mapInPandas kernel (verify.py's
+    pattern): one suffix array per pair, survivors emitted directly — a
+    ``withColumn`` + ``where`` + keep-the-column shape would make
+    Catalyst evaluate the UDF twice (once under the Filter, once for the
+    output projection).
+    """
+    from fuzzysearch_spark.kernels.sa import (
+        lcs_gram_diagonals,
+        lcs_suffix_array,
+    )
+
+    with_content = _pair_contents(docs, candidates, id_col, content_col)
+    gram_k = max(4, min(64, min_block_chars))
+
     def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             a_ids, b_ids, lens = [], [], []
             for a_id, b_id, x, y in zip(
                 pdf["a_id"], pdf["b_id"], pdf["content_a"], pdf["content_b"]
             ):
-                lcs = lcs_suffix_array(
-                    (x or "").encode("utf-8", "surrogatepass"),
-                    (y or "").encode("utf-8", "surrogatepass"),
-                )
+                xb = (x or "").encode("utf-8", "surrogatepass")
+                yb = (y or "").encode("utf-8", "surrogatepass")
+                if len(xb) + len(yb) <= max_sa_bytes:
+                    lcs = lcs_suffix_array(xb, yb)
+                else:
+                    lcs = lcs_gram_diagonals(xb, yb, gram_k)
                 if lcs >= min_block_chars:
                     a_ids.append(a_id)
                     b_ids.append(b_id)

@@ -51,3 +51,31 @@ def spark():
     )
     yield spark
     spark.stop()
+
+
+def python_containment_candidates(
+    enc_docs: dict, k: int = 16, w: int = 8, max_df: int = 200, min_shared: int = 6
+) -> dict:
+    """Pure-python mirror of operators/substring.containment_candidates
+    over {doc_id: utf-8 bytes}: {(a_id, b_id): shared_count} for pairs
+    sharing >= min_shared rare winnowing fingerprints. Shared by the
+    containment oracle parity tests (one mirror, no drift)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from fuzzysearch_spark.operators.substring import winnow_fingerprints
+
+    fp_docs = defaultdict(set)
+    for d, data in enc_docs.items():
+        for fp in np.unique(winnow_fingerprints(data, k, w)):
+            fp_docs[int(fp)].add(d)
+    shared = defaultdict(int)
+    for fp, ds in fp_docs.items():
+        if len(ds) > max_df:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    return {p: c for p, c in shared.items() if c >= min_shared}

@@ -746,17 +746,13 @@ def test_containment_pairs_oracle_matches_kernel(tmp_path, monkeypatch):
     invariant the containment_pairs CORRECTNESS row rests on. No Spark:
     candidates come from a python mirror of containment_candidates."""
     import random
-    from collections import defaultdict
 
     import duckdb
-    import numpy as np
     import pandas as pd
 
     import __spark_entry__ as e
-    from fuzzysearch_spark.operators.substring import (
-        longest_shared_run,
-        winnow_fingerprints,
-    )
+    from conftest import python_containment_candidates
+    from fuzzysearch_spark.operators.substring import longest_shared_run
 
     rng = random.Random(41)
     alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
@@ -802,22 +798,8 @@ def test_containment_pairs_oracle_matches_kernel(tmp_path, monkeypatch):
     )
 
     enc = {d: t.encode("utf-8", "surrogatepass") for d, t in docs.items()}
-    fp_docs = defaultdict(set)
-    for d, data in enc.items():
-        for fp in np.unique(winnow_fingerprints(data, 16, 8)):
-            fp_docs[int(fp)].add(d)
-    shared = defaultdict(int)
-    for fp, ds in fp_docs.items():
-        if len(ds) > 200:
-            continue
-        ds = sorted(ds)
-        for i in range(len(ds)):
-            for j in range(i + 1, len(ds)):
-                shared[(ds[i], ds[j])] += 1
     want = []
-    for (a, b), c in shared.items():
-        if c < 6:
-            continue
+    for a, b in python_containment_candidates(enc):
         xb, yb = enc[a], enc[b]
         small, large = (xb, yb) if len(xb) <= len(yb) else (yb, xb)
         if longest_shared_run(small, large, 16, 48) >= 120:

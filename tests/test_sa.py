@@ -7,11 +7,11 @@ containment_pairs_exact CORRECTNESS row rests on).
 """
 
 import random
-from collections import defaultdict
 
 import numpy as np
 import pytest
 
+from conftest import python_containment_candidates
 from fuzzysearch_spark.kernels.sa import (
     adjacent_lcp,
     lcs_suffix_array,
@@ -110,6 +110,42 @@ def test_lcs_edges(a, b):
     assert lcs_suffix_array(a, b) == _naive_lcs(a, b)
 
 
+def test_lcs_gram_diagonals_matches_sa():
+    """The O(n + matches) gram-diagonal path (used for pairs above
+    max_sa_bytes) must agree with the suffix array wherever it can see
+    the answer (LCS >= k), and report 0 below k."""
+    from fuzzysearch_spark.kernels.sa import lcs_gram_diagonals
+
+    rng = random.Random(5)
+    alpha = b"abcdefghij "
+
+    def rt(n):
+        return bytes(rng.choice(alpha) for _ in range(n))
+
+    for trial in range(200):
+        a, b = rt(rng.randint(0, 300)), rt(rng.randint(0, 300))
+        if rng.random() < 0.6 and len(a) > 20:
+            blk = a[5: 5 + rng.randint(8, len(a) - 5)]
+            p = rng.randint(0, len(b))
+            b = b[:p] + blk + b[p:]
+        k = rng.choice([4, 8, 16])
+        sa_lcs = lcs_suffix_array(a, b)
+        gd = lcs_gram_diagonals(a, b, k)
+        if sa_lcs >= k:
+            assert gd == sa_lcs, (trial, k, sa_lcs, gd)
+        else:
+            # 0 (invisible to k-grams) or the short-string exact fallback
+            assert gd in (0, sa_lcs), (trial, k, sa_lcs, gd)
+    # highly repetitive strings (the match join's worst case) stay exact
+    assert lcs_gram_diagonals(b"xy" * 500, b"yx" * 400, 8) == lcs_suffix_array(
+        b"xy" * 500, b"yx" * 400
+    )
+    # a large planted block through both paths
+    big = rt(100_000)
+    c = rt(50_000) + big[20_000:60_000] + rt(50_000)
+    assert lcs_gram_diagonals(big, c, 64) == lcs_suffix_array(big, c)
+
+
 def test_exact_containment_pairs_spark(spark):
     """The Spark operator returns exactly the kernel's verdicts over a
     planted corpus: shared blocks above/below threshold, edit damage
@@ -167,6 +203,15 @@ def test_exact_containment_pairs_spark(spark):
             want[(a, b)] = lcs
     assert low == want
     assert {(1, 5), (2, 5), (3, 4)} <= set(low)  # the plant surfaced them
+    # forcing every pair through the oversized-pair gram-diagonal path
+    # must not change any verdict (gram k is capped at the threshold)
+    forced = {
+        (r.a_id, r.b_id): r.lcs_len
+        for r in exact_containment_pairs(
+            sdf, cands, min_block_chars=50, max_sa_bytes=1
+        ).collect()
+    }
+    assert forced == low
 
 
 def test_containment_exact_oracle_matches_kernel(tmp_path, monkeypatch):
@@ -177,7 +222,6 @@ def test_containment_exact_oracle_matches_kernel(tmp_path, monkeypatch):
     import pandas as pd
 
     import __spark_entry__ as e
-    from fuzzysearch_spark.operators.substring import winnow_fingerprints
 
     rng = random.Random(41)
     alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
@@ -212,22 +256,8 @@ def test_containment_exact_oracle_matches_kernel(tmp_path, monkeypatch):
     )
 
     enc = {d: t.encode("utf-8", "surrogatepass") for d, t in docs.items()}
-    fp_docs = defaultdict(set)
-    for d, data in enc.items():
-        for fp in np.unique(winnow_fingerprints(data, 16, 8)):
-            fp_docs[int(fp)].add(d)
-    shared = defaultdict(int)
-    for fp, ds in fp_docs.items():
-        if len(ds) > 200:
-            continue
-        ds = sorted(ds)
-        for i in range(len(ds)):
-            for j in range(i + 1, len(ds)):
-                shared[(ds[i], ds[j])] += 1
     want = []
-    for (a, b), c in shared.items():
-        if c < 6:
-            continue
+    for a, b in python_containment_candidates(enc):
         lcs = lcs_suffix_array(enc[a], enc[b])
         if lcs >= 64:
             want.append((a, b, lcs))

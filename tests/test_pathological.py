@@ -1,0 +1,136 @@
+"""Pathological corpus shapes through the FULL dedup pipeline.
+
+The planted-corpus tests (test_pipeline.py) pin recall/precision on a
+realistic mixture; these pin that the degenerate shapes a 100 TB crawl
+actually contains — empty input, mass-duplicates, empty documents,
+multibyte text — neither crash a stage nor mis-cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+
+def _run(spark, tmp_path, rows, **cfg_kwargs):
+    """rows: list of (repo, path, commit, lang, content)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(c, StringType(), False)
+            for c in ("repo", "path", "commit", "lang", "content")
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    pipe = DedupPipeline(
+        spark,
+        DedupConfig(
+            workdir=str(tmp_path / "work"),
+            checkpoint_mode="memory",
+            **cfg_kwargs,
+        ),
+    )
+    return pipe.run(df).collect()
+
+
+def test_empty_corpus(spark, tmp_path):
+    out = _run(spark, tmp_path, [])
+    assert out == []
+
+
+def test_single_document(spark, tmp_path):
+    out = _run(spark, tmp_path, [("r", "p", "c0", "en", "just one document " * 20)])
+    assert len(out) == 1
+    assert out[0]["cluster_id"] == out[0]["doc_id"]
+
+
+def test_all_identical_corpus(spark, tmp_path):
+    """50 byte-identical files: the exact stage must collapse them into
+    ONE cluster without the fuzzy stages seeing 50x the work."""
+    text = "def main():\n    return 42\n" * 30
+    rows = [(f"r{i}", f"p/{i}", f"c{i}", "en", text) for i in range(50)]
+    out = _run(spark, tmp_path, rows)
+    assert len(out) == 50
+    assert len({r["cluster_id"] for r in out}) == 1
+    assert len({r["sha256"] for r in out}) == 1
+
+
+def test_empty_documents_cluster_together(spark, tmp_path):
+    """Empty-string content must survive every signature kernel (0-length
+    shingle sets) and land in one exact cluster, separate from real docs."""
+    rows = [(f"r{i}", f"p/{i}", f"c{i}", "en", "") for i in range(5)] + [
+        (f"q{i}", f"d/{i}", f"k{i}", "en", f"distinct real content {i} " * 30)
+        for i in range(3)
+    ]
+    out = _run(spark, tmp_path, rows)
+    assert len(out) == 8
+    empty_clusters = {r["cluster_id"] for r in out if r["path"].startswith("p/")}
+    real_clusters = {r["cluster_id"] for r in out if r["path"].startswith("d/")}
+    assert len(empty_clusters) == 1
+    assert len(real_clusters) == 3
+    assert empty_clusters.isdisjoint(real_clusters)
+
+
+def test_mass_duplicate_plus_near_dup(spark, tmp_path):
+    """100 exact copies of one file plus one lightly edited copy: the
+    edited file must join the mass cluster THROUGH its exact
+    representative (near-dup edge found on the collapsed corpus), and an
+    unrelated file must stay out."""
+    base = "".join(
+        f"line {i}: the quick brown fox jumps over the lazy dog\n"
+        for i in range(40)
+    )
+    edited = base.replace("line 7:", "line 7*:", 1)
+    rows = [(f"r{i}", f"p/{i}", f"c{i}", "en", base) for i in range(100)]
+    rows.append(("re", "edited", "ce", "en", edited))
+    rows.append(
+        ("rx", "other", "cx", "en", "completely unrelated content " * 40)
+    )
+    out = _run(spark, tmp_path, rows)
+    assert len(out) == 102
+    clusters = {r["path"]: r["cluster_id"] for r in out}
+    mass = {clusters[f"p/{i}"] for i in range(100)}
+    assert len(mass) == 1
+    assert clusters["edited"] in mass
+    assert clusters["other"] not in mass
+
+
+def test_multibyte_near_dups(spark, tmp_path):
+    """Multibyte (CJK + emoji + combining) content through sha256,
+    signatures, verify: a lightly edited multibyte pair must co-cluster;
+    byte-identical multibyte docs must share sha256."""
+    base = "数据去重引擎テスト🚀 café niño " * 40
+    edited = base.replace("café", "cafe", 1)
+    rows = [
+        ("r1", "a", "c1", "zh", base),
+        ("r2", "b", "c2", "zh", base),
+        ("r3", "e", "c3", "zh", edited),
+        ("r4", "x", "c4", "en", "ascii only filler text " * 50),
+    ]
+    out = _run(spark, tmp_path, rows)
+    by_path = {r["path"]: r for r in out}
+    assert by_path["a"]["sha256"] == by_path["b"]["sha256"]
+    assert (
+        by_path["a"]["cluster_id"]
+        == by_path["b"]["cluster_id"]
+        == by_path["e"]["cluster_id"]
+    )
+    assert by_path["x"]["cluster_id"] != by_path["a"]["cluster_id"]
+
+
+def test_one_char_and_whitespace_documents(spark, tmp_path):
+    """Sub-shingle-length documents (1 char, pure whitespace) must not
+    crash shingling/densification and must dedup exactly."""
+    rows = [
+        ("r1", "a", "c1", "en", "x"),
+        ("r2", "b", "c2", "en", "x"),
+        ("r3", "c", "c3", "en", " \n\t "),
+        ("r4", "d", "c4", "en", "y"),
+    ]
+    out = _run(spark, tmp_path, rows)
+    by_path = {r["path"]: r for r in out}
+    assert by_path["a"]["cluster_id"] == by_path["b"]["cluster_id"]
+    assert by_path["c"]["cluster_id"] != by_path["a"]["cluster_id"]
+    assert by_path["d"]["cluster_id"] != by_path["a"]["cluster_id"]

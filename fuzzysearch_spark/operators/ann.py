@@ -12,6 +12,15 @@ Two strategies per the scale ladder:
 
 Embeddings ride as ``array<float>``; dot products stay inside whole-stage
 codegen via higher-order functions.
+
+Zero-norm policy: vectors with ||v|| = 0 (empty documents, failed encoder
+rows — routine in a crawl-scale corpus) have no defined cosine. Every
+operator here EXCLUDES them from ranking on both sides — under Spark's
+default ANSI mode the division would otherwise abort the whole job
+(DIVIDE_BY_ZERO), and with ANSI off the NaN cosine would sort ABOVE every
+real neighbor in the descending rank, silently making the zero vector
+everyone's top match. Exclusion is the only behavior that is correct under
+both modes; test_pathological.py pins it.
 """
 
 from __future__ import annotations
@@ -51,7 +60,7 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).where(F.col("nrm") > 0)
     a = base.alias("a")
     b = base.alias("b")
     scored = (
@@ -133,7 +142,7 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
         "bucket",
-    )
+    ).where(F.col("nrm") > 0)
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
@@ -184,7 +193,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).where(F.col("nrm") > 0)
     if dim is not None:
         base = add_sign_bucket(
             base.withColumnRenamed("vec", vec_col), dim, n_planes

@@ -264,10 +264,16 @@ def ivf_top1(
         .select(F.col("vec_id").alias("neighbor_id"), "cid")
     )
 
+    from fuzzysearch_spark.operators.ann import _norm as _ann_norm
+
+    # zero-norm vectors are excluded from the re-rank on both sides (the
+    # ann.py zero-norm policy — ANSI divide-by-zero otherwise aborts the
+    # job); they may still appear in probe/home lists, but the base join
+    # below drops them from every scored pair
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-    )
+    ).where(_ann_norm(F.col(vec_col)) > 0)
     # bucket join, exploding like the LSH band join: pin its join-key
     # partitioning so AQE doesn't size the exchange by the (small) input —
     # but only past broadcast territory (Catalyst's own size estimate),

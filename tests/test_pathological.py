@@ -134,3 +134,42 @@ def test_one_char_and_whitespace_documents(spark, tmp_path):
     assert by_path["a"]["cluster_id"] == by_path["b"]["cluster_id"]
     assert by_path["c"]["cluster_id"] != by_path["a"]["cluster_id"]
     assert by_path["d"]["cluster_id"] != by_path["a"]["cluster_id"]
+
+
+def test_zero_norm_embeddings_excluded(spark):
+    """A zero-norm embedding (empty doc, failed encoder row) must not
+    crash the ANN operators (ANSI divide-by-zero) nor become anyone's
+    neighbor (NaN would rank above every real cosine) — the ann.py
+    zero-norm policy: excluded from ranking on both sides."""
+    from fuzzysearch_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        embedding_near_dup_pairs,
+    )
+    from fuzzysearch_spark.operators.ivf import ivf_top1
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero-norm
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = cosine_topk_bruteforce(df, k=1).collect()
+    assert {r.vec_id for r in brute} == {1, 2, 4}
+    assert all(r.neighbor_id != 3 for r in brute)
+    top = {r.vec_id: r.neighbor_id for r in brute}
+    assert top[1] == 2 and top[2] == 1
+
+    lsh = cosine_topk_lsh(df, k=1, dim=3, n_planes=2, multi_probe=True).collect()
+    assert 3 not in {r.vec_id for r in lsh}
+    assert all(r.neighbor_id != 3 for r in lsh)
+
+    near = embedding_near_dup_pairs(df, min_cosine=0.9).collect()
+    assert all(3 not in (r.a_id, r.b_id) for r in near)
+    assert {(r.a_id, r.b_id) for r in near} == {(1, 2)}
+
+    ivf = ivf_top1(df, n_centroids=2, n_probe=2).collect()
+    assert 3 not in {r.vec_id for r in ivf}
+    assert all(r.neighbor_id != 3 for r in ivf)

@@ -13,14 +13,15 @@ Two strategies per the scale ladder:
 Embeddings ride as ``array<float>``; dot products stay inside whole-stage
 codegen via higher-order functions.
 
-Zero-norm policy: vectors with ||v|| = 0 (empty documents, failed encoder
-rows — routine in a crawl-scale corpus) have no defined cosine. Every
-operator here EXCLUDES them from ranking on both sides — under Spark's
-default ANSI mode the division would otherwise abort the whole job
-(DIVIDE_BY_ZERO), and with ANSI off the NaN cosine would sort ABOVE every
-real neighbor in the descending rank, silently making the zero vector
-everyone's top match. Exclusion is the only behavior that is correct under
-both modes; test_pathological.py pins it.
+Degenerate-vector policy: vectors with ||v|| = 0 or a non-finite norm
+(empty documents, failed encoder rows emitting zeros/NaN/Inf — routine in
+a crawl-scale corpus) have no defined cosine. Every operator here EXCLUDES
+them from ranking on both sides (``_rankable``) — a zero norm aborts the
+whole job under Spark's default ANSI mode (DIVIDE_BY_ZERO), and a NaN
+cosine (from NaN/Inf coordinates, or zero norms with ANSI off) sorts ABOVE
+every real neighbor under Spark's NaN-largest ordering, silently making
+the degenerate vector everyone's top match. Exclusion is the only behavior
+correct under both modes; test_pathological.py pins all three cases.
 """
 
 from __future__ import annotations
@@ -44,6 +45,17 @@ def _norm(a):
     )
 
 
+def _rankable(nrm):
+    """0 < nrm < inf — the module's zero-norm/non-finite exclusion.
+
+    Both bounds matter under Spark's NaN-largest comparison semantics:
+    a NaN norm (NaN coordinate) passes ``nrm > 0`` but fails
+    ``nrm < inf``; an Inf norm (Inf coordinate) passes ``> 0`` and fails
+    ``< inf``; a zero norm fails ``> 0``.
+    """
+    return (nrm > 0) & (nrm < F.lit(float("inf")))
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     k: int = 1,
@@ -60,7 +72,7 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-    ).where(F.col("nrm") > 0)
+    ).where(_rankable(F.col("nrm")))
     a = base.alias("a")
     b = base.alias("b")
     scored = (
@@ -142,7 +154,7 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
         "bucket",
-    ).where(F.col("nrm") > 0)
+    ).where(_rankable(F.col("nrm")))
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
@@ -193,7 +205,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-    ).where(F.col("nrm") > 0)
+    ).where(_rankable(F.col("nrm")))
     if dim is not None:
         base = add_sign_bucket(
             base.withColumnRenamed("vec", vec_col), dim, n_planes

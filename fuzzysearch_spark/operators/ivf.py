@@ -83,7 +83,13 @@ def train_centroids(
     exactly n_centroids rows. ``train_centroids_local`` reproduces this
     exactly without a SparkSession (the oracle path).
     """
-    hashed = embeddings.select(
+    from fuzzysearch_spark.operators.ann import _norm, _rankable
+
+    # degenerate vectors (zero / NaN / Inf norm) are excluded from
+    # training: one NaN row in the sample would turn its centroid — and
+    # every later update touching it — into NaN (ann.py policy;
+    # train_centroids_local applies the numpy-equivalent mask)
+    hashed = embeddings.where(_rankable(_norm(F.col(vec_col)))).select(
         F.col(vec_col).alias("vec"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
     )
@@ -117,6 +123,12 @@ def train_centroids_local(
     from fuzzysearch_spark.functions.xxh import spark_xxhash64_long_int
 
     ids = np.asarray(vec_ids, dtype=np.int64)
+    vecs = np.asarray(vectors, dtype=np.float64)
+    if len(ids):
+        # numpy mirror of the Spark trainer's _rankable norm filter
+        nrm = np.sqrt((vecs**2).sum(axis=1))
+        keep = (nrm > 0) & np.isfinite(nrm)
+        ids, vectors = ids[keep], vecs[keep]
     if len(ids) == 0:
         raise ValueError("cannot train IVF centroids on an empty table")
     h = spark_xxhash64_long_int(ids, seed)
@@ -160,6 +172,12 @@ def refine_centroids(
                 if not len(pdf):
                     continue
                 x = _as_matrix(pdf[vec_col])
+                # same degenerate-vector mask as the trainers: one NaN
+                # row in a partial sum would poison its centroid
+                n2 = (x**2).sum(axis=1)
+                x = x[(n2 > 0) & np.isfinite(n2)]
+                if not len(x):
+                    continue
                 d2 = c_sq[None, :] - 2.0 * (x @ c.T)
                 assign = d2.argmin(axis=1)
                 np.add.at(counts, assign, 1)
@@ -265,15 +283,17 @@ def ivf_top1(
     )
 
     from fuzzysearch_spark.operators.ann import _norm as _ann_norm
+    from fuzzysearch_spark.operators.ann import _rankable
 
-    # zero-norm vectors are excluded from the re-rank on both sides (the
-    # ann.py zero-norm policy — ANSI divide-by-zero otherwise aborts the
-    # job); they may still appear in probe/home lists, but the base join
-    # below drops them from every scored pair
+    # zero-norm / non-finite vectors are excluded from the re-rank on
+    # both sides (the ann.py degenerate-vector policy — ANSI
+    # divide-by-zero otherwise aborts the job, NaN cosines outrank real
+    # ones); they may still appear in probe/home lists, but the base
+    # join below drops them from every scored pair
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-    ).where(_ann_norm(F.col(vec_col)) > 0)
+    ).where(_rankable(_ann_norm(F.col(vec_col))))
     # bucket join, exploding like the LSH band join: pin its join-key
     # partitioning so AQE doesn't size the exchange by the (small) input —
     # but only past broadcast territory (Catalyst's own size estimate),

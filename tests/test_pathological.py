@@ -148,28 +148,31 @@ def test_zero_norm_embeddings_excluded(spark):
     )
     from fuzzysearch_spark.operators.ivf import ivf_top1
 
+    bad_ids = {3, 5, 6}
     rows = [
         (1, [1.0, 0.0, 0.0]),
         (2, [0.9, 0.1, 0.0]),
-        (3, [0.0, 0.0, 0.0]),  # zero-norm
+        (3, [0.0, 0.0, 0.0]),            # zero-norm
         (4, [0.0, 1.0, 0.0]),
+        (5, [float("nan"), 1.0, 0.0]),   # NaN coord: NaN norm passes > 0!
+        (6, [float("inf"), 1.0, 0.0]),   # Inf coord: Inf norm passes > 0
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     brute = cosine_topk_bruteforce(df, k=1).collect()
     assert {r.vec_id for r in brute} == {1, 2, 4}
-    assert all(r.neighbor_id != 3 for r in brute)
+    assert all(r.neighbor_id not in bad_ids for r in brute)
     top = {r.vec_id: r.neighbor_id for r in brute}
     assert top[1] == 2 and top[2] == 1
 
     lsh = cosine_topk_lsh(df, k=1, dim=3, n_planes=2, multi_probe=True).collect()
-    assert 3 not in {r.vec_id for r in lsh}
-    assert all(r.neighbor_id != 3 for r in lsh)
+    assert bad_ids.isdisjoint({r.vec_id for r in lsh})
+    assert all(r.neighbor_id not in bad_ids for r in lsh)
 
     near = embedding_near_dup_pairs(df, min_cosine=0.9).collect()
-    assert all(3 not in (r.a_id, r.b_id) for r in near)
+    assert all(bad_ids.isdisjoint((r.a_id, r.b_id)) for r in near)
     assert {(r.a_id, r.b_id) for r in near} == {(1, 2)}
 
     ivf = ivf_top1(df, n_centroids=2, n_probe=2).collect()
-    assert 3 not in {r.vec_id for r in ivf}
-    assert all(r.neighbor_id != 3 for r in ivf)
+    assert bad_ids.isdisjoint({r.vec_id for r in ivf})
+    assert all(r.neighbor_id not in bad_ids for r in ivf)

@@ -1,0 +1,167 @@
+"""Hypothesis property tests for the pure kernels.
+
+The randomized parity tests (test_kernels_parity.py etc.) sweep fixed
+seeds; these let hypothesis SEARCH the input space (and shrink any
+counterexample to a minimal one) over the three highest-leverage
+contracts: full-dispatch parity with the reference, the exact-LCS
+kernel vs quadratic DP, and the bounded edit distance vs full DP.
+No Spark — pure-kernel properties only, so the battery stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytest.importorskip("hypothesis")
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from fuzzysearch_spark.kernels.dispatch import find_matches  # noqa: E402
+from fuzzysearch_spark.kernels.pairdist import bounded_edit_distance  # noqa: E402
+from fuzzysearch_spark.kernels.sa import lcs_suffix_array  # noqa: E402
+
+# small alphabets force matches/near-matches instead of noise
+ALPHABETS = ["ab", "abc", "abcde", "abcdefghij"]
+
+
+@st.composite
+def _needle_hay(draw):
+    alpha = draw(st.sampled_from(ALPHABETS))
+    hay = draw(st.text(alphabet=alpha, min_size=0, max_size=80))
+    if draw(st.booleans()) and len(hay) >= 2:
+        # needle cut from the haystack, optionally damaged: guarantees
+        # near-matches exist instead of testing the no-match path only
+        start = draw(st.integers(0, len(hay) - 1))
+        ln = draw(st.integers(1, min(10, len(hay) - start)))
+        needle = hay[start: start + ln]
+        if draw(st.booleans()) and len(needle) >= 2:
+            pos = draw(st.integers(0, len(needle) - 1))
+            needle = needle[:pos] + draw(st.sampled_from(alpha)) + needle[pos + 1:]
+    else:
+        needle = draw(st.text(alphabet=alpha, min_size=1, max_size=8))
+    return needle, hay
+
+
+_PARAMS = st.one_of(
+    st.builds(lambda k: {"max_l_dist": k}, st.integers(0, 3)),
+    st.builds(
+        lambda s: {"max_substitutions": s, "max_insertions": 0, "max_deletions": 0},
+        st.integers(0, 2),
+    ),
+    st.builds(
+        lambda s, i, d: {
+            "max_substitutions": s,
+            "max_insertions": i,
+            "max_deletions": d,
+        },
+        st.integers(0, 2),
+        st.integers(0, 2),
+        st.integers(0, 2),
+    ),
+    st.builds(
+        lambda s, i, d, k: {
+            "max_substitutions": s,
+            "max_insertions": i,
+            "max_deletions": d,
+            "max_l_dist": k,
+        },
+        st.integers(0, 2),
+        st.integers(0, 2),
+        st.integers(0, 2),
+        st.integers(0, 3),
+    ),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(nh=_needle_hay(), params=_PARAMS)
+def test_find_matches_reference_parity(reference, nh, params):
+    """Full-dispatch parity with the reference on ANY (needle, haystack,
+    limits) — including exception parity. Consolidation ties are
+    set-iteration-nondeterministic in the REFERENCE, so equivalence is
+    group count + sorted (dist, length) multiset (the repo-wide
+    tie-aware contract, test_kernels_parity.assert_consolidation_equivalent).
+    """
+    needle, hay = nh
+    try:
+        ref = reference.find_near_matches(needle, hay, **params)
+        ref_err = None
+    except Exception as ex:  # noqa: BLE001 - parity includes error type
+        ref, ref_err = None, type(ex).__name__
+    try:
+        mine = find_matches(needle, hay, **params)
+        my_err = None
+    except Exception as ex:  # noqa: BLE001
+        mine, my_err = None, type(ex).__name__
+    assert my_err == ref_err, (needle, hay, params)
+    if ref_err is None:
+        assert len(mine) == len(ref), (needle, hay, params, mine, ref)
+        assert sorted((m.dist, m.end - m.start) for m in mine) == sorted(
+            (m.dist, m.end - m.start) for m in ref
+        ), (needle, hay, params)
+
+
+def _dp_lcs(a: bytes, b: bytes) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    best = 0
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+@st.composite
+def _byte_pair(draw):
+    alpha = draw(st.sampled_from([b"ab", b"abcd", b"abcdefgh"]))
+    a = bytes(draw(st.lists(st.sampled_from(alpha), max_size=70)))
+    b = bytes(draw(st.lists(st.sampled_from(alpha), max_size=70)))
+    if draw(st.booleans()) and len(a) >= 4:
+        s = draw(st.integers(0, len(a) - 2))
+        ln = draw(st.integers(2, len(a) - s))
+        pos = draw(st.integers(0, len(b)))
+        b = b[:pos] + a[s: s + ln] + b[pos:]
+    return a, b
+
+
+@settings(max_examples=300, deadline=None)
+@given(pair=_byte_pair())
+def test_lcs_suffix_array_vs_dp(pair):
+    a, b = pair
+    assert lcs_suffix_array(a, b) == _dp_lcs(a, b), (a, b)
+
+
+def _dp_lev(a: bytes, b: bytes) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ai != b[j - 1]),
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(pair=_byte_pair(), k=st.integers(0, 6))
+def test_bounded_edit_distance_vs_dp(pair, k):
+    """bounded_edit_distance returns the exact distance when <= k and
+    None past the budget — against the full O(n*m) DP."""
+    a, b = pair
+    true = _dp_lev(a, b)
+    got = bounded_edit_distance(a, b, k)
+    if true <= k:
+        assert got == true, (a, b, k, true, got)
+    else:
+        assert got is None, (a, b, k, true, got)

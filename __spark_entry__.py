@@ -117,7 +117,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 12-gram Jaccard >= 0.7 pairs (ground-truth dedup operator)."""
     from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=12, min_jaccard=0.7)
+    scratch: list = []
+    out = _materialized(
+        spark,
+        ngram_jaccard_pairs(
+            _docs(spark, sf_dir), n=12, min_jaccard=0.7, scratch=scratch
+        ),
+    )
+    for f in scratch:
+        f.unpersist()
+    return out
 
 
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,14 +138,20 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     # persist: the quadratic Jaccard candidate plan must compute exactly
-    # once; the eager count doubles as the verify broadcast-gate hint, and
-    # the final materialize lets the cache release before returning
-    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
+    # once (and its internal gram table once, via scratch); the eager
+    # count doubles as the verify broadcast-gate hint, and the final
+    # materialize lets the caches release before returning
+    scratch: list = []
+    cands = ngram_jaccard_pairs(
+        docs, n=12, min_jaccard=0.7, scratch=scratch
+    ).persist()
     out = _materialized(
         spark,
         edit_distance_pairs(docs, cands, max_l_dist=8, n_pairs_hint=cands.count()),
     )
     cands.unpersist()
+    for f in scratch:
+        f.unpersist()
     return out
 
 
@@ -152,10 +167,14 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    # persist both reused plans: the quadratic Jaccard candidates and the
-    # verified edges (traversed by CC's gate + collect); materialize the
-    # final cluster table, then release both caches before returning
-    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
+    # persist both reused plans: the quadratic Jaccard candidates (and
+    # their internal gram table, via scratch) and the verified edges
+    # (traversed by CC's gate + collect); materialize the final cluster
+    # table, then release every cache before returning
+    scratch: list = []
+    cands = ngram_jaccard_pairs(
+        docs, n=12, min_jaccard=0.7, scratch=scratch
+    ).persist()
     edges = edit_distance_pairs(
         docs, cands, max_l_dist=8, n_pairs_hint=cands.count()
     ).persist()
@@ -168,6 +187,8 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     cands.unpersist()
+    for f in scratch:
+        f.unpersist()
     return out
 
 
@@ -193,14 +214,19 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
 
     docs = _docs(spark, sf_dir)
-    truth = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7)
+    scratch: list = []
+    truth = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7, scratch=scratch)
     with_bands = add_minhash_bands(
         docs.select("doc_id", F.col("text").alias("content")), SignatureConfig()
     )
     cands, _ = lsh_candidate_pairs(with_bands)
-    return truth.select("a_id", "b_id").join(
-        cands, ["a_id", "b_id"], "left_anti"
+    out = _materialized(
+        spark,
+        truth.select("a_id", "b_id").join(cands, ["a_id", "b_id"], "left_anti"),
     )
+    for f in scratch:
+        f.unpersist()
+    return out
 
 
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +326,10 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("path"), "/").getItem(1).cast("long").alias("doc_id"),
         "cluster_id",
     )
-    cands = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7).persist()
+    scratch: list = []
+    cands = ngram_jaccard_pairs(
+        docs, n=12, min_jaccard=0.7, scratch=scratch
+    ).persist()
     truth = edit_distance_pairs(
         docs, cands, max_l_dist=8, n_pairs_hint=cands.count()
     )
@@ -323,6 +352,8 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _materialized(spark, viol)
     cands.unpersist()
+    for f in scratch:
+        f.unpersist()
     return out
 
 

@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scratch: list | None = None,
 ) -> DataFrame:
     """(a_id, b_id, jaccard) for pairs with exact n-gram Jaccard >= threshold.
 
@@ -73,8 +74,18 @@ def ngram_jaccard_pairs(
     while the sort-merge join streams the few matches (A/B at sf0.1: join
     8.0 s vs in-agg 9.5-14.3 s). The in-agg trick wins on HEAVY key
     distributions (LSH band buckets); the join wins on near-unique keys.
+
+    Cache ownership (the ``lsh.py`` contract): the gram table is referenced
+    FOUR times (both self-join sides + the cardinality frame joined twice)
+    and Catalyst does not reuse the exchanges across them, so without a
+    cache the explode+distinct runs four times. With ``scratch`` (a
+    caller-owned list) the gram table persists — one build — and is
+    appended for the CALLER to unpersist; without it nothing persists.
     """
     grams = char_ngram_shingles(docs, n, id_col, text_col, hashed=True)
+    if scratch is not None:
+        grams = grams.persist()
+        scratch.append(grams)
     card = grams.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = grams.alias("a")
     b = grams.alias("b")

@@ -21,6 +21,7 @@ import os
 import shutil
 import tempfile
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +66,27 @@ def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
     path = _tmpdir("fsw_q_")
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@contextmanager
+def _scratch_frames():
+    """Cache registry for one query: every persisted DataFrame appended
+    (by an operator's ``scratch`` contract or the query itself) is
+    unpersisted on exit — INCLUDING error paths, so a failed
+    materialization cannot leak caches and break the module's
+    no-cached-RDDs-after-a-sweep contract. Unpersisting twice is a
+    no-op, so queries may release dead frames early (e.g. a gram table
+    once its consumer is materialized) and still leave them registered.
+    """
+    frames: list = []
+    try:
+        yield frames
+    finally:
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # a dead SparkContext at teardown must not mask errors
 
 
 def _force_utc(spark: SparkSession) -> None:
@@ -117,16 +139,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 12-gram Jaccard >= 0.7 pairs (ground-truth dedup operator)."""
     from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
 
-    scratch: list = []
-    out = _materialized(
-        spark,
-        ngram_jaccard_pairs(
-            _docs(spark, sf_dir), n=12, min_jaccard=0.7, scratch=scratch
-        ),
-    )
-    for f in scratch:
-        f.unpersist()
-    return out
+    with _scratch_frames() as scratch:
+        return _materialized(
+            spark,
+            ngram_jaccard_pairs(
+                _docs(spark, sf_dir), n=12, min_jaccard=0.7, scratch=scratch
+            ),
+        )
 
 
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,21 +157,24 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     # persist: the quadratic Jaccard candidate plan must compute exactly
-    # once (and its internal gram table once, via scratch); the eager
-    # count doubles as the verify broadcast-gate hint, and the final
-    # materialize lets the caches release before returning
-    scratch: list = []
-    cands = ngram_jaccard_pairs(
-        docs, n=12, min_jaccard=0.7, scratch=scratch
-    ).persist()
-    out = _materialized(
-        spark,
-        edit_distance_pairs(docs, cands, max_l_dist=8, n_pairs_hint=cands.count()),
-    )
-    cands.unpersist()
-    for f in scratch:
-        f.unpersist()
-    return out
+    # once (and its internal gram table once, via the operator scratch);
+    # the eager count doubles as the verify broadcast-gate hint AND
+    # materializes cands, after which the gram table is dead — release it
+    # before the heavy verify stage instead of carrying it through
+    with _scratch_frames() as frames:
+        grams: list = []
+        cands = ngram_jaccard_pairs(
+            docs, n=12, min_jaccard=0.7, scratch=grams
+        ).persist()
+        frames.extend(grams)
+        frames.append(cands)
+        hint = cands.count()
+        for f in grams:
+            f.unpersist()
+        return _materialized(
+            spark,
+            edit_distance_pairs(docs, cands, max_l_dist=8, n_pairs_hint=hint),
+        )
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,28 +190,29 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     # persist both reused plans: the quadratic Jaccard candidates (and
-    # their internal gram table, via scratch) and the verified edges
-    # (traversed by CC's gate + collect); materialize the final cluster
-    # table, then release every cache before returning
-    scratch: list = []
-    cands = ngram_jaccard_pairs(
-        docs, n=12, min_jaccard=0.7, scratch=scratch
-    ).persist()
-    edges = edit_distance_pairs(
-        docs, cands, max_l_dist=8, n_pairs_hint=cands.count()
-    ).persist()
-    assignments = connected_components(edges)
-    out = _materialized(
-        spark,
-        attach_clusters(docs.select("doc_id"), assignments).select(
-            "doc_id", "cluster_id"
-        ),
-    )
-    edges.unpersist()
-    cands.unpersist()
-    for f in scratch:
-        f.unpersist()
-    return out
+    # their internal gram table, released as soon as cands materializes)
+    # and the verified edges (traversed by CC's gate + collect)
+    with _scratch_frames() as frames:
+        grams: list = []
+        cands = ngram_jaccard_pairs(
+            docs, n=12, min_jaccard=0.7, scratch=grams
+        ).persist()
+        frames.extend(grams)
+        frames.append(cands)
+        hint = cands.count()
+        for f in grams:
+            f.unpersist()
+        edges = edit_distance_pairs(
+            docs, cands, max_l_dist=8, n_pairs_hint=hint
+        ).persist()
+        frames.append(edges)
+        assignments = connected_components(edges)
+        return _materialized(
+            spark,
+            attach_clusters(docs.select("doc_id"), assignments).select(
+                "doc_id", "cluster_id"
+            ),
+        )
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,19 +237,19 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
 
     docs = _docs(spark, sf_dir)
-    scratch: list = []
-    truth = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7, scratch=scratch)
-    with_bands = add_minhash_bands(
-        docs.select("doc_id", F.col("text").alias("content")), SignatureConfig()
-    )
-    cands, _ = lsh_candidate_pairs(with_bands)
-    out = _materialized(
-        spark,
-        truth.select("a_id", "b_id").join(cands, ["a_id", "b_id"], "left_anti"),
-    )
-    for f in scratch:
-        f.unpersist()
-    return out
+    with _scratch_frames() as scratch:
+        truth = ngram_jaccard_pairs(docs, n=12, min_jaccard=0.7, scratch=scratch)
+        with_bands = add_minhash_bands(
+            docs.select("doc_id", F.col("text").alias("content")),
+            SignatureConfig(),
+        )
+        cands, _ = lsh_candidate_pairs(with_bands)
+        return _materialized(
+            spark,
+            truth.select("a_id", "b_id").join(
+                cands, ["a_id", "b_id"], "left_anti"
+            ),
+        )
 
 
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,12 +261,12 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.functions.signatures import simhash_udf
     from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
 
-    sigs = _docs(spark, sf_dir).select(
-        "doc_id", simhash_udf()(F.col("text")).alias("simhash")
-    ).persist()
-    out = _materialized(spark, simhash_near_dup_pairs(sigs, max_hamming=3))
-    sigs.unpersist()
-    return out
+    with _scratch_frames() as frames:
+        sigs = _docs(spark, sf_dir).select(
+            "doc_id", simhash_udf()(F.col("text")).alias("simhash")
+        ).persist()
+        frames.append(sigs)
+        return _materialized(spark, simhash_near_dup_pairs(sigs, max_hamming=3))
 
 
 def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,31 +286,36 @@ def q_simhash_equivalence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.functions.signatures import simhash_udf
     from fuzzysearch_spark.operators.dedup_extra import simhash_near_dup_pairs
 
-    sigs = _docs(spark, sf_dir).select(
-        "doc_id", simhash_udf()(F.col("text")).alias("simhash")
-    ).persist()  # 5 consumers below — the UDF pass runs once
-    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
-    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
-    truth = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
-        .select("a_id", "b_id")
-    )
-    reports: list = []
-    cands = simhash_near_dup_pairs(sigs, max_hamming=3, report_out=reports).select(
-        "a_id", "b_id"
-    )
-    excluded = reports[0].where(F.col("action") == "excluded").select(
-        F.col("bk").alias("a_id"), F.col("bucket_size").cast("long").alias("b_id")
-    )
-    out = _materialized(
-        spark,
-        truth.join(cands, ["a_id", "b_id"], "left_anti")
-        .unionByName(cands.join(truth, ["a_id", "b_id"], "left_anti"))
-        .unionByName(excluded),
-    )
-    sigs.unpersist()
-    return out
+    with _scratch_frames() as frames:
+        sigs = _docs(spark, sf_dir).select(
+            "doc_id", simhash_udf()(F.col("text")).alias("simhash")
+        ).persist()  # 5 consumers below — the UDF pass runs once
+        frames.append(sigs)
+        a = sigs.select(
+            F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a")
+        )
+        b = sigs.select(
+            F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b")
+        )
+        truth = (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+            .select("a_id", "b_id")
+        )
+        reports: list = []
+        cands = simhash_near_dup_pairs(
+            sigs, max_hamming=3, report_out=reports
+        ).select("a_id", "b_id")
+        excluded = reports[0].where(F.col("action") == "excluded").select(
+            F.col("bk").alias("a_id"),
+            F.col("bucket_size").cast("long").alias("b_id"),
+        )
+        return _materialized(
+            spark,
+            truth.join(cands, ["a_id", "b_id"], "left_anti")
+            .unionByName(cands.join(truth, ["a_id", "b_id"], "left_anti"))
+            .unionByName(excluded),
+        )
 
 
 def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,35 +354,35 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("path"), "/").getItem(1).cast("long").alias("doc_id"),
         "cluster_id",
     )
-    scratch: list = []
-    cands = ngram_jaccard_pairs(
-        docs, n=12, min_jaccard=0.7, scratch=scratch
-    ).persist()
-    truth = edit_distance_pairs(
-        docs, cands, max_l_dist=8, n_pairs_hint=cands.count()
-    )
-    viol = (
-        truth.select("a_id", "b_id")
-        .join(
-            assign.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
-                "cluster_id", "ca"
-            ),
-            "a_id",
+    with _scratch_frames() as frames:
+        grams: list = []
+        cands = ngram_jaccard_pairs(
+            docs, n=12, min_jaccard=0.7, scratch=grams
+        ).persist()
+        frames.extend(grams)
+        frames.append(cands)
+        hint = cands.count()
+        for f in grams:  # dead once cands is materialized
+            f.unpersist()
+        truth = edit_distance_pairs(docs, cands, max_l_dist=8, n_pairs_hint=hint)
+        viol = (
+            truth.select("a_id", "b_id")
+            .join(
+                assign.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+                    "cluster_id", "ca"
+                ),
+                "a_id",
+            )
+            .join(
+                assign.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                    "cluster_id", "cb"
+                ),
+                "b_id",
+            )
+            .where(F.col("ca") != F.col("cb"))
+            .select("a_id", "b_id")
         )
-        .join(
-            assign.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
-                "cluster_id", "cb"
-            ),
-            "b_id",
-        )
-        .where(F.col("ca") != F.col("cb"))
-        .select("a_id", "b_id")
-    )
-    out = _materialized(spark, viol)
-    cands.unpersist()
-    for f in scratch:
-        f.unpersist()
-    return out
+        return _materialized(spark, viol)
 
 
 def _cont_candidates(docs: DataFrame, scratch: list) -> DataFrame:
@@ -382,21 +410,18 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.operators.substring import containment_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    scratch: list = []
-    cands = _cont_candidates(docs, scratch)
-    out = _materialized(
-        spark,
-        containment_pairs(
-            docs,
-            cands,
-            min_block_chars=_CONT_MIN_BLOCK,
-            k=_CONT_K,
-            max_gap=_CONT_MAX_GAP,
-        ),
-    )
-    for f in scratch:
-        f.unpersist()
-    return out
+    with _scratch_frames() as scratch:
+        cands = _cont_candidates(docs, scratch)
+        return _materialized(
+            spark,
+            containment_pairs(
+                docs,
+                cands,
+                min_block_chars=_CONT_MIN_BLOCK,
+                k=_CONT_K,
+                max_gap=_CONT_MAX_GAP,
+            ),
+        )
 
 
 def q_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,11 +430,8 @@ def q_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_containment_candidates_oracle_sql); the downstream block verify has
     its own gram-fixture oracle (_containment_pairs_oracle_sql)."""
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    scratch: list = []
-    out = _materialized(spark, _cont_candidates(docs, scratch))
-    for f in scratch:
-        f.unpersist()
-    return out
+    with _scratch_frames() as scratch:
+        return _materialized(spark, _cont_candidates(docs, scratch))
 
 
 def q_containment_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,17 +443,14 @@ def q_containment_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.operators.substring import exact_containment_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    scratch: list = []
-    cands = _cont_candidates(docs, scratch)
-    out = _materialized(
-        spark,
-        exact_containment_pairs(
-            docs, cands, min_block_chars=_CONT_EXACT_MIN_BLOCK
-        ),
-    )
-    for f in scratch:
-        f.unpersist()
-    return out
+    with _scratch_frames() as scratch:
+        cands = _cont_candidates(docs, scratch)
+        return _materialized(
+            spark,
+            exact_containment_pairs(
+                docs, cands, min_block_chars=_CONT_EXACT_MIN_BLOCK
+            ),
+        )
 
 
 def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,18 +480,17 @@ def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     content = docs.select("doc_id", F.col("text").alias("content"))
-    scratch: list = []
-    found = containment_pairs(
-        content,
-        _cont_candidates(content, scratch),
-        min_block_chars=_CONT_MIN_BLOCK,
-        k=_CONT_K,
-        max_gap=_CONT_MAX_GAP,
-    )
-    out = _materialized(spark, truth.join(found, ["a_id", "b_id"], "left_anti"))
-    for f in scratch:
-        f.unpersist()
-    return out
+    with _scratch_frames() as scratch:
+        found = containment_pairs(
+            content,
+            _cont_candidates(content, scratch),
+            min_block_chars=_CONT_MIN_BLOCK,
+            k=_CONT_K,
+            max_gap=_CONT_MAX_GAP,
+        )
+        return _materialized(
+            spark, truth.join(found, ["a_id", "b_id"], "left_anti")
+        )
 
 
 def q_find_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,93 +562,93 @@ def q_stream_vs_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = SignatureConfig()
     docs = _docs(spark, sf_dir)
     sig = signature_struct_udf(cfg)
-    corpus_sigs = docs.withColumn("sig", sig(F.col("text"))).select(
-        "doc_id",
-        band_keys_col(F.col("sig.minhash"), cfg).alias("bands"),
-        F.col("sig.simhash").alias("simhash"),
-    ).persist()
+    with _scratch_frames() as frames:
+        corpus_sigs = docs.withColumn("sig", sig(F.col("text"))).select(
+            "doc_id",
+            band_keys_col(F.col("sig.minhash"), cfg).alias("bands"),
+            F.col("sig.simhash").alias("simhash"),
+        ).persist()
+        frames.append(corpus_sigs)
 
-    # deterministic re-crawl: every 10th doc, split into two micro-batches
-    arriving = docs.where(F.col("doc_id") % 10 == 0).select(
-        "doc_id",
-        F.to_timestamp(
-            F.when(F.col("doc_id") % 20 == 0, "2026-01-01 00:00:00").otherwise(
-                "2026-01-01 00:05:00"
-            )
-        ).alias("ts"),
-        F.col("text"),
-    ).persist()
-    src = _tmpdir("fsw_stream_src_")
-    arriving.where(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(src, "f0"))
-    arriving.where(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(src, "f1"))
+        # deterministic re-crawl: every 10th doc, split into two micro-batches
+        arriving = docs.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id",
+            F.to_timestamp(
+                F.when(F.col("doc_id") % 20 == 0, "2026-01-01 00:00:00").otherwise(
+                    "2026-01-01 00:05:00"
+                )
+            ).alias("ts"),
+            F.col("text"),
+        ).persist()
+        frames.append(arriving)
+        src = _tmpdir("fsw_stream_src_")
+        arriving.where(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "f0"))
+        arriving.where(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "f1"))
 
-    stream = (
-        spark.readStream.schema(arriving.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(src, "*"))
-    )
-    out = streaming_candidates_vs_corpus(
-        stream, corpus_sigs, cfg, text_col="text", simhash_max_hamming=3
-    )
-    sink = "fsw_stream_vs_corpus_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        streamed = _materialized(
-            spark, spark.table(sink).select("corpus_id", "stream_id")
+        stream = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
         )
-    finally:
-        q.stop()
-        spark.catalog.dropTempView(sink)
-
-    # batch mirror: identical signature/band/Hamming logic, batch execution
-    s = arriving.withColumn("sig", sig(F.col("text"))).select(
-        F.col("doc_id").alias("stream_id"),
-        F.col("sig.simhash").alias("stream_simhash"),
-        F.posexplode(band_keys_col(F.col("sig.minhash"), cfg)).alias(
-            "band_idx", "band_key"
-        ),
-    )
-    c = corpus_sigs.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.col("simhash").alias("corpus_simhash"),
-        F.posexplode("bands").alias("band_idx", "band_key"),
-    )
-    batch = (
-        s.join(c, ["band_idx", "band_key"])
-        .where(
-            F.bit_count(
-                F.col("corpus_simhash").bitwiseXOR(F.col("stream_simhash"))
-            )
-            <= 3
+        out = streaming_candidates_vs_corpus(
+            stream, corpus_sigs, cfg, text_col="text", simhash_max_hamming=3
         )
-        .select("corpus_id", "stream_id")
-        .distinct()
-    )
-    # truth DuckDB can state independently: every re-arrival must surface
-    # its identical corpus twin (identical content => identical signature
-    # => all bands collide at Hamming 0)
-    self_pairs = arriving.select(
-        F.col("doc_id").alias("corpus_id"), F.col("doc_id").alias("stream_id")
-    )
-    viol = (
-        streamed.join(batch, ["corpus_id", "stream_id"], "left_anti")
-        .unionByName(batch.join(streamed, ["corpus_id", "stream_id"], "left_anti"))
-        .unionByName(self_pairs.join(streamed, ["corpus_id", "stream_id"], "left_anti"))
-    )
-    res = _materialized(spark, viol)
-    arriving.unpersist()
-    corpus_sigs.unpersist()
-    return res
+        sink = "fsw_stream_vs_corpus_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            streamed = _materialized(
+                spark, spark.table(sink).select("corpus_id", "stream_id")
+            )
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)
+
+        # batch mirror: identical signature/band/Hamming logic, batch execution
+        s = arriving.withColumn("sig", sig(F.col("text"))).select(
+            F.col("doc_id").alias("stream_id"),
+            F.col("sig.simhash").alias("stream_simhash"),
+            F.posexplode(band_keys_col(F.col("sig.minhash"), cfg)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        c = corpus_sigs.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("simhash").alias("corpus_simhash"),
+            F.posexplode("bands").alias("band_idx", "band_key"),
+        )
+        batch = (
+            s.join(c, ["band_idx", "band_key"])
+            .where(
+                F.bit_count(
+                    F.col("corpus_simhash").bitwiseXOR(F.col("stream_simhash"))
+                )
+                <= 3
+            )
+            .select("corpus_id", "stream_id")
+            .distinct()
+        )
+        # truth DuckDB can state independently: every re-arrival must surface
+        # its identical corpus twin (identical content => identical signature
+        # => all bands collide at Hamming 0)
+        self_pairs = arriving.select(
+            F.col("doc_id").alias("corpus_id"), F.col("doc_id").alias("stream_id")
+        )
+        viol = (
+            streamed.join(batch, ["corpus_id", "stream_id"], "left_anti")
+            .unionByName(batch.join(streamed, ["corpus_id", "stream_id"], "left_anti"))
+            .unionByName(self_pairs.join(streamed, ["corpus_id", "stream_id"], "left_anti"))
+        )
+        return _materialized(spark, viol)
 
 
 def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,10 +962,25 @@ jac AS (
 _JACCARD_CTE = "WITH " + _JACCARD_BODY
 
 
+def _vec_rankable(expr: str = "vec") -> str:
+    """DuckDB mirror of ann.py's ``_rankable`` (0 < ||v|| < inf) over a
+    DOUBLE[] expression — keeps the ANN oracles in lockstep with the
+    engine's degenerate-vector exclusion should the testdata ever grow a
+    zero/NaN/Inf embedding row."""
+    return (
+        f"(sqrt(list_dot_product({expr}, {expr})) > 0"
+        f" AND isfinite(sqrt(list_dot_product({expr}, {expr}))))"
+    )
+
+
+_VEC_RANKABLE = _vec_rankable()
+
+
 def _ann_lsh_oracle_sql() -> str:
     """DuckDB mirror of q_ann_lsh_top1: identical literal hyperplanes,
     identical multi-probe semantics (bit_count(xor) <= 1 == home-or-
-    Hamming-1-bucket candidates), identical rounding and tie-break."""
+    Hamming-1-bucket candidates), identical rounding and tie-break,
+    identical degenerate-vector exclusion (``_VEC_RANKABLE``)."""
     from fuzzysearch_spark.operators.ann import _hyperplanes
 
     planes = _hyperplanes(EMB_DIM, ANN_PLANES, ANN_SEED)
@@ -965,6 +998,7 @@ def _ann_lsh_oracle_sql() -> str:
           SELECT vec_id, vec,
                  {bucket_terms} AS bucket
           FROM v
+          WHERE {_VEC_RANKABLE}
         )
         SELECT a.vec_id,
                b2.vec_id AS neighbor_id,
@@ -1038,12 +1072,17 @@ def _ann_ivf_oracle_sql() -> str:
           SELECT DISTINCT p.vec_id, h.neighbor_id
           FROM probes p JOIN home h USING (cid)
           WHERE p.probe_rank < {n_probe} AND p.vec_id != h.neighbor_id
+        ),
+        r AS (
+          -- the engine's base frame: degenerate vectors may appear in
+          -- probe/home lists but never in a scored pair
+          SELECT vec_id, vec FROM v WHERE {_VEC_RANKABLE}
         )
         SELECT cand.vec_id, cand.neighbor_id,
                ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
         FROM cand
-        JOIN v a ON a.vec_id = cand.vec_id
-        JOIN v b ON b.vec_id = cand.neighbor_id
+        JOIN r a ON a.vec_id = cand.vec_id
+        JOIN r b ON b.vec_id = cand.neighbor_id
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY cand.vec_id
             ORDER BY ROUND(list_cosine_similarity(a.vec, b.vec), 4) DESC,
@@ -1710,28 +1749,35 @@ def oracle_sql() -> dict[str, str]:
                  unnest(range(1, greatest(length(text) - 6 + 2, 1))) AS t(i)
             WHERE substr(text, CAST(i AS INT), 6) = ' data '
         """,
-        "cosine_top1": """
+        "cosine_top1": f"""
+            WITH r AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings
+              WHERE {_vec_rankable('CAST(embedding AS DOUBLE[])')}
+            )
             SELECT a.vec_id,
                    b.vec_id AS neighbor_id,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-                       AS cosine
-            FROM embeddings a
-            JOIN embeddings b ON a.vec_id != b.vec_id
+                   ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+            FROM r a
+            JOIN r b ON a.vec_id != b.vec_id
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY a.vec_id
-                ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                ORDER BY ROUND(list_cosine_similarity(a.vec, b.vec), 4) DESC,
                          b.vec_id ASC
             ) = 1
         """,
-        "embedding_near_dups": """
+        "embedding_near_dups": f"""
+            WITH r AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings
+              WHERE {_vec_rankable('CAST(embedding AS DOUBLE[])')}
+            )
             SELECT a.vec_id AS a_id,
                    b.vec_id AS b_id,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-                       AS cosine
-            FROM embeddings a
-            JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-                  >= 0.4
+                   ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+            FROM r a
+            JOIN r b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
         """,
         "ann_lsh_top1": _ann_lsh_oracle_sql(),
         "ann_ivf_top1": _ann_ivf_oracle_sql(),

@@ -207,9 +207,9 @@ def embedding_near_dup_pairs(
         _norm(F.col(vec_col)).alias("nrm"),
     ).where(_rankable(F.col("nrm")))
     if dim is not None:
-        base = add_sign_bucket(
-            base.withColumnRenamed("vec", vec_col), dim, n_planes
-        ).withColumnRenamed(vec_col, "vec")
+        # bucket on base's own normalized column name — renaming to the
+        # caller's vec_col and back silently required vec_col="embedding"
+        base = add_sign_bucket(base, dim, n_planes, vec_col="vec")
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (
             F.col("a.vec_id") < F.col("b.vec_id")
         )

@@ -289,11 +289,13 @@ def ivf_top1(
     # both sides (the ann.py degenerate-vector policy — ANSI
     # divide-by-zero otherwise aborts the job, NaN cosines outrank real
     # ones); they may still appear in probe/home lists, but the base
-    # join below drops them from every scored pair
+    # join below drops them from every scored pair. The norm rides in
+    # base so it is computed once per ROW, not once per scored pair.
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-    ).where(_rankable(_ann_norm(F.col(vec_col))))
+        _ann_norm(F.col(vec_col)).alias("nrm"),
+    ).where(_rankable(F.col("nrm")))
     # bucket join, exploding like the LSH band join: pin its join-key
     # partitioning so AQE doesn't size the exchange by the (small) input —
     # but only past broadcast territory (Catalyst's own size estimate),
@@ -312,13 +314,15 @@ def ivf_top1(
         .distinct()  # a neighbor can appear in several probed lists
     )
 
-    from fuzzysearch_spark.operators.ann import _dot, _norm  # JVM-side HOFs
+    from fuzzysearch_spark.operators.ann import _dot  # JVM-side HOF
 
     scored = (
         cand.join(base, "vec_id")
         .join(
             base.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("vec").alias("nvec"),
+                F.col("nrm").alias("nnrm"),
             ),
             "neighbor_id",
         )
@@ -327,7 +331,7 @@ def ivf_top1(
             "neighbor_id",
             F.round(
                 _dot(F.col("vec"), F.col("nvec"))
-                / (_norm(F.col("vec")) * _norm(F.col("nvec"))),
+                / (F.col("nrm") * F.col("nnrm")),
                 round_to,
             ).alias("cosine"),
         )

@@ -176,3 +176,24 @@ def test_zero_norm_embeddings_excluded(spark):
     ivf = ivf_top1(df, n_centroids=2, n_probe=2).collect()
     assert bad_ids.isdisjoint({r.vec_id for r in ivf})
     assert all(r.neighbor_id not in bad_ids for r in ivf)
+
+
+def test_embedding_near_dup_pairs_custom_vec_col(spark):
+    """The bucketed (dim given) path must honor a non-default vec_col —
+    it used to hard-require the column to be named 'embedding'."""
+    from fuzzysearch_spark.operators.ann import embedding_near_dup_pairs
+
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.05, 0.0]), (3, [0.0, 1.0, 0.0])]
+    named = spark.createDataFrame(rows, "vid long, emb array<double>")
+    got = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup_pairs(
+            named, min_cosine=0.9, dim=3, id_col="vid", vec_col="emb"
+        ).collect()
+    }
+    default = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup_pairs(default, min_cosine=0.9, dim=3).collect()
+    }
+    assert got == want == {(1, 2)}

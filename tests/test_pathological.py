@@ -197,3 +197,50 @@ def test_embedding_near_dup_pairs_custom_vec_col(spark):
         for r in embedding_near_dup_pairs(default, min_cosine=0.9, dim=3).collect()
     }
     assert got == want == {(1, 2)}
+
+
+def test_find_near_matches_multibyte_chunked_parity(spark):
+    """Multibyte needles/content (CJK + astral-plane emoji — the latter
+    are surrogate PAIRS in UTF-16, stressing JVM substr/length vs Python
+    codepoint indexing) through both the whole-doc and the chunked
+    distributed scans must equal the kernel exactly, offsets included."""
+    import random
+
+    from fuzzysearch_spark.kernels.dispatch import find_matches
+    from fuzzysearch_spark.operators.substring import (
+        find_near_matches_df,
+        find_near_matches_long_df,
+    )
+
+    rng = random.Random(9)
+    alpha = "あいうえお数据🚀abc "
+    needle = "数据🚀あ数据"
+    docs = {}
+    for i in range(1, 30):
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(50, 400)))
+        if i % 3 == 0:
+            pos = rng.randint(0, len(t))
+            dmg = needle[:2] + rng.choice(alpha) + needle[3:]
+            t = t[:pos] + dmg + t[pos:]
+        docs[i] = t
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, content string"
+    )
+    kern = sorted(
+        (d, m.start, m.end, m.dist)
+        for d, t in docs.items()
+        for m in find_matches(needle, t, max_l_dist=1)
+    )
+    assert len(kern) >= 5  # the plant produced matches
+    full = sorted(
+        tuple(r) for r in find_near_matches_df(sdf, needle, max_l_dist=1).collect()
+    )
+    # tiny chunk size forces many boundary splices per document
+    chunk = sorted(
+        tuple(r)
+        for r in find_near_matches_long_df(
+            sdf, needle, max_l_dist=1, chunk_size=37
+        ).collect()
+    )
+    assert full == kern
+    assert chunk == kern

@@ -244,3 +244,77 @@ def test_find_near_matches_multibyte_chunked_parity(spark):
     )
     assert full == kern
     assert chunk == kern
+
+
+def test_streaming_degenerate_content(spark, tmp_path):
+    """Empty-string, sub-shingle, and multibyte documents arriving on a
+    STREAM must flow through the stateful signature path without error,
+    and an arriving multibyte re-occurrence must still surface its corpus
+    twin at Hamming 0 — the streaming analog of the batch degenerate-shape
+    pins."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.functions.signatures import (
+        SignatureConfig,
+        band_keys_col,
+        signature_struct_udf,
+    )
+    from fuzzysearch_spark.streaming.near_dup_stream import (
+        streaming_candidates_vs_corpus,
+    )
+
+    cfg = SignatureConfig()
+    known = "数据去重エンジン🚀 café corpus resident line\n" * 12
+    corpus = spark.createDataFrame(
+        [(201, known), (202, "class SomethingElse:\n    pass\n" * 14)],
+        ["doc_id", "content"],
+    )
+    sig = signature_struct_udf(cfg)
+    corpus_sigs = corpus.withColumn("sig", sig(F.col("content"))).select(
+        "doc_id",
+        band_keys_col(F.col("sig.minhash"), cfg).alias("bands"),
+        F.col("sig.simhash").alias("simhash"),
+    )
+
+    src = tmp_path / "degenerate_stream_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2026-01-01 00:00:00"] * 4),
+            "text": ["", "x", " \n\t ", known],  # empty / 1-char / ws / twin
+        }
+    ).to_parquet(
+        src / "f1.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_candidates_vs_corpus(
+        stream, corpus_sigs, cfg, simhash_max_hamming=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("degenerate_stream_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT corpus_id, stream_id, hamming FROM degenerate_stream_sink"
+        ).collect()
+        # degenerate docs must not error out NOR fabricate candidates;
+        # the multibyte twin must surface exactly once at Hamming 0
+        assert [(r["corpus_id"], r["stream_id"], r["hamming"]) for r in rows] == [
+            (201, 4, 0)
+        ]
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("degenerate_stream_sink")

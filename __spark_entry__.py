@@ -93,6 +93,44 @@ def _force_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _corpus_view(docs: DataFrame) -> DataFrame:
+    """The Iceberg-shaped corpus projection of the documents table
+    (input_hint columns: repo, path, commit, lang, content) — defined ONCE
+    so ``entry()``, the end-to-end ``pipeline_recall_audit``, and
+    ``bench.py`` run the pipeline over structurally the same input; an
+    edit here changes all three together instead of silently turning the
+    recall audit into an audit of a different pipeline."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _jaccard_truth_cands(docs: DataFrame, frames: list) -> tuple[DataFrame, int]:
+    """Materialized exact 12-gram Jaccard >= 0.7 ground-truth candidates
+    plus their count (the verify operator's broadcast-gate hint). The
+    quadratic candidate plan persists into ``frames`` (caller-owned,
+    released by ``_scratch_frames`` on exit); the operator's internal gram
+    table is released HERE — the count materializes the candidates, after
+    which the gram table is dead weight and should not ride through the
+    caller's downstream verify/cluster stages."""
+    from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
+
+    grams: list = []
+    cands = ngram_jaccard_pairs(
+        docs, n=12, min_jaccard=0.7, scratch=grams
+    ).persist()
+    frames.extend(grams)
+    frames.append(cands)
+    hint = cands.count()
+    for f in grams:
+        f.unpersist()
+    return cands, hint
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -103,13 +141,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from fuzzysearch_spark.operators.verify import VerifyConfig
 
     docs = _docs(spark, "/root/testdata/sf0.001")
-    corpus = docs.select(
-        F.col("source").alias("repo"),
-        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-        F.md5(F.col("text")).alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
+    corpus = _corpus_view(docs)
     workdir = _tmpdir("fsw_entry_")
     cfg = DedupConfig(
         workdir=workdir,
@@ -150,27 +182,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-DP verified edit distance <= 8 on Jaccard candidates (L5)."""
-    from fuzzysearch_spark.operators.dedup_extra import (
-        edit_distance_pairs,
-        ngram_jaccard_pairs,
-    )
+    from fuzzysearch_spark.operators.dedup_extra import edit_distance_pairs
 
     docs = _docs(spark, sf_dir)
-    # persist: the quadratic Jaccard candidate plan must compute exactly
-    # once (and its internal gram table once, via the operator scratch);
-    # the eager count doubles as the verify broadcast-gate hint AND
-    # materializes cands, after which the gram table is dead — release it
-    # before the heavy verify stage instead of carrying it through
     with _scratch_frames() as frames:
-        grams: list = []
-        cands = ngram_jaccard_pairs(
-            docs, n=12, min_jaccard=0.7, scratch=grams
-        ).persist()
-        frames.extend(grams)
-        frames.append(cands)
-        hint = cands.count()
-        for f in grams:
-            f.unpersist()
+        cands, hint = _jaccard_truth_cands(docs, frames)
         return _materialized(
             spark,
             edit_distance_pairs(docs, cands, max_l_dist=8, n_pairs_hint=hint),
@@ -183,25 +199,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_clusters,
         connected_components,
     )
-    from fuzzysearch_spark.operators.dedup_extra import (
-        edit_distance_pairs,
-        ngram_jaccard_pairs,
-    )
+    from fuzzysearch_spark.operators.dedup_extra import edit_distance_pairs
 
     docs = _docs(spark, sf_dir)
-    # persist both reused plans: the quadratic Jaccard candidates (and
-    # their internal gram table, released as soon as cands materializes)
-    # and the verified edges (traversed by CC's gate + collect)
+    # persist both reused plans: the quadratic Jaccard candidates (via the
+    # helper) and the verified edges (traversed by CC's gate + collect)
     with _scratch_frames() as frames:
-        grams: list = []
-        cands = ngram_jaccard_pairs(
-            docs, n=12, min_jaccard=0.7, scratch=grams
-        ).persist()
-        frames.extend(grams)
-        frames.append(cands)
-        hint = cands.count()
-        for f in grams:
-            f.unpersist()
+        cands, hint = _jaccard_truth_cands(docs, frames)
         edges = edit_distance_pairs(
             docs, cands, max_l_dist=8, n_pairs_hint=hint
         ).persist()
@@ -223,15 +227,23 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     with_bands = add_minhash_bands(docs, SignatureConfig())
+    # the skew report is not collected here (the returned frame must stay
+    # exactly the candidate pairs for the uncapped DuckDB mirror): a bucket
+    # capped past salt_cap surfaces BOTH as a red mismatch on this row and,
+    # diagnosably, as a folded (bk, bucket_size) row in lsh_recall_audit
     pairs, _ = lsh_candidate_pairs(with_bands)
     return pairs
 
 
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth pairs (12-gram Jaccard >= 0.7) that MinHash-LSH candidate
-    generation MISSED. Expected empty at the default 256x16 geometry; the
-    oracle pins emptiness, so LSH recall over ground truth is a
-    hash-checked invariant in CORRECTNESS, not just a row count."""
+    generation MISSED, plus any 'excluded' skew-report rows folded in as
+    (bk, bucket_size) — the simhash-audit pattern — so a band bucket
+    capped past salt_cap turns this pin red instead of leaving only an
+    unexplained pair-set mismatch on the candidates row. Expected empty at
+    the default 256x16 geometry; the oracle pins emptiness, so LSH recall
+    over ground truth is a hash-checked invariant in CORRECTNESS, not just
+    a row count."""
     from fuzzysearch_spark.functions.signatures import SignatureConfig
     from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
     from fuzzysearch_spark.operators.lsh import add_minhash_bands, lsh_candidate_pairs
@@ -243,12 +255,19 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id", F.col("text").alias("content")),
             SignatureConfig(),
         )
-        cands, _ = lsh_candidate_pairs(with_bands)
+        # operator scratch: the internal bucket aggregation persists, so the
+        # report traversal below reuses it instead of re-running the
+        # signature UDF over content a second time
+        cands, report = lsh_candidate_pairs(with_bands, scratch=scratch)
+        excluded = report.where(F.col("action") == "excluded").select(
+            F.col("bk").alias("a_id"),
+            F.col("bucket_size").cast("long").alias("b_id"),
+        )
         return _materialized(
             spark,
-            truth.select("a_id", "b_id").join(
-                cands, ["a_id", "b_id"], "left_anti"
-            ),
+            truth.select("a_id", "b_id")
+            .join(cands, ["a_id", "b_id"], "left_anti")
+            .unionByName(excluded),
         )
 
 
@@ -327,21 +346,12 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a hash-checked invariant in CORRECTNESS, not just a pytest recall
     pin; reference analog: the golden cluster expectations of
     /root/reference/tests/test_levenshtein.py applied end-to-end."""
-    from fuzzysearch_spark.operators.dedup_extra import (
-        edit_distance_pairs,
-        ngram_jaccard_pairs,
-    )
+    from fuzzysearch_spark.operators.dedup_extra import edit_distance_pairs
     from fuzzysearch_spark.operators.verify import VerifyConfig
     from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
 
     docs = _docs(spark, sf_dir)
-    corpus = docs.select(
-        F.col("source").alias("repo"),
-        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-        F.md5(F.col("text")).alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
+    corpus = _corpus_view(docs)  # entry()'s exact input shape, by construction
     cfg = DedupConfig(
         workdir=_tmpdir("fsw_audit_"),
         resume=False,
@@ -355,15 +365,7 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
     )
     with _scratch_frames() as frames:
-        grams: list = []
-        cands = ngram_jaccard_pairs(
-            docs, n=12, min_jaccard=0.7, scratch=grams
-        ).persist()
-        frames.extend(grams)
-        frames.append(cands)
-        hint = cands.count()
-        for f in grams:  # dead once cands is materialized
-            f.unpersist()
+        cands, hint = _jaccard_truth_cands(docs, frames)
         truth = edit_distance_pairs(docs, cands, max_l_dist=8, n_pairs_hint=hint)
         viol = (
             truth.select("a_id", "b_id")
@@ -456,11 +458,22 @@ def q_containment_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-containment truth pairs (one doc's text appearing verbatim
     inside a longer doc, contained side >= 300 chars) that the winnowing
-    containment stage MISSED. Deterministically empty: at k=16/w=8 a
-    300-char contained run yields >= 35 distinct shared fingerprints (one
-    hash can be the minimum of at most w windows), far above min_shared=6,
-    and the shared run >= 300 >= min_block_chars passes the verifier. The
-    oracle pins emptiness."""
+    containment stage MISSED.
+
+    Why empty HERE: at k=16/w=8 a 300-char contained run selects >= 35
+    fingerprint positions (one hash is the window minimum of at most w
+    windows), far above min_shared=6, and the shared run >= 300 >=
+    min_block_chars passes the verifier. Two stated preconditions — both
+    properties of the corpus, not theorems: (1) selections bound POSITIONS,
+    not distinct VALUES, so a highly repetitive contained block (one short
+    motif repeated) could yield < min_shared distinct shared fingerprints;
+    (2) the rare-fingerprint filter drops fingerprints appearing in more
+    than max_fingerprint_df=200 documents, so a boilerplate block contained
+    verbatim in hundreds of documents could lose ALL its fingerprints. On a
+    corpus violating either precondition this audit goes RED (rows appear;
+    the oracle pins emptiness) — it can never false-pass — which is the
+    designed behavior: an operating-envelope alarm, exactly like the
+    simhash audit's folded excluded-bucket rows."""
     from fuzzysearch_spark.operators.substring import containment_pairs
 
     docs = _docs(spark, sf_dir)
@@ -1111,7 +1124,6 @@ def _minhash_lsh_oracle_sql() -> str:
     ``xxhash64(band_idx, band_key)`` (documented <1e-7 merge-risk bound);
     a freak merge makes this oracle go red, never false-pass.
     """
-    import duckdb
     import numpy as np
 
     from fuzzysearch_spark.functions.signatures import (
@@ -1124,12 +1136,9 @@ def _minhash_lsh_oracle_sql() -> str:
     )
 
     cfg = SignatureConfig()
-    rel = duckdb.sql(
-        "SELECT doc_id, text "
-        f"FROM '{ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
-    ).fetchall()
-    ids = np.array([r[0] for r in rel], dtype=np.int64)
-    datas = [(r[1] or "").encode("utf-8", "surrogatepass") for r in rel]
+    docs = _oracle_docs()  # memoized, digest-checked corpus read
+    ids = np.array([d for d, _ in docs], dtype=np.int64)
+    datas = [data for _, data in docs]
     sig = batch_minhash_signatures(datas, cfg.hash_seeds(), cfg.shingle_k)
     r = cfg.rows_per_band
     lanes = sig.reshape(len(ids) * cfg.bands, r)
@@ -1170,18 +1179,12 @@ def _simhash_pairs_oracle_sql() -> str:
     ``bit_count``/``xor`` operate on two's-complement BIGINTs exactly like
     Spark's, and hamming casts to INTEGER to match Spark's bit_count type.
     """
-    import duckdb
-
     from fuzzysearch_spark.functions.signatures import batch_simhash64
 
-    rel = duckdb.sql(
-        "SELECT doc_id, text "
-        f"FROM '{ORACLE_SF_DIR}/documents.parquet' ORDER BY doc_id"
-    ).fetchall()
-    datas = [(r[1] or "").encode("utf-8", "surrogatepass") for r in rel]
-    sh = batch_simhash64(datas)
+    docs = _oracle_docs()  # memoized, digest-checked corpus read
+    sh = batch_simhash64([data for _, data in docs])
     values = ",\n              ".join(
-        f"({int(r[0])}, {int(s)})" for r, s in zip(rel, sh)
+        f"({doc_id}, {int(s)})" for (doc_id, _), s in zip(docs, sh)
     )
     return f"""
         WITH s(doc_id, sh) AS (
@@ -1309,16 +1312,26 @@ def _grams_fixture_path(docs: list[tuple[int, bytes]]) -> str:
     one row per byte position per document, ``_positional_gram_hashes``
     output (the exact arrays the engine's verify kernels consume).
     Shared by the containment_pairs and containment_pairs_exact oracles."""
+    import hashlib
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from fuzzysearch_spark.operators.substring import _positional_gram_hashes
 
-    # keyed by corpus CONTENT digest, not path: a regenerated corpus at
-    # the same path gets a fresh fixture, never a stale one
+    # keyed by corpus CONTENT digest (a regenerated corpus at the same
+    # path gets a fresh fixture) AND by the gram KERNEL'S OBSERVED
+    # BEHAVIOR: _CONT_K plus a digest of the kernel's output on a fixed
+    # probe string, so editing _positional_gram_hashes or retuning
+    # _CONT_K invalidates the fixture instead of silently reusing rows
+    # computed by the old code
     slug = _oracle_corpus()[0][:12]
-    gpath = f"/tmp/fsw_grams_oracle_{slug}.parquet"
+    probe = _positional_gram_hashes(
+        b"fsw gram-kernel fixture probe 0123456789", _CONT_K
+    )
+    kernel_tag = hashlib.sha256(probe.tobytes()).hexdigest()[:8]
+    gpath = f"/tmp/fsw_grams_oracle_{slug}_k{_CONT_K}_{kernel_tag}.parquet"
     if not os.path.exists(gpath):
         ids, poss, grams = [], [], []
         for doc_id, data in docs:
@@ -1576,9 +1589,18 @@ def _media_oracle_sql(kind: str) -> str:
     from fuzzysearch_spark.multimodal import synthetic_media_rows
 
     n, seed = 90, 5
-    path = f"/tmp/fsw_media_oracle_{n}_{seed}.parquet"
+    # always regenerate the rows (90 tiny payloads — microseconds) and key
+    # the fixture path by their CONTENT digest, not just (n, seed): an edit
+    # to synthetic_media_rows or the codec encoders changes the digest and
+    # forces a fresh fixture instead of silently reusing a stale /tmp file
+    # written by older code (or by another checkout sharing /tmp)
+    rows = synthetic_media_rows(n, seed)
+    digest = hashlib.sha256()
+    for r in rows:
+        digest.update(repr(r[:5]).encode())
+        digest.update(bytes(r[5]))
+    path = f"/tmp/fsw_media_oracle_{n}_{seed}_{digest.hexdigest()[:12]}.parquet"
     if not os.path.exists(path):
-        rows = synthetic_media_rows(n, seed)
         pq.write_table(
             pa.table(
                 {
@@ -1655,7 +1677,77 @@ def _media_oracle_sql(kind: str) -> str:
     """
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of q_lang_id, generated from the engine's own
+    ``LANG_MARKERS`` so a marker-list change cannot drift the oracle.
+
+    Tokenization is the exact mirror of the Spark side
+    (``functions/text.py lang_score_cols``): split ``lower(text)`` on
+    ``[^a-z]+`` and count tokens EQUAL to each marker word. A
+    ``\\b``-word-boundary formulation is NOT equivalent — regex word
+    characters include digits and underscore, so 'the2020s' tokenizes to
+    a counted 'the' under the split but '\\bthe\\b' never matches it.
+    The argmax CASE checks languages in the Spark pick's priority order
+    (en > de > fr > es, ties broken by priority, all-zero → 'und')."""
+    from fuzzysearch_spark.functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        hits = "\n                   + ".join(
+            f"len(list_filter(toks, x -> x = '{w}'))" for w in words
+        )
+        score_exprs.append(f"{hits} AS s_{lang}")
+    scores = ",\n                ".join(score_exprs)
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    arms = "\n                     ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+            WITH low AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z]+') AS toks
+              FROM documents
+            ),
+            scores AS (
+              SELECT doc_id,
+                {scores}
+              FROM low
+            )
+            SELECT doc_id,
+                   CASE WHEN {best} <= 0 THEN 'und'
+                     {arms}
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM scores
+        """
+
+
+_ORACLE_SQL_CACHE: dict[str, dict[str, str]] = {}
+
+
 def oracle_sql() -> dict[str, str]:
+    """Oracle SQL per query, memoized per corpus digest: the expensive
+    builders (IVF k-means training, full-corpus MinHash/SimHash signing,
+    winnowing fingerprints) run once per corpus content, however many
+    times the driver calls this. Returns a fresh dict each call so a
+    caller mutating its copy cannot poison the cache. Keyed by the
+    digests of BOTH oracle inputs (documents + embeddings — the ANN
+    builders train on the latter), so regenerating either mid-process
+    invalidates the memo."""
+    import hashlib
+
+    h = hashlib.sha256(_oracle_corpus()[0].encode())
+    with open(f"{ORACLE_SF_DIR}/embeddings.parquet", "rb") as fh:
+        h.update(hashlib.sha256(fh.read()).digest())
+    digest = h.hexdigest()[:16]
+    cached = _ORACLE_SQL_CACHE.get(digest)
+    if cached is None:
+        cached = _ORACLE_SQL_CACHE[digest] = _build_oracle_sql()
+    return dict(cached)
+
+
+def _build_oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_clusters": """
             SELECT doc_id,
@@ -1818,42 +1910,7 @@ def oracle_sql() -> dict[str, str]:
                    )), 6) AS quality_score
             FROM ratios
         """,
-        "lang_id": """
-            WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
-            scores AS (
-              SELECT doc_id,
-                CAST((length(t) - length(regexp_replace(t, '\\bthe\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\band\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\bof\\b', '', 'g'))) / 2
-                   + (length(t) - length(regexp_replace(t, '\\bto\\b', '', 'g'))) / 2
-                   + (length(t) - length(regexp_replace(t, '\\bis\\b', '', 'g'))) / 2 AS INT) AS s_en,
-                CAST((length(t) - length(regexp_replace(t, '\\bder\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\bund\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\bdie\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\bist\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\bnicht\\b', '', 'g'))) / 5 AS INT) AS s_de,
-                CAST((length(t) - length(regexp_replace(t, '\\ble\\b', '', 'g'))) / 2
-                   + (length(t) - length(regexp_replace(t, '\\bet\\b', '', 'g'))) / 2
-                   + (length(t) - length(regexp_replace(t, '\\bles\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\best\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\bpas\\b', '', 'g'))) / 3 AS INT) AS s_fr,
-                CAST((length(t) - length(regexp_replace(t, '\\bel\\b', '', 'g'))) / 2
-                   + (length(t) - length(regexp_replace(t, '\\bde\\b', '', 'g'))) / 2
-                   + (length(t) - length(regexp_replace(t, '\\bla\\b', '', 'g'))) / 2
-                   + (length(t) - length(regexp_replace(t, '\\bque\\b', '', 'g'))) / 3
-                   + (length(t) - length(regexp_replace(t, '\\bes\\b', '', 'g'))) / 2 AS INT) AS s_es
-              FROM low
-            )
-            SELECT doc_id,
-                   CASE
-                     WHEN s_en >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
-                     WHEN s_de >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
-                     WHEN s_fr >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
-                     WHEN s_es >= GREATEST(s_en, s_de, s_fr, s_es) AND GREATEST(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
-                     ELSE 'und'
-                   END AS lang_pred
-            FROM scores
-        """,
+        "lang_id": _lang_id_oracle_sql(),
         "fingerprints": """
             SELECT doc_id,
                    substr(md5(text), 1, 16) AS fingerprint,

@@ -74,19 +74,14 @@ def _evaluate(df) -> None:
 
 def bench_pipeline(spark) -> tuple[float, int]:
     """Full dedup pipeline over the documents table (fresh workdir)."""
-    from pyspark.sql import functions as F
+    from __spark_entry__ import _corpus_view
 
     from fuzzysearch_spark.operators.verify import VerifyConfig
     from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    corpus = docs.select(
-        F.col("source").alias("repo"),
-        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-        F.md5(F.col("text")).alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
+    # entry()'s exact corpus shape (shared projection — cannot drift)
+    corpus = _corpus_view(docs)
     n_files = corpus.count()
     workdir = tempfile.mkdtemp(prefix="fsw_bench_")
     try:

@@ -79,6 +79,106 @@ def test_stream_vs_corpus_audit_empty_nonvacuous_and_leakfree(spark):
     assert docs.where(F.col("doc_id") % 10 == 0).count() > 0
 
 
+def test_lang_id_oracle_mirrors_split_tokenization():
+    """The DuckDB lang_id oracle must tokenize exactly like the Spark side
+    (split lower(text) on [^a-z]+, count tokens EQUAL to markers) — a
+    regex-\\b formulation diverges on digit/underscore-adjacent stopwords
+    because \\b treats them as word characters. No Spark: the expected
+    side is a python mirror of lang_score_cols + lang_pick_col."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from fuzzysearch_spark.functions.text import LANG_MARKERS
+
+    e = _entry()
+    rows = [
+        (1, "The2020s the THE the_x of to is"),  # \b-divergent 'the' tokens
+        (2, "der und die ist2 nicht_x der"),     # \b-divergent German
+        (3, "le et les est pas"),
+        (4, "el de la que es"),
+        (5, ""),                                  # all-zero -> 'und'
+        (6, "the und"),                           # tie -> priority order
+        (7, "xyz 123 %%%"),
+    ]
+
+    def pick(text):
+        toks = re.split("[^a-z]+", text.lower())
+        scores = {
+            lang: sum(1 for t in toks if t in ws)
+            for lang, ws in LANG_MARKERS.items()
+        }
+        best = max(scores.values())
+        if best <= 0:
+            return "und"
+        for lang in LANG_MARKERS:  # en > de > fr > es (dict order)
+            if scores[lang] == best:
+                return lang
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dict(con.sql(e._lang_id_oracle_sql()).fetchall())
+    want = {doc_id: pick(text) for doc_id, text in rows}
+    assert got == want
+
+
+def test_oracle_fixture_paths_keyed_by_code_and_content(tmp_path, monkeypatch):
+    """The /tmp oracle fixtures must be invalidated by the inputs that
+    produce them: the gram fixture by _CONT_K (a tuning dial) and the
+    media fixture by the synthetic rows' content — a stale fixture from
+    older code/constants must never be silently reused."""
+    import pandas as pd
+
+    e = _entry()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["abcdefghijklmnopqr", "zz"]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    monkeypatch.setattr(e, "ORACLE_SF_DIR", str(tmp_path))
+    docs = e._oracle_docs()
+    p16 = e._grams_fixture_path(docs)
+    monkeypatch.setattr(e, "_CONT_K", 12)
+    p12 = e._grams_fixture_path(docs)
+    assert p16 != p12, "gram fixture path must change with _CONT_K"
+    assert "_k16_" in p16 and "_k12_" in p12
+
+    # media fixture: the path embeds a digest of the regenerated rows, so
+    # a synthetic_media_rows/codec change (different bytes) moves the path
+    sql1 = e._media_oracle_sql("media")
+    import fuzzysearch_spark.multimodal as mm
+
+    real = mm.synthetic_media_rows
+
+    def tweaked(n, seed):
+        rows = [list(r) for r in real(n, seed)]
+        rows[0][5] = bytes(rows[0][5]) + b"\x00"  # one payload byte differs
+        return [tuple(r) for r in rows]
+
+    monkeypatch.setattr(mm, "synthetic_media_rows", tweaked)
+    sql2 = e._media_oracle_sql("media")
+    path1 = next(t for t in sql1.split("'") if t.startswith("/tmp/fsw_media"))
+    path2 = next(t for t in sql2.split("'") if t.startswith("/tmp/fsw_media"))
+    assert path1 != path2, "media fixture path must change with row content"
+
+
+def test_oracle_sql_memoized_and_copy_safe():
+    """oracle_sql() memoizes the expensive builders per input digest and
+    hands back a fresh dict each call (a caller mutating its copy cannot
+    poison the cache)."""
+    import time
+
+    e = _entry()
+    t0 = time.time()
+    first = e.oracle_sql()
+    t1 = time.time()
+    second = e.oracle_sql()
+    t2 = time.time()
+    assert first == second
+    assert (t2 - t1) < (t1 - t0) / 2 or (t2 - t1) < 0.05
+    second["lang_id"] = "BROKEN"
+    assert e.oracle_sql()["lang_id"] != "BROKEN"
+
+
 def test_containment_recall_audit_empty_and_nonvacuous(spark):
     from pyspark.sql import functions as F
 

@@ -387,6 +387,51 @@ def q_pipeline_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialized(spark, viol)
 
 
+def q_delta_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-equivalence emptiness pin for the delta-batch dedup path
+    (``fuzzysearch_spark.delta.delta_dedup``): split the corpus into a base
+    epoch (90%) and a re-crawl increment (every 10th document by doc_id),
+    run the base through the standard pipeline, fold the increment in with
+    ``delta_dedup`` — which re-pairs NOTHING prior-vs-prior — and emit every
+    document whose cluster assignment differs from a full recompute over
+    the whole corpus (or that is missing from either side, via a
+    null-safe full-outer comparison). Cluster ids are component-min doc
+    ids on both sides, so label equality IS partition equality; the oracle
+    pins emptiness. Reference analog: each ``find_near_matches`` call
+    searches a NEW needle against existing sequence state
+    (/root/reference/src/fuzzysearch/__init__.py:35-57) — this is that
+    call shape at corpus scale, new batch vs accumulated index."""
+    from fuzzysearch_spark.delta import delta_dedup
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    docs = _docs(spark, sf_dir)
+    is_delta = F.col("doc_id") % 10 == F.lit(9)
+    full = DedupPipeline(
+        spark, DedupConfig(workdir=_tmpdir("fsw_deltaf_"), resume=False)
+    ).run(_corpus_view(docs))
+    wd0 = _tmpdir("fsw_delta0_")
+    DedupPipeline(spark, DedupConfig(workdir=wd0, resume=False)).run(
+        _corpus_view(docs.where(~is_delta))
+    )
+    incr = delta_dedup(
+        spark,
+        _corpus_view(docs.where(is_delta)),
+        [wd0],
+        DedupConfig(workdir=_tmpdir("fsw_delta1_"), resume=False),
+    )
+    viol = (
+        full.select("doc_id", F.col("cluster_id").alias("full_cluster"))
+        .join(
+            incr.select("doc_id", F.col("cluster_id").alias("incr_cluster")),
+            "doc_id",
+            "full_outer",
+        )
+        .where(~F.col("full_cluster").eqNullSafe(F.col("incr_cluster")))
+        .select("doc_id", "full_cluster", "incr_cluster")
+    )
+    return _materialized(spark, viol)
+
+
 def _cont_candidates(docs: DataFrame, scratch: list) -> DataFrame:
     """Winnowing candidates at the containment-stage constants (_CONT_*,
     defined next to the oracle builders so engine and oracle share one
@@ -927,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_candidates": q_containment_candidates,
         "containment_recall_audit": q_containment_recall_audit,
         "pipeline_recall_audit": q_pipeline_recall_audit,
+        "delta_recall_audit": q_delta_recall_audit,
         "stream_vs_corpus_audit": q_stream_vs_corpus_audit,
         "find_near_matches": q_find_near_matches,
         "find_near_matches_chunked": q_find_near_matches_chunked,
@@ -1786,6 +1832,14 @@ def _build_oracle_sql() -> dict[str, str]:
         # MinHash-LSH pipeline end-to-end
         "pipeline_recall_audit": """
             SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+            WHERE FALSE
+        """,
+        # emptiness pin: the epoch-chained incremental dedup (delta_dedup)
+        # must reproduce the full-recompute cluster partition exactly
+        "delta_recall_audit": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS full_cluster,
+                   CAST(NULL AS BIGINT) AS incr_cluster
             WHERE FALSE
         """,
         # emptiness pin: the streaming stream-vs-corpus join must equal its

@@ -1,0 +1,339 @@
+"""Incremental (delta-batch) dedup: fold a new batch of documents into the
+clustered state of prior pipeline runs WITHOUT re-pairing the prior corpus.
+
+The batch-side answer to the streaming near-dup operators: a daily crawl /
+repo-ingest increment is deduped against an already-clustered 100 TB corpus
+by doing only the NEW work —
+
+* the delta batch is ingested with the same fused scan as the pipeline
+  (sha256 + MinHash bands + SimHash in one content pass);
+* exact dedup joins delta sha256s against the prior epochs' representative
+  table (one row per distinct sha corpus-wide), so re-crawled identical
+  content collapses to an edge, never reaches the fuzzy stages, and inherits
+  its twin's near-dup neighborhood through the existing cluster assignment;
+* LSH candidates come from the delta band keys plus ONLY the bucket-touched
+  slice of prior-epoch band keys (a band bucket with no delta member cannot
+  produce a new pair), and prior-vs-prior pairs are dropped before verify —
+  their edges are already summarized by the prior cluster assignment;
+* connected components runs over (prior assignment edges) ∪ (delta exact
+  edges) ∪ (newly verified fuzzy edges). Folding a component's spanning
+  star instead of its original edge set is exact for connectivity, so the
+  output partition equals the full-recompute partition, and cluster ids
+  (component-min doc ids) match exactly (pytest pins equality vs a full
+  run; the ``delta_recall_audit`` driver query pins ground-truth recall
+  against the DuckDB oracle).
+
+Exactness caveat (documented, not silent): tier decisions in the LSH skew
+control read EXACT bucket sizes, and a delta can push a bucket across
+``max_bucket``/``salt_cap`` boundaries. Up to ``salt_cap`` the pair set is
+still produced in full (salting repartitions work, never drops pairs), so
+equality holds; a bucket crossing ``salt_cap`` is excluded-and-reported in
+whichever run it crosses — the same behavior, and the same report surface,
+as the full pipeline.
+
+Epoch layout: every run — the initial ``DedupPipeline.run`` and each
+``delta_dedup`` — leaves a workdir with the SAME state contract, so epochs
+chain uniformly:
+
+* ``s0_ingest``  — this epoch's docs (content, sha256, n_chars, bands,
+  simhash);
+* ``s1_exact``   — this epoch's docs with GLOBAL exact-dup state:
+  ``exact_group_id`` may point at an earlier epoch's doc, and
+  ``is_representative`` is true only for the corpus-wide first doc of a
+  sha256 (exactly one representative per distinct sha across all epochs);
+* ``s5_clusters`` — the CUMULATIVE assignment (every doc of every epoch so
+  far), so the next delta needs only the LATEST epoch's ``s5_clusters``.
+
+Reference analog: the reference searches a NEW needle against existing
+sequence state per call (/root/reference/src/fuzzysearch/__init__.py:35-57);
+this operator is that call shape at corpus scale — new batch vs accumulated
+index — rather than a whole-corpus rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.operators.components import attach_clusters, connected_components
+from fuzzysearch_spark.operators.exact_dedup import exact_dup_edges, exact_dup_groups
+from fuzzysearch_spark.operators.lsh import explode_bands, lsh_pairs_from_keys
+from fuzzysearch_spark.operators.verify import verify_pairs
+from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+from fuzzysearch_spark.util import ensure_min_partitions
+
+# past this many delta-side rows the map-side broadcast shapes below fall
+# back to plain shuffle joins (same constant class as the pipeline's
+# exact-members gate)
+BROADCAST_MAX_ROWS = 5_000_000
+
+_STATE_STAGES = ("s0_ingest", "s1_exact", "s5_clusters")
+
+
+def _require_state(workdir: str) -> None:
+    for stage in _STATE_STAGES:
+        if not os.path.exists(os.path.join(workdir, stage, "_SUCCESS")):
+            raise ValueError(
+                f"prior epoch {workdir!r} lacks a completed {stage} checkpoint"
+                " — delta_dedup chains only off parquet-mode pipeline runs"
+            )
+
+
+def _stage_metric(workdir: str, stage: str, key: str):
+    """A recorded stage metric from a prior epoch (None when absent) —
+    driver-side JSON read, never a Spark job."""
+    path = os.path.join(workdir, "metrics", f"{stage}.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get(key)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _read_stage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
+    return ensure_min_partitions(
+        spark.read.parquet(os.path.join(workdir, stage))
+    )
+
+
+def _union_stage(spark: SparkSession, workdirs: list[str], stage: str, cols: list[str]) -> DataFrame:
+    out = None
+    for wd in workdirs:
+        part = _read_stage(spark, wd, stage).select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def delta_dedup(
+    spark: SparkSession,
+    raw: DataFrame,
+    base_workdirs: list[str],
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Cluster table over ALL epochs after folding in the ``raw`` delta.
+
+    ``raw``: the new batch in the pipeline's corpus shape (repo, path,
+    commit, lang, content). Delta rows must be NEW documents — distinct
+    (repo, path, commit) from every prior epoch — which any real re-crawl
+    satisfies (a re-fetched file carries a new commit); a repeated key
+    would collide on doc_id and double-count in the output.
+    ``base_workdirs``: prior epoch workdirs in run
+    order (each a completed parquet-mode ``DedupPipeline.run`` or
+    ``delta_dedup`` workdir); empty list = epoch 0, a plain pipeline run.
+    ``cfg.workdir`` is THIS epoch's workdir and must be new; resume within
+    it works exactly like the pipeline's (first missing checkpoint).
+    """
+    if not base_workdirs:
+        return DedupPipeline(spark, cfg).run(raw)
+    if cfg.checkpoint_mode != "parquet":
+        raise ValueError(
+            "delta_dedup requires checkpoint_mode='parquet' — the epoch"
+            " state contract IS the parquet checkpoints"
+        )
+    if cfg.workdir in base_workdirs:
+        raise ValueError("cfg.workdir must be a NEW epoch dir, not a prior one")
+    for wd in base_workdirs:
+        _require_state(wd)
+
+    pipe = DedupPipeline(spark, cfg)
+
+    # -- d0: ingest the delta with the pipeline's own fused scan ----------
+    docs = pipe.ingest(raw)
+    # resume path reads the checkpoint without a count barrier; the barrier
+    # that originally wrote it recorded the exact row count in the metrics
+    # JSON, so resumed runs keep the same broadcast-vs-shuffle plans
+    n_delta = pipe._stage_rows.get("s0_ingest")
+    if n_delta is None:
+        n_delta = _stage_metric(cfg.workdir, "s0_ingest", "rows")
+    small_delta = n_delta is not None and n_delta <= BROADCAST_MAX_ROWS
+
+    # -- d1: GLOBAL exact-dup state for the delta docs ---------------------
+    # One representative row per distinct sha across all prior epochs (the
+    # epoch contract guarantees uniqueness: an epoch marks a rep only for
+    # shas unseen before it).
+    def compute_exact():
+        local = exact_dup_groups(docs)
+        reps = _union_stage(
+            spark,
+            base_workdirs,
+            "s1_exact",
+            ["sha256", "exact_group_id", "is_representative"],
+        ).where("is_representative").select(
+            "sha256", F.col("exact_group_id").alias("prior_group_id")
+        )
+        if small_delta:
+            # avoid shuffling the (big) prior rep table: map-side semi-join
+            # it down to the delta's sha set, then broadcast the survivors
+            delta_shas = local.select("sha256").distinct()
+            hits = reps.join(F.broadcast(delta_shas), "sha256")
+            joined = local.join(F.broadcast(hits), "sha256", "left")
+        else:
+            joined = local.join(reps, "sha256", "left")
+        out = joined.select(
+            "doc_id",
+            "sha256",
+            F.coalesce("prior_group_id", "exact_group_id").alias(
+                "exact_group_id"
+            ),
+            (
+                F.col("prior_group_id").isNull()
+                & (F.col("doc_id") == F.col("exact_group_id"))
+            ).alias("is_representative"),
+        )
+
+        def n_members():
+            n = int(out.where("NOT is_representative").count())
+            return n
+
+        return out, {"n_exact_members": n_members}
+
+    exact = pipe._load_or("s1_exact", compute_exact)
+
+    # -- d3: candidates from delta bands + bucket-touched prior bands -----
+    def compute_candidates():
+        scratch = pipe._stage_scratch("s3_candidates")
+
+        non_rep = exact.where("NOT is_representative").select("doc_id")
+        sigs = docs.select("doc_id", "bands")
+        if small_delta:
+            dsel = sigs.join(F.broadcast(non_rep), "doc_id", "left_anti")
+        else:
+            dsel = sigs.join(
+                exact.where("is_representative").select("doc_id"), "doc_id"
+            )
+        dkv = explode_bands(dsel).select(
+            "doc_id", F.xxhash64("band_idx", "band_key").alias("bk")
+        )
+        dkv = dkv.persist()
+        scratch.append(dkv)
+
+        # bucket keys the delta touches: bounded by n_delta * n_bands rows
+        n_bands = cfg.signature.bands
+        new_bk = dkv.select("bk").distinct()
+        bk_small = (
+            n_delta is not None and n_delta * n_bands <= BROADCAST_MAX_ROWS
+        )
+
+        prior_kv = explode_bands(
+            _union_stage(spark, base_workdirs, "s0_ingest", ["doc_id", "bands"])
+        ).select("doc_id", F.xxhash64("band_idx", "band_key").alias("bk"))
+        touched = prior_kv.join(
+            F.broadcast(new_bk) if bk_small else new_bk, "bk"
+        )
+
+        # prior exact-dup members mirror their representative's buckets —
+        # drop them like the pipeline's candidate stage does. The member
+        # count comes from the epochs' recorded metrics (driver-side JSON),
+        # not a Spark job; unknown metrics fall back to the shuffle join.
+        n_members = 0
+        for wd in base_workdirs:
+            m = _stage_metric(wd, "s1_exact", "n_exact_members")
+            if m is None:
+                n_members = None
+                break
+            n_members += int(m)
+        prior_non_rep = _union_stage(
+            spark, base_workdirs, "s1_exact", ["doc_id", "is_representative"]
+        ).where("NOT is_representative").select("doc_id")
+        if n_members is not None and n_members <= BROADCAST_MAX_ROWS:
+            touched = touched.join(F.broadcast(prior_non_rep), "doc_id", "left_anti")
+        else:
+            touched = touched.join(prior_non_rep, "doc_id", "left_anti")
+
+        kv = dkv.unionByName(touched)
+        pairs, report = lsh_pairs_from_keys(
+            kv,
+            max_bucket=cfg.max_bucket,
+            salt_cap=cfg.salt_cap,
+            scratch=scratch,
+        )
+
+        # prior-vs-prior pairs are already folded into the prior assignment;
+        # keep only pairs with >= 1 delta member
+        delta_ids = dsel.select("doc_id")
+        da = delta_ids.select(
+            F.col("doc_id").alias("a_id"), F.lit(True).alias("a_new")
+        )
+        db = delta_ids.select(
+            F.col("doc_id").alias("b_id"), F.lit(True).alias("b_new")
+        )
+        if small_delta:
+            da, db = F.broadcast(da), F.broadcast(db)
+        fresh = (
+            pairs.join(da, "a_id", "left")
+            .join(db, "b_id", "left")
+            .where(F.coalesce("a_new", F.lit(False)) | F.coalesce("b_new", F.lit(False)))
+            .select("a_id", "b_id")
+        )
+
+        def skew_report():
+            return [
+                {
+                    "bk": int(r["bk"]),
+                    "bucket_size": int(r["bucket_size"]),
+                    "action": r["action"],
+                }
+                for r in report.collect()
+            ]
+
+        return fresh, {"oversized_buckets": skew_report}
+
+    pairs = pipe._load_or("s3_candidates", compute_candidates)
+
+    # -- d4: verify — content for pair members only, across all epochs ----
+    def compute_verified():
+        contents = _union_stage(
+            spark, base_workdirs, "s0_ingest", ["doc_id", "content"]
+        ).unionByName(docs.select("doc_id", "content"))
+        light = _union_stage(
+            spark, base_workdirs, "s0_ingest", ["doc_id", "n_chars", "simhash"]
+        ).unionByName(docs.select("doc_id", "n_chars", "simhash"))
+        return verify_pairs(
+            pairs,
+            contents,
+            cfg.verify,
+            light=light,
+            n_pairs_hint=pipe._stage_rows.get("s3_candidates"),
+        )
+
+    verified = pipe._load_or("s4_verified", compute_verified)
+
+    # -- d5: fold into the prior assignment ---------------------------------
+    def compute_clusters():
+        latest = _read_stage(spark, base_workdirs[-1], "s5_clusters")
+        prior_edges = latest.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(
+            F.col("cluster_id").alias("a_id"), F.col("doc_id").alias("b_id")
+        )
+        edges = (
+            prior_edges.unionByName(exact_dup_edges(exact))
+            .unionByName(verified.select("a_id", "b_id"))
+        )
+        # hint: prior assignment rows bound prior edges; exact counts for
+        # the delta sides come from this run's barriers
+        n_prior = _stage_metric(base_workdirs[-1], "s5_clusters", "rows")
+        n_verified = pipe._stage_rows.get("s4_verified")
+        n_members = _stage_metric(cfg.workdir, "s1_exact", "n_exact_members")
+        hint = (
+            int(n_prior) + int(n_verified) + int(n_members)
+            if None not in (n_prior, n_verified, n_members)
+            else None
+        )
+        assignments = connected_components(
+            edges, assume_distinct=True, emit_roots=False, num_edges_hint=hint
+        )
+        id_cols = ["doc_id", "repo", "path", "commit", "lang", "sha256"]
+        all_docs = latest.select(*id_cols).unionByName(docs.select(*id_cols))
+        out = attach_clusters(all_docs, assignments)
+        # lineage invariant, delta scope: prior epochs were checked by their
+        # own runs; this run re-verifies its checkpointed batch
+        mismatches = int(
+            docs.where(F.sha2("content", 256) != F.col("sha256")).count()
+        )
+        return out, {"sha256_mismatches_delta": mismatches}
+
+    return pipe._load_or("s5_clusters", compute_clusters)

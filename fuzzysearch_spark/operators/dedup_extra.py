@@ -81,6 +81,21 @@ def ngram_jaccard_pairs(
     cache the explode+distinct runs four times. With ``scratch`` (a
     caller-owned list) the gram table persists — one build — and is
     appended for the CALLER to unpersist; without it nothing persists.
+
+    Two more "obvious" plans were measured and REJECTED (interleaved A/B
+    at sf0.1, local[32]):
+
+    * pre-filtering the join to grams with doc-frequency >= 2 (count agg +
+      gated broadcast semi-join, then self-joining only the ~99k hot grams)
+      LOST every pair — 11.98/9.96/8.64 s vs 10.63/9.10/7.06 s current:
+      the extra full-width count exchange costs more than the sort-merge
+      join saves once the gram table is cached.
+    * building per-doc-distinct grams shuffle-free via
+      ``transform(sequence(...)) -> array_distinct -> explode`` LOST 4x
+      (26.7-29.1 s vs 6.6-8.6 s): higher-order functions fall out of
+      whole-stage codegen, which costs far more than the distinct's
+      shuffle (whose map-side partial aggregation already collapses the
+      ~20M raw grams to ~5M distinct rows before the exchange).
     """
     grams = char_ngram_shingles(docs, n, id_col, text_col, hashed=True)
     if scratch is not None:

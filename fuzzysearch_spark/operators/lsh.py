@@ -115,14 +115,40 @@ def lsh_candidate_pairs(
     driver time per run). Standalone callers omit it and get the
     optimizer's own estimate, same gate either way.
     """
-    if salt_cap is None:
-        salt_cap = 50 * max_bucket
     if plan_bytes is None:
         plan_bytes = estimated_plan_bytes(docs_with_bands)
 
     kv = explode_bands(docs_with_bands, id_col).select(
         "doc_id", F.xxhash64("band_idx", "band_key").alias("bk")
     )
+    return lsh_pairs_from_keys(
+        kv,
+        max_bucket=max_bucket,
+        salt_cap=salt_cap,
+        scratch=scratch,
+        plan_bytes=plan_bytes,
+    )
+
+
+def lsh_pairs_from_keys(
+    kv: DataFrame,
+    max_bucket: int = 1000,
+    salt_cap: int | None = None,
+    scratch: list | None = None,
+    plan_bytes: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``lsh_candidate_pairs`` over a pre-exploded ``(doc_id, bk)`` band-key
+    table — the shared tier machinery for callers that assemble the band
+    rows themselves (the delta path unions new-doc band keys with the
+    bucket-touched slice of prior-epoch band keys; the standard operator
+    above delegates here after its own explode). Same contract: distinct
+    (a_id < b_id) pairs + skew report, three-tier skew control, caller-owned
+    ``scratch`` cache ownership.
+    """
+    if salt_cap is None:
+        salt_cap = 50 * max_bucket
+    if plan_bytes is None:
+        plan_bytes = estimated_plan_bytes(kv)
 
     # The partitioning pin matters AT SCALE: the agg output is tiny relative
     # to the pair set the expansion EXPLODES into, so AQE's size-based
@@ -132,7 +158,7 @@ def lsh_candidate_pairs(
     # follows cluster parallelism. Size-gated on Catalyst's own estimate
     # (unknown stats read as large): below the gate AQE plans freely.
     if plan_bytes > PIN_PARTITIONING_MIN_BYTES:
-        n_parts = 4 * docs_with_bands.sparkSession.sparkContext.defaultParallelism
+        n_parts = 4 * kv.sparkSession.sparkContext.defaultParallelism
         kv = kv.repartition(n_parts, "bk")
 
     # ONE aggregation gathers each bucket's member list AND its exact size;
@@ -184,7 +210,7 @@ def lsh_candidate_pairs(
     # WITHOUT scratch the branch re-runs the agg merge from the reused
     # exchange — full width is correct there, narrowing it would serialize
     # a real aggregation.
-    n_block_parts = docs_with_bands.sparkSession.sparkContext.defaultParallelism
+    n_block_parts = kv.sparkSession.sparkContext.defaultParallelism
     oversized_src = grouped.where(F.size("ids") > max_bucket)
     if scratch is not None:
         oversized_src = oversized_src.coalesce(max(2, n_block_parts // 8))

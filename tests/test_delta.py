@@ -1,0 +1,171 @@
+"""Incremental (delta-batch) dedup: epoch-chained ``delta_dedup`` must
+reproduce the full-recompute cluster partition exactly — same doc set, same
+cluster ids (component-min doc ids) — while doing only delta-touched work.
+
+The equivalence is exact by construction (see fuzzysearch_spark/delta.py
+module docstring): prior verified connectivity folds in as the prior
+assignment's spanning star, delta exact dups inherit through global sha256
+representatives, and LSH tier decisions see the same bucket membership the
+full run sees (delta keys ∪ touched prior keys).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from fuzzysearch_spark import corpus as C
+from fuzzysearch_spark.delta import delta_dedup
+from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+
+@pytest.fixture(scope="module")
+def planted():
+    # 300 files, ~30% planted relationships; split points below are chosen
+    # past n_base (210) so every epoch BOUNDARY crosses planted near-dup /
+    # exact-dup pairs (derived rows reference arbitrary earlier rows).
+    return C.generate(n_files=300, seed=7, max_l_dist=4)
+
+
+def _subset_df(spark, planted, lo, hi):
+    sub = C.PlantedCorpus(rows=planted.rows[lo:hi])
+    return C.to_spark_df(spark, sub)
+
+
+def _clusters(df) -> dict:
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def full_clusters(spark, planted, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("delta_full"))
+    out = DedupPipeline(spark, DedupConfig(workdir=wd)).run(
+        _subset_df(spark, planted, 0, len(planted.rows))
+    )
+    return _clusters(out)
+
+
+@pytest.fixture(scope="module")
+def two_epoch(spark, planted, tmp_path_factory):
+    """Epoch 0 over rows[:250], one delta over rows[250:]."""
+    wd0 = str(tmp_path_factory.mktemp("delta_e0"))
+    wd1 = str(tmp_path_factory.mktemp("delta_e1"))
+    DedupPipeline(spark, DedupConfig(workdir=wd0)).run(
+        _subset_df(spark, planted, 0, 250)
+    )
+    out = delta_dedup(
+        spark,
+        _subset_df(spark, planted, 250, 300),
+        [wd0],
+        DedupConfig(workdir=wd1),
+    )
+    return {"wd0": wd0, "wd1": wd1, "clusters": _clusters(out)}
+
+
+def test_two_epoch_partition_equals_full_run(full_clusters, two_epoch):
+    assert two_epoch["clusters"] == full_clusters
+
+
+def test_three_epoch_chain_equals_full_run(
+    spark, planted, tmp_path_factory, full_clusters
+):
+    wds = [str(tmp_path_factory.mktemp(f"delta_c{i}")) for i in range(3)]
+    DedupPipeline(spark, DedupConfig(workdir=wds[0])).run(
+        _subset_df(spark, planted, 0, 220)
+    )
+    delta_dedup(
+        spark,
+        _subset_df(spark, planted, 220, 265),
+        [wds[0]],
+        DedupConfig(workdir=wds[1]),
+    )
+    out = delta_dedup(
+        spark,
+        _subset_df(spark, planted, 265, 300),
+        [wds[0], wds[1]],
+        DedupConfig(workdir=wds[2]),
+    )
+    assert _clusters(out) == full_clusters
+
+
+def test_delta_candidates_all_touch_delta_docs(spark, two_epoch):
+    """Structural pin on the 'only new work' claim: every candidate pair the
+    delta epoch verified has at least one delta-side member — prior-vs-prior
+    pairs never re-enter the verify stage."""
+    delta_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{two_epoch['wd1']}/s0_ingest")
+        .select("doc_id")
+        .collect()
+    }
+    pairs = spark.read.parquet(f"{two_epoch['wd1']}/s3_candidates").collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["a_id"] in delta_ids or r["b_id"] in delta_ids
+
+
+def test_delta_exact_dups_inherit_prior_representative(spark, two_epoch):
+    """A delta doc whose sha256 already exists in a prior epoch must be
+    non-representative with exact_group_id pointing at the prior epoch's
+    representative (global, cross-epoch exact-dup state)."""
+    prior = {
+        r["sha256"]: r["exact_group_id"]
+        for r in spark.read.parquet(f"{two_epoch['wd0']}/s1_exact")
+        .where("is_representative")
+        .collect()
+    }
+    delta_exact = spark.read.parquet(f"{two_epoch['wd1']}/s1_exact").collect()
+    inherited = [r for r in delta_exact if r["sha256"] in prior]
+    assert inherited, "planted corpus should recross an exact dup at the split"
+    for r in inherited:
+        assert not r["is_representative"]
+        assert r["exact_group_id"] == prior[r["sha256"]]
+    # and exactly one representative per sha corpus-wide: no delta doc whose
+    # sha is prior-known may claim representative status
+    fresh_reps = [
+        r for r in delta_exact if r["is_representative"] and r["sha256"] in prior
+    ]
+    assert fresh_reps == []
+
+
+def test_delta_resume_from_checkpoint(spark, planted, two_epoch, full_clusters):
+    wd1 = two_epoch["wd1"]
+    shutil.rmtree(f"{wd1}/s5_clusters")
+    out = delta_dedup(
+        spark,
+        _subset_df(spark, planted, 250, 300),
+        [two_epoch["wd0"]],
+        DedupConfig(workdir=wd1),
+    )
+    assert _clusters(out) == full_clusters
+
+
+def test_delta_stage_metrics_written(two_epoch):
+    with open(f"{two_epoch['wd1']}/metrics/s3_candidates.json") as f:
+        m = json.load(f)
+    assert m["stage"] == "s3_candidates"
+    assert "oversized_buckets" in m
+    with open(f"{two_epoch['wd1']}/metrics/s5_clusters.json") as f:
+        m = json.load(f)
+    assert m["sha256_mismatches_delta"] == 0
+
+
+def test_delta_guards(spark, planted, two_epoch, tmp_path):
+    df = _subset_df(spark, planted, 250, 300)
+    with pytest.raises(ValueError, match="parquet"):
+        delta_dedup(
+            spark,
+            df,
+            [two_epoch["wd0"]],
+            DedupConfig(workdir=str(tmp_path), checkpoint_mode="memory"),
+        )
+    with pytest.raises(ValueError, match="NEW epoch"):
+        delta_dedup(
+            spark, df, [two_epoch["wd0"]], DedupConfig(workdir=two_epoch["wd0"])
+        )
+    with pytest.raises(ValueError, match="lacks a completed"):
+        delta_dedup(
+            spark, df, [str(tmp_path / "nope")], DedupConfig(workdir=str(tmp_path))
+        )

@@ -60,26 +60,52 @@ from pyspark.sql import functions as F
 
 from fuzzysearch_spark.operators.components import attach_clusters, connected_components
 from fuzzysearch_spark.operators.exact_dedup import exact_dup_edges, exact_dup_groups
-from fuzzysearch_spark.operators.lsh import explode_bands, lsh_pairs_from_keys
+from fuzzysearch_spark.operators.lsh import band_key_table, lsh_pairs_from_keys
 from fuzzysearch_spark.operators.verify import verify_pairs
-from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline, config_snapshot
 from fuzzysearch_spark.util import ensure_min_partitions
 
-# past this many delta-side rows the map-side broadcast shapes below fall
-# back to plain shuffle joins (same constant class as the pipeline's
-# exact-members gate)
+# past this many delta-side rows the map-side broadcast shapes on doc_id
+# keys fall back to plain shuffle joins (same ~8 B/row constant class as
+# the pipeline's exact-members gate)
 BROADCAST_MAX_ROWS = 5_000_000
+# sha256-keyed broadcasts carry 64-char strings — ~10x the serialized bytes
+# of a doc_id row — so their gate is 10x lower for the same memory budget
+SHA_BROADCAST_MAX_ROWS = 500_000
 
 _STATE_STAGES = ("s0_ingest", "s1_exact", "s5_clusters")
 
 
-def _require_state(workdir: str) -> None:
+def _require_state(workdir: str, snap: dict) -> None:
     for stage in _STATE_STAGES:
         if not os.path.exists(os.path.join(workdir, stage, "_SUCCESS")):
             raise ValueError(
                 f"prior epoch {workdir!r} lacks a completed {stage} checkpoint"
                 " — delta_dedup chains only off parquet-mode pipeline runs"
             )
+    # the incremental-equivalence proof assumes every epoch ran the SAME
+    # result-determining config: signature geometry decides whether prior
+    # band keys can collide with delta band keys at all, verify thresholds
+    # decide which edges exist. A mismatch would produce silently wrong
+    # clusters, so it is an error, never a fallback.
+    cfg_path = os.path.join(workdir, "config.json")
+    try:
+        with open(cfg_path) as f:
+            prior = json.load(f)
+    except OSError:
+        raise ValueError(
+            f"prior epoch {workdir!r} has no config.json — re-run it (any"
+            " DedupPipeline/delta_dedup run records one) before chaining"
+        )
+    if prior != snap:
+        diff = sorted(
+            k for k in set(prior) | set(snap) if prior.get(k) != snap.get(k)
+        )
+        raise ValueError(
+            f"config mismatch vs prior epoch {workdir!r} in {diff}: delta"
+            f" epochs must use the config that produced the prior state"
+            f" (prior={prior}, this={snap})"
+        )
 
 
 def _stage_metric(workdir: str, stage: str, key: str):
@@ -135,20 +161,26 @@ def delta_dedup(
         )
     if cfg.workdir in base_workdirs:
         raise ValueError("cfg.workdir must be a NEW epoch dir, not a prior one")
+    snap = config_snapshot(cfg)
     for wd in base_workdirs:
-        _require_state(wd)
+        _require_state(wd, snap)
 
     pipe = DedupPipeline(spark, cfg)
 
+    def _rows(stage: str) -> int | None:
+        """Exact row count of one of THIS epoch's completed stages: the
+        in-process barrier count when the stage ran in this process, else
+        the metrics JSON the original barrier wrote (resume path) — so
+        resumed runs keep the same size-gated physical plans."""
+        n = pipe._stage_rows.get(stage)
+        return n if n is not None else _stage_metric(cfg.workdir, stage, "rows")
+
     # -- d0: ingest the delta with the pipeline's own fused scan ----------
     docs = pipe.ingest(raw)
-    # resume path reads the checkpoint without a count barrier; the barrier
-    # that originally wrote it recorded the exact row count in the metrics
-    # JSON, so resumed runs keep the same broadcast-vs-shuffle plans
-    n_delta = pipe._stage_rows.get("s0_ingest")
-    if n_delta is None:
-        n_delta = _stage_metric(cfg.workdir, "s0_ingest", "rows")
+    n_delta = _rows("s0_ingest")
     small_delta = n_delta is not None and n_delta <= BROADCAST_MAX_ROWS
+    # sha256-keyed broadcasts (64-char strings) get the 10x-lower gate
+    sha_small = n_delta is not None and n_delta <= SHA_BROADCAST_MAX_ROWS
 
     # -- d1: GLOBAL exact-dup state for the delta docs ---------------------
     # One representative row per distinct sha across all prior epochs (the
@@ -164,9 +196,10 @@ def delta_dedup(
         ).where("is_representative").select(
             "sha256", F.col("exact_group_id").alias("prior_group_id")
         )
-        if small_delta:
+        if sha_small:
             # avoid shuffling the (big) prior rep table: map-side semi-join
             # it down to the delta's sha set, then broadcast the survivors
+            # (both frames bounded by the delta's distinct-sha count)
             delta_shas = local.select("sha256").distinct()
             hits = reps.join(F.broadcast(delta_shas), "sha256")
             joined = local.join(F.broadcast(hits), "sha256", "left")
@@ -204,10 +237,7 @@ def delta_dedup(
             dsel = sigs.join(
                 exact.where("is_representative").select("doc_id"), "doc_id"
             )
-        dkv = explode_bands(dsel).select(
-            "doc_id", F.xxhash64("band_idx", "band_key").alias("bk")
-        )
-        dkv = dkv.persist()
+        dkv = band_key_table(dsel).persist()
         scratch.append(dkv)
 
         # bucket keys the delta touches: bounded by n_delta * n_bands rows
@@ -217,17 +247,13 @@ def delta_dedup(
             n_delta is not None and n_delta * n_bands <= BROADCAST_MAX_ROWS
         )
 
-        prior_kv = explode_bands(
-            _union_stage(spark, base_workdirs, "s0_ingest", ["doc_id", "bands"])
-        ).select("doc_id", F.xxhash64("band_idx", "band_key").alias("bk"))
-        touched = prior_kv.join(
-            F.broadcast(new_bk) if bk_small else new_bk, "bk"
-        )
-
         # prior exact-dup members mirror their representative's buckets —
-        # drop them like the pipeline's candidate stage does. The member
-        # count comes from the epochs' recorded metrics (driver-side JSON),
-        # not a Spark job; unknown metrics fall back to the shuffle join.
+        # drop them BEFORE exploding bands (doc granularity: n_bands x
+        # fewer rows through the explode + hash + bucket join than a
+        # post-join filter, and on a dedup-heavy corpus the dropped mass
+        # is the dominant one). The member count comes from the epochs'
+        # recorded metrics (driver-side JSON), not a Spark job; unknown
+        # metrics fall back to the shuffle join.
         n_members = 0
         for wd in base_workdirs:
             m = _stage_metric(wd, "s1_exact", "n_exact_members")
@@ -238,10 +264,18 @@ def delta_dedup(
         prior_non_rep = _union_stage(
             spark, base_workdirs, "s1_exact", ["doc_id", "is_representative"]
         ).where("NOT is_representative").select("doc_id")
+        prior_docs = _union_stage(
+            spark, base_workdirs, "s0_ingest", ["doc_id", "bands"]
+        )
         if n_members is not None and n_members <= BROADCAST_MAX_ROWS:
-            touched = touched.join(F.broadcast(prior_non_rep), "doc_id", "left_anti")
+            prior_reps = prior_docs.join(
+                F.broadcast(prior_non_rep), "doc_id", "left_anti"
+            )
         else:
-            touched = touched.join(prior_non_rep, "doc_id", "left_anti")
+            prior_reps = prior_docs.join(prior_non_rep, "doc_id", "left_anti")
+        touched = band_key_table(prior_reps).join(
+            F.broadcast(new_bk) if bk_small else new_bk, "bk"
+        )
 
         kv = dkv.unionByName(touched)
         pairs, report = lsh_pairs_from_keys(
@@ -296,7 +330,7 @@ def delta_dedup(
             contents,
             cfg.verify,
             light=light,
-            n_pairs_hint=pipe._stage_rows.get("s3_candidates"),
+            n_pairs_hint=_rows("s3_candidates"),
         )
 
     verified = pipe._load_or("s4_verified", compute_verified)
@@ -313,10 +347,11 @@ def delta_dedup(
             prior_edges.unionByName(exact_dup_edges(exact))
             .unionByName(verified.select("a_id", "b_id"))
         )
-        # hint: prior assignment rows bound prior edges; exact counts for
-        # the delta sides come from this run's barriers
+        # hint (trusted upper bound): prior assignment rows bound prior
+        # edges; delta-side counts come from this run's barriers or, on
+        # resume, the metrics the original barriers wrote
         n_prior = _stage_metric(base_workdirs[-1], "s5_clusters", "rows")
-        n_verified = pipe._stage_rows.get("s4_verified")
+        n_verified = _rows("s4_verified")
         n_members = _stage_metric(cfg.workdir, "s1_exact", "n_exact_members")
         hint = (
             int(n_prior) + int(n_verified) + int(n_members)

@@ -83,6 +83,20 @@ def explode_bands(docs_with_bands: DataFrame, id_col: str = "doc_id") -> DataFra
     )
 
 
+def band_key_table(docs_with_bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bk) — the xxhash64-compressed band-bucket key space.
+
+    This is THE bucket-key derivation, defined once: the batch operator
+    below and the delta path's touched-bucket join
+    (fuzzysearch_spark/delta.py) both key buckets through it, and the delta
+    join only matches if every caller derives ``bk`` bit-identically —
+    a drifted copy would silently make cross-epoch pairs vanish.
+    """
+    return explode_bands(docs_with_bands, id_col).select(
+        "doc_id", F.xxhash64("band_idx", "band_key").alias("bk")
+    )
+
+
 def lsh_candidate_pairs(
     docs_with_bands: DataFrame,
     id_col: str = "doc_id",
@@ -118,9 +132,7 @@ def lsh_candidate_pairs(
     if plan_bytes is None:
         plan_bytes = estimated_plan_bytes(docs_with_bands)
 
-    kv = explode_bands(docs_with_bands, id_col).select(
-        "doc_id", F.xxhash64("band_idx", "band_key").alias("bk")
-    )
+    kv = band_key_table(docs_with_bands, id_col)
     return lsh_pairs_from_keys(
         kv,
         max_bucket=max_bucket,

@@ -68,6 +68,21 @@ class DedupConfig:
     checkpoint_mode: str = "parquet"
 
 
+def config_snapshot(cfg: DedupConfig) -> dict:
+    """The result-determining subset of a DedupConfig as plain JSON:
+    signature geometry, verify thresholds, and the LSH skew caps. Two runs
+    with equal snapshots produce the same cluster partition on the same
+    input (checkpoint_mode/workdir/resume affect only physical execution)."""
+    import dataclasses
+
+    return {
+        "signature": dataclasses.asdict(cfg.signature),
+        "verify": dataclasses.asdict(cfg.verify),
+        "max_bucket": cfg.max_bucket,
+        "salt_cap": cfg.salt_cap,
+    }
+
+
 STAGES = [
     "s0_ingest",
     "s1_exact",
@@ -95,6 +110,21 @@ class DedupPipeline:
         self._lock = threading.Lock()
         self._n_exact_members: int | None = None
         os.makedirs(os.path.join(cfg.workdir, "metrics"), exist_ok=True)
+        self._record_config()
+
+    def _record_config(self) -> None:
+        """Snapshot the result-determining config to ``workdir/config.json``
+        so epoch chaining (fuzzysearch_spark/delta.py) can verify a delta
+        run uses the SAME geometry/thresholds that produced the prior
+        epochs' state — the incremental-equivalence proof depends on it.
+        First run wins under resume (the file describes the config that
+        PRODUCED the checkpoints); a non-resume run overwrites, since it
+        recomputes every checkpoint."""
+        path = os.path.join(self.cfg.workdir, "config.json")
+        if self.cfg.resume and os.path.exists(path):
+            return
+        with open(path, "w") as f:
+            json.dump(config_snapshot(self.cfg), f, indent=2, sort_keys=True)
 
     def _stage_scratch(self, stage: str) -> list:
         """The caller-owned cache list for ``stage`` (see __init__)."""

@@ -169,3 +169,23 @@ def test_delta_guards(spark, planted, two_epoch, tmp_path):
         delta_dedup(
             spark, df, [str(tmp_path / "nope")], DedupConfig(workdir=str(tmp_path))
         )
+    # result-determining config must match the one that produced the prior
+    # state — a silent mismatch would mean silently wrong clusters
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+
+    with pytest.raises(ValueError, match="config mismatch.*verify"):
+        delta_dedup(
+            spark,
+            df,
+            [two_epoch["wd0"]],
+            DedupConfig(workdir=str(tmp_path), verify=VerifyConfig(max_l_dist=2)),
+        )
+    from fuzzysearch_spark.functions.signatures import SignatureConfig
+
+    with pytest.raises(ValueError, match="config mismatch.*signature"):
+        delta_dedup(
+            spark,
+            df,
+            [two_epoch["wd0"]],
+            DedupConfig(workdir=str(tmp_path), signature=SignatureConfig(bands=8)),
+        )

@@ -839,6 +839,115 @@ def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub (training-data cleanse stage): per-document match
+    counts for every rule in ``PII_RULES`` plus the fully redacted text —
+    all JVM regexp expressions in one codegen'd projection, no UDF, no
+    shuffle. The synthetic documents carry no organic PII, so the query
+    plants deterministic doc_id-derived PII (emails / IPv4s / AWS-style
+    keys / 40-hex digests, each on a different doc_id residue class so
+    zero-match docs are exercised too); the oracle rebuilds the SAME
+    planted text and redoes the scrub in DuckDB's RE2 engine — an
+    independent implementation of the same dialect-portable rule spec
+    (patterns interpolated from PII_RULES itself, so engine and oracle
+    cannot drift)."""
+    from fuzzysearch_spark.functions.scrub import scrub_report
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                (d % 97).cast("string"),
+                F.lit("@mail"),
+                (d % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 223).cast("string"),
+                F.lit(".0."),
+                (d % 251).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" token AKIA"), F.upper(F.substring(F.md5(ds), 1, 16))),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" digest "),
+                F.substring(
+                    F.concat(F.md5(ds), F.md5(F.concat(ds, F.lit("x")))), 1, 40
+                ),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return scrub_report(docs.select("doc_id", aug.alias("text")))
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """DuckDB mirror of q_pii_scrub: identical planted text, identical rule
+    patterns (interpolated from PII_RULES — single source of truth), scrub
+    redone by RE2 instead of Java regex."""
+    from fuzzysearch_spark.functions.scrub import PII_RULES
+
+    scrub_expr = "text"
+    for _, pat, token in PII_RULES:
+        scrub_expr = f"regexp_replace({scrub_expr}, '{pat}', '{token}', 'g')"
+    count_cols = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_RULES)
+    return f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || (doc_id % 97) || '@mail'
+                               || (doc_id % 7) || '.example.com'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0
+                          THEN ' from 10.' || (doc_id % 223) || '.0.'
+                               || (doc_id % 251)
+                          ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' token AKIA'
+                               || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                          ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' digest '
+                               || substr(md5(CAST(doc_id AS VARCHAR))
+                                         || md5(CAST(doc_id AS VARCHAR) || 'x'),
+                                         1, 40)
+                          ELSE '' END
+                       AS text
+              FROM documents
+            ),
+            counted AS (
+              SELECT doc_id,
+                   {count_cols},
+                   {scrub_expr} AS scrubbed
+              FROM aug
+            )
+            SELECT doc_id,
+                   {", ".join(f"n_{name}" for name, _, _ in PII_RULES)},
+                   {total} AS n_pii_total,
+                   scrubbed,
+                   length(scrubbed) AS scrubbed_len
+            FROM counted
+        """
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (C1/C2 as a window): 30-min-gap sessions per user."""
     from pyspark.sql import Window
@@ -986,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "doc_stats_by_lang": q_doc_stats_by_lang,
+        "pii_scrub": q_pii_scrub,
         "event_sessions": q_event_sessions,
         "best_event_per_session": q_best_event_per_session,
         "top_value_users": q_top_value_users,
@@ -1979,6 +2089,7 @@ def _build_oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, source
         """,
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "event_sessions": """
             WITH flagged AS (
               SELECT user_id, event_id, ts, value,

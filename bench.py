@@ -125,6 +125,7 @@ def main():
         "ann_ivf_top1",
         "token_counts",
         "quality_scores",
+        "pii_scrub",
         "lang_id",
         "fingerprints",
         "event_sessions",

@@ -1,0 +1,88 @@
+"""PII / secret scrubbing for training-data pipelines.
+
+A large-scale corpus cleanse runs BEFORE dedup (redaction tokens are
+stable, so two documents differing only in a redacted email remain exact
+duplicates afterwards — scrubbing *improves* downstream dedup). Everything
+here is JVM-side ``regexp_count`` / ``regexp_replace`` column expressions:
+whole-stage-codegen friendly, no UDF, no shuffle, column-pruning and
+predicate-pushdown transparent — the correct shape for a 100 TB scan-only
+pass. Same filter-then-act architecture as the reference's cheap-prefilter
+design (/root/reference/src/fuzzysearch/memmem.c:75-87): a cheap per-row
+scan decides, a bounded rewrite acts.
+
+The rule set is deliberately REGEX-DIALECT-PORTABLE (no lookarounds, no
+backreferences, ASCII classes only) so the very same patterns run under
+Java regex (Spark), RE2 (DuckDB — the driver oracle redoes the scrub in a
+second engine), and Python ``re`` (the pytest mirror).
+
+Rules are applied in declaration order; order matters only where matches
+overlap (an AWS key is also a run of [0-9A-Z], so it must be redacted
+before any broader token rule) — the order below goes most-specific →
+least-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement token) — most-specific first.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "aws_key",
+        r"\bAKIA[0-9A-Z]{16}\b",
+        "<AWS_KEY>",
+    ),
+    (
+        # 40+ hex chars: SHA-1-or-longer digests, hex-encoded tokens/keys
+        "long_hex",
+        r"\b[0-9a-fA-F]{40,}\b",
+        "<HEX_SECRET>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        "<IPV4>",
+    ),
+)
+
+
+def pii_count_cols(text: Column | str) -> dict[str, Column]:
+    """``{'n_<rule>': count-of-matches}`` per rule, on the RAW text.
+
+    Counts are measured before any redaction so they are independent of
+    rule order (each pattern scans the original column)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    }
+
+
+def scrub_col(text: Column | str) -> Column:
+    """The text with every rule's matches replaced by its stable token,
+    rules applied in ``PII_RULES`` order (most-specific first)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_RULES:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def scrub_report(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_email, n_aws_key, n_long_hex, n_ipv4, any_pii,
+    scrubbed, scrubbed_len) — one scan, all expressions fused into a
+    single codegen'd projection."""
+    counts = pii_count_cols(text_col)
+    scrubbed = scrub_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *counts.values(),
+        sum(counts.values(), F.lit(0)).cast("int").alias("n_pii_total"),
+        scrubbed.alias("scrubbed"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )

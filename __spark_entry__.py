@@ -948,6 +948,26 @@ def _pii_scrub_oracle_sql() -> str:
         """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (eval-leakage guard): the benchmark set is
+    a deterministic fragment of every 50th document (tokens 6-35 — an eval
+    question embedded somewhere in the crawl), and the query returns every
+    corpus document sharing a token 13-gram with it, with the count of
+    distinct benchmark grams found. Engine side: one corpus scan, per-row
+    distinct gram hashes, broadcast semi-join, partial-agg count
+    (operators/decontaminate.py). Oracle side: DuckDB re-derives both gram
+    sets positionally over gram STRINGS (no hash at all), so the xxhash64
+    compression is itself under test."""
+    from fuzzysearch_spark.operators.decontaminate import contamination_hits
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(toks, 6, 30), " ").alias("text")
+    )
+    return contamination_hits(docs, bench)
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (C1/C2 as a window): 30-min-gap sessions per user."""
     from pyspark.sql import Window
@@ -1096,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "event_sessions": q_event_sessions,
         "best_event_per_session": q_best_event_per_session,
         "top_value_users": q_top_value_users,
@@ -2090,6 +2111,32 @@ def _build_oracle_sql() -> dict[str, str]:
             GROUP BY lang, source
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
+        # token 13-gram overlap vs the every-50th-doc benchmark fragment;
+        # grams compared as STRINGS here (the engine joins on xxhash64 —
+        # the hash compression is under test, not mirrored)
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            btoks AS (
+              SELECT regexp_split_to_array(
+                       trim(array_to_string(t[6:35], ' ')), '\\s+') AS t
+              FROM toks WHERE doc_id % 50 = 0
+            ),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS g
+              FROM btoks, unnest(range(1, len(t) - 11)) AS r(i)
+            ),
+            cgrams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS g
+              FROM toks, unnest(range(1, len(t) - 11)) AS r(i)
+            )
+            SELECT doc_id, COUNT(*) AS n_contaminated_grams
+            FROM cgrams JOIN bgrams USING (g)
+            GROUP BY doc_id
+        """,
         "event_sessions": """
             WITH flagged AS (
               SELECT user_id, event_id, ts, value,

@@ -126,6 +126,7 @@ def main():
         "token_counts",
         "quality_scores",
         "pii_scrub",
+        "decontaminate",
         "lang_id",
         "fingerprints",
         "event_sessions",

@@ -1,0 +1,123 @@
+"""Benchmark decontamination: remove or flag corpus documents that overlap
+an evaluation set.
+
+The standard training-data guard against eval leakage: a document is
+contaminated when it contains any token ``n``-gram (default 13, the
+published GPT-3/PaLM convention) that also occurs in a benchmark text.
+Same filter-then-verify architecture as the reference's n-gram pigeonhole
+seeding (/root/reference/src/fuzzysearch/levenshtein_ngram.py:159-198) —
+a shared exact n-gram is the *witness*; here the witness alone decides,
+no verify stage needed, because the contamination criterion IS exact
+n-gram overlap.
+
+100 TB shape: the corpus side is ONE scan — tokenize, per-row n-gram
+hashes, per-row ``array_distinct`` (dedup without a shuffle), explode —
+into a broadcast semi-join against the benchmark gram set (eval suites
+are MBs; the gate falls back to a shuffle join past the broadcast budget)
+and a partial-aggregated per-doc count whose input is only the matched
+sliver. The corpus never shuffles its grams, its tokens, or its text.
+
+Gram keys are ``xxhash64`` of the space-joined token window (8 bytes vs
+~100-byte strings through the join); a 64-bit collision can only
+over-flag a document (never hides contamination on the benchmark side,
+since the benchmark set keeps every distinct hash) — the conservative
+direction for a cleanse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.util import estimated_plan_bytes
+
+# benchmark gram tables with a Catalyst estimate under this go map-side
+BENCH_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+DEFAULT_N = 13  # GPT-3/PaLM-style token n-gram window
+
+
+def token_ngram_hash_col(text: Column | str, n: int = DEFAULT_N) -> Column:
+    """Per-row array of DISTINCT xxhash64 token-``n``-gram keys.
+
+    Whitespace tokenization (``\\s+`` on trimmed text — the same token
+    spec as the text-analysis counters); rows with fewer than ``n``
+    tokens yield an empty array. ``sequence`` is guarded: Spark generates
+    a DESCENDING sequence when stop < start, so the short-row branch must
+    never reach it.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    n_tok = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_tok - (n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    return F.when(n_tok >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def doc_gram_table(
+    docs: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, gram_hash), distinct per document — the per-row
+    ``array_distinct`` makes the explode emit each (doc, gram) once
+    without any shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_ngram_hash_col(text_col, n)).alias("gram_hash"),
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_contaminated_grams) for every contaminated document —
+    the count is of DISTINCT benchmark ``n``-grams found in the doc."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(token_ngram_hash_col(bench_text_col, n)).alias("gram_hash")
+        )
+        .distinct()
+    )
+    if estimated_plan_bytes(bench_grams) <= BENCH_BROADCAST_MAX_BYTES:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        doc_gram_table(docs, n, id_col, text_col)
+        .join(bench_grams, "gram_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    mode: str = "remove",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """``mode='remove'``: the corpus minus contaminated docs (anti-join on
+    the hit sliver). ``mode='flag'``: the corpus with an
+    ``n_contaminated_grams`` column (0 for clean docs)."""
+    hits = contamination_hits(docs, benchmark, n, id_col, text_col, bench_text_col)
+    hits = hits.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else hits
+    if mode == "remove":
+        return docs.join(hits.select(id_col), id_col, "left_anti")
+    if mode == "flag":
+        return docs.join(hits, id_col, "left").withColumn(
+            "n_contaminated_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0)),
+        )
+    raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")

@@ -1,0 +1,134 @@
+"""Decontamination: planted benchmark-overlap semantics, a Python mirror
+fuzz battery, boundary cases (12- vs 13-token overlap), and both modes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fuzzysearch_spark.operators.decontaminate import (
+    contamination_hits,
+    decontaminate,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+         "iota", "kappa", "lam", "mu", "nu", "xi", "om", "pi", "rho", "sig"]
+
+
+def py_grams(text: str, n: int = 13) -> set:
+    t = text.split()
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bench_df(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(99)
+    bench_text = " ".join(rng.choice(WORDS) for _ in range(40))
+    bt = bench_text.split()
+    rows = []
+    # doc 0: contains a full 13-token benchmark run mid-document
+    rows.append((0, "x y " + " ".join(bt[4:17]) + " z w"))
+    # doc 1: only a 12-token run — NOT contaminated
+    rows.append((1, "x y " + " ".join(bt[4:16]) + " qq z w"))
+    # doc 2: the whole benchmark verbatim (many grams)
+    rows.append((2, bench_text))
+    # doc 3: clean noise
+    rows.append((3, " ".join(rng.choice(WORDS) + "zz" for _ in range(60))))
+    # doc 4: shorter than 13 tokens
+    rows.append((4, "tiny doc"))
+    # doc 5: the same 13-token run REPEATED (distinct grams count once...
+    # plus the bridging grams the repetition itself creates)
+    rows.append((5, " ".join(bt[4:17]) + " " + " ".join(bt[4:17])))
+    return {"bench": bench_text, "rows": rows}
+
+
+def test_hits_match_python_mirror(spark, planted):
+    docs = _df(spark, planted["rows"])
+    bench = _bench_df(spark, [planted["bench"]])
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in contamination_hits(docs, bench).collect()
+    }
+    bg = py_grams(planted["bench"])
+    expect = {}
+    for doc_id, text in planted["rows"]:
+        n = len(py_grams(text) & bg)
+        if n:
+            expect[doc_id] = n
+    assert got == expect
+    assert 0 in got and 2 in got and 5 in got
+    assert 1 not in got and 3 not in got and 4 not in got
+    assert got[0] == 1  # exactly the one planted 13-gram
+
+
+def test_modes(spark, planted):
+    docs = _df(spark, planted["rows"])
+    bench = _bench_df(spark, [planted["bench"]])
+    kept = decontaminate(docs, bench, mode="remove")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+    flagged = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in decontaminate(docs, bench, mode="flag").collect()
+    }
+    assert set(flagged) == {0, 1, 2, 3, 4, 5}
+    assert flagged[1] == 0 and flagged[3] == 0 and flagged[4] == 0
+    assert flagged[0] == 1
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(docs, bench, mode="nope")
+
+
+def test_fuzz_matches_python_mirror(spark):
+    rng = random.Random(4242)
+    bench_texts = [
+        " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 30)))
+        for _ in range(8)
+    ]
+    docs = []
+    for i in range(120):
+        toks = [rng.choice(WORDS) for _ in range(rng.randint(0, 45))]
+        if rng.random() < 0.4 and toks:
+            # splice a random benchmark fragment in
+            src = rng.choice(bench_texts).split()
+            if src:
+                a = rng.randrange(len(src))
+                frag = src[a : a + rng.randint(5, 20)]
+                at = rng.randrange(len(toks) + 1)
+                toks = toks[:at] + frag + toks[at:]
+        docs.append((i, " ".join(toks)))
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in contamination_hits(
+            _df(spark, docs), _bench_df(spark, bench_texts)
+        ).collect()
+    }
+    bg = set().union(*(py_grams(t) for t in bench_texts))
+    expect = {}
+    for doc_id, text in docs:
+        n = len(py_grams(text) & bg)
+        if n:
+            expect[doc_id] = n
+    assert got == expect
+
+
+def test_whitespace_and_empty(spark):
+    docs = _df(
+        spark,
+        [(0, ""), (1, "   "), (2, "a\tb\nc   d " + "w " * 20)],
+    )
+    bench = _bench_df(spark, ["", "   ", "w " * 30])
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in contamination_hits(docs, bench).collect()
+    }
+    # doc 2 ends with 20 'w' tokens -> contains the all-w 13-gram (once,
+    # distinct); empty/whitespace docs and bench rows contribute nothing
+    assert got == {2: 1}

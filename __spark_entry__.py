@@ -948,6 +948,18 @@ def _pii_scrub_oracle_sql() -> str:
         """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher/RefinedWeb rule family):
+    distinct-token ratio, duplicate-line ratio, first-bigram stuffing
+    ratio — per-row JVM array expressions, no explode, no shuffle; the
+    oracle mirrors each with DuckDB list lambdas."""
+    from fuzzysearch_spark.functions.text import repetition_cols
+
+    docs = _docs(spark, sf_dir)
+    cols = repetition_cols(F.col("text"))
+    return docs.select("doc_id", *(c.alias(k) for k, c in cols.items()))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (eval-leakage guard): the benchmark set is
     a deterministic fragment of every 50th document (tokens 6-35 — an eval
@@ -1117,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "repetition_scores": q_repetition_scores,
         "event_sessions": q_event_sessions,
         "best_event_per_session": q_best_event_per_session,
         "top_value_users": q_top_value_users,
@@ -2111,6 +2124,33 @@ def _build_oracle_sql() -> dict[str, str]:
             GROUP BY lang, source
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
+        # per-row list lambdas mirror functions/text.py repetition_cols:
+        # blank text = one empty token (dtr 1.0); bigrams only when >= 2
+        # tokens; dup lines = len - len(distinct)
+        "repetition_scores": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t,
+                     regexp_split_to_array(text, '\\n') AS l
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, t, l,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]) AS b
+              FROM toks
+            )
+            SELECT doc_id,
+                   ROUND(len(list_distinct(t)) * 1.0
+                         / GREATEST(len(t), 1), 6) AS distinct_token_ratio,
+                   ROUND((len(l) - len(list_distinct(l))) * 1.0
+                         / GREATEST(len(l), 1), 6) AS dup_line_ratio,
+                   CASE WHEN len(t) >= 2
+                        THEN ROUND(len(list_filter(b, g -> g = b[1])) * 1.0
+                                   / GREATEST(len(b), 1), 6)
+                        ELSE 0.0 END AS top_bigram_ratio
+            FROM big
+        """,
         # token 13-gram overlap vs the every-50th-doc benchmark fragment;
         # grams compared as STRINGS here (the engine joins on xxhash64 —
         # the hash compression is under test, not mirrored)

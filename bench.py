@@ -127,6 +127,7 @@ def main():
         "quality_scores",
         "pii_scrub",
         "decontaminate",
+        "repetition_scores",
         "lang_id",
         "fingerprints",
         "event_sessions",

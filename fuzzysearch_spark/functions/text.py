@@ -87,6 +87,59 @@ LANG_MARKERS = {
 }
 
 
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher/RefinedWeb rule
+    family): highly repetitive documents — boilerplate, generated logs,
+    keyword stuffing — are low-value training data even when their
+    character-class mix looks fine.
+
+    * ``distinct_token_ratio``: |distinct tokens| / |tokens| (1.0 = no
+      repetition; blank text reads 1.0 — "no repetition", not "bad");
+    * ``dup_line_ratio``: fraction of newline-separated lines that are
+      duplicates of an earlier line (0.0 for single-line or all-unique);
+    * ``top_bigram_ratio``: occurrences of the document's FIRST token
+      bigram / total bigrams — a cheap stuffing detector that stays a
+      per-row JVM expression (a true mode-of-bigrams needs a per-row
+      frequency map, which Spark's HOFs cannot build without quadratic
+      work; the first bigram is the common stuffing case: a repeated
+      template prefix).
+
+    All per-row ``split`` / ``array_distinct`` / ``filter`` expressions —
+    no explode, no shuffle, codegen-resident like everything in this
+    module.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    n_tok = F.size(toks)
+    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+    distinct_token_ratio = F.round(
+        F.size(F.array_distinct(toks)) / safe_tok, 6
+    )
+
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    dup_line_ratio = F.round(
+        (n_lines - F.size(F.array_distinct(lines))) / safe_lines, 6
+    )
+
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(1))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    first = F.element_at(bigrams, 1)
+    n_big = F.greatest(n_tok - 1, F.lit(1)).cast("double")
+    top_bigram_ratio = F.when(n_tok >= 2, F.round(
+        F.size(F.filter(bigrams, lambda g: g == first)) / n_big, 6
+    )).otherwise(F.lit(0.0))
+
+    return {
+        "distinct_token_ratio": distinct_token_ratio,
+        "dup_line_ratio": dup_line_ratio,
+        "top_bigram_ratio": top_bigram_ratio,
+    }
+
+
 def _marker_hits(tokens: Column, words: list[str]) -> Column:
     """Count of tokens equal to any marker word (over a pre-split array).
 

@@ -1,0 +1,71 @@
+"""Repetition-quality signals: Python-mirror exactness and edge cases."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.text import repetition_cols
+
+
+def py_repetition(text: str) -> tuple:
+    # mirror Spark split(trim(x), '\s+'): blank text yields one empty token
+    toks = text.strip().split() if text.strip() else [""]
+    dtr = round(len(set(toks)) / max(len(toks), 1), 6)
+    lines = text.split("\n")
+    dlr = round((len(lines) - len(set(lines))) / max(len(lines), 1), 6)
+    if len(toks) >= 2:
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tbr = round(bigrams.count(bigrams[0]) / max(len(bigrams), 1), 6)
+    else:
+        tbr = 0.0
+    return dtr, dlr, tbr
+
+
+def _run(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = repetition_cols(F.col("text"))
+    rows = df.select(
+        "doc_id", *(c.alias(k) for k, c in cols.items())
+    ).orderBy("doc_id").collect()
+    return [
+        (r["distinct_token_ratio"], r["dup_line_ratio"], r["top_bigram_ratio"])
+        for r in rows
+    ]
+
+
+def test_edge_and_planted(spark):
+    texts = [
+        "",                       # blank: dtr 1.0, dlr 0, tbr 0
+        "one",                    # single token: tbr 0
+        "a b a b a",              # 2/5 distinct, first bigram 2/4
+        "x\nx\ny\nx",             # dup lines 2/4
+        "buy now " * 30 + "buy",  # heavy stuffing: 'buy now'/'now buy' alternate
+        "all unique tokens here now",
+    ]
+    got = _run(spark, texts)
+    expect = [py_repetition(t) for t in texts]
+    assert got == expect
+    assert got[0] == (1.0, 0.0, 0.0)
+    assert got[2] == (0.4, 0.0, 0.5)
+    assert got[3][1] == 0.5
+    # stuffing detected: first bigram 'buy now' is half of all 60 bigrams,
+    # and the token pool collapses to 2 distinct over 61
+    assert got[4][2] == 0.5 and got[4][0] == round(2 / 61, 6)
+    assert got[5] == (1.0, 0.0, round(1 / 4, 6))
+
+
+def test_fuzz_matches_python(spark):
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = []
+    for _ in range(200):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        t = " ".join(toks)
+        if rng.random() < 0.3:
+            t = t.replace(" ", "\n", rng.randint(0, 3))
+        texts.append(t)
+    assert _run(spark, texts) == [py_repetition(t) for t in texts]

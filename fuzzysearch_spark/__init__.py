@@ -7,13 +7,14 @@ distributed dedup + clustering pipeline:
 * ``fuzzysearch_spark.kernels`` — pure numpy/Python compute cores with exact
   behavioral parity to the reference (oracle-tested);
 * ``fuzzysearch_spark.functions`` — column-level Spark functions (shingles,
-  MinHash, SimHash, text analytics) as built-in expressions or Arrow-batched
-  pandas UDFs;
+  MinHash, SimHash, text analytics, PII/secret scrubbing) as built-in
+  expressions or Arrow-batched pandas UDFs;
 * ``fuzzysearch_spark.operators`` — DataFrame→DataFrame operators (exact
   dedup, LSH candidate generation, pair verification, connected components,
-  interval consolidation, ANN search);
+  interval consolidation, ANN search, benchmark decontamination);
 * ``fuzzysearch_spark.pipeline`` — the checkpointed, resumable end-to-end
-  dedup pipeline.
+  dedup pipeline; ``fuzzysearch_spark.delta`` — incremental epoch-chained
+  dedup over its checkpoints.
 """
 
 import os as _os

@@ -108,6 +108,34 @@ def _require_state(workdir: str, snap: dict) -> None:
         )
 
 
+def _require_chain(base_workdirs: list[str]) -> None:
+    """``base_workdirs`` must be one complete epoch chain in run order —
+    a misordered, gapped, or unrelated-runs list would pass the per-dir
+    checks but silently drop whole epochs from the output (the last dir's
+    s5_clusters is read as THE cumulative assignment). The epoch contract
+    makes completeness checkable from driver-side metrics alone: every
+    epoch's cumulative s5 row count equals the sum of all s0 ingest counts
+    up to and including it."""
+    cum = 0
+    for wd in base_workdirs:
+        n0 = _stage_metric(wd, "s0_ingest", "rows")
+        n5 = _stage_metric(wd, "s5_clusters", "rows")
+        if n0 is None or n5 is None:
+            raise ValueError(
+                f"prior epoch {wd!r} lacks s0/s5 row metrics — parquet-mode"
+                " runs always record them; the workdir is not a completed"
+                " pipeline/delta epoch"
+            )
+        cum += int(n0)
+        if int(n5) != cum:
+            raise ValueError(
+                f"base_workdirs is not a complete epoch chain in run order:"
+                f" {wd!r} clusters {int(n5)} docs but the chain up to it"
+                f" ingested {cum} — a misordered or gapped list would"
+                " silently drop epochs from the output"
+            )
+
+
 def _stage_metric(workdir: str, stage: str, key: str):
     """A recorded stage metric from a prior epoch (None when absent) —
     driver-side JSON read, never a Spark job."""
@@ -164,6 +192,7 @@ def delta_dedup(
     snap = config_snapshot(cfg)
     for wd in base_workdirs:
         _require_state(wd, snap)
+    _require_chain(base_workdirs)
 
     pipe = DedupPipeline(spark, cfg)
 

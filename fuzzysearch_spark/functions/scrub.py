@@ -12,8 +12,12 @@ scan decides, a bounded rewrite acts.
 
 The rule set is deliberately REGEX-DIALECT-PORTABLE (no lookarounds, no
 backreferences, ASCII classes only) so the very same patterns run under
-Java regex (Spark), RE2 (DuckDB — the driver oracle redoes the scrub in a
-second engine), and Python ``re`` (the pytest mirror).
+Java regex (Spark) and RE2 (DuckDB — the driver oracle redoes the scrub
+in a second engine) with identical semantics: both treat ``\\d`` and
+``\\b`` as ASCII. The pytest mirror additionally runs them under Python
+``re``, which agrees on ASCII input but is Unicode-aware for ``\\d``/
+``\\b`` on ``str`` patterns — the mirror is therefore a valid oracle for
+the ASCII fuzz corpus it is used on, not a universal third engine.
 
 Rules are applied in declaration order; order matters only where matches
 overlap (an AWS key is also a run of [0-9A-Z], so it must be redacted
@@ -74,7 +78,7 @@ def scrub_col(text: Column | str) -> Column:
 
 
 def scrub_report(docs, text_col: str = "text", id_col: str = "doc_id"):
-    """(doc_id, n_email, n_aws_key, n_long_hex, n_ipv4, any_pii,
+    """(doc_id, n_email, n_aws_key, n_long_hex, n_ipv4, n_pii_total,
     scrubbed, scrubbed_len) — one scan, all expressions fused into a
     single codegen'd projection."""
     counts = pii_count_cols(text_col)

@@ -110,21 +110,46 @@ class DedupPipeline:
         self._lock = threading.Lock()
         self._n_exact_members: int | None = None
         os.makedirs(os.path.join(cfg.workdir, "metrics"), exist_ok=True)
-        self._record_config()
+        self._config_written = False
+        self._check_config_compatible()
+
+    def _check_config_compatible(self) -> None:
+        """A resuming pipeline must use the config that PRODUCED the
+        checkpoints it is about to reuse — reusing s0–s3 from one geometry
+        and computing s4+ with another would be silently wrong in exactly
+        the way epoch chaining (fuzzysearch_spark/delta.py) guards against,
+        so a resume-mode mismatch with ``workdir/config.json`` raises."""
+        path = os.path.join(self.cfg.workdir, "config.json")
+        if not (self.cfg.resume and os.path.exists(path)):
+            return
+        with open(path) as f:
+            prior = json.load(f)
+        snap = config_snapshot(self.cfg)
+        if prior != snap:
+            diff = sorted(
+                k for k in set(prior) | set(snap) if prior.get(k) != snap.get(k)
+            )
+            raise ValueError(
+                f"resume=True over {self.cfg.workdir!r} with a different"
+                f" result-determining config ({diff}): pass the config that"
+                " produced the checkpoints, or use a fresh workdir /"
+                " resume=False (prior={}, this={})".format(prior, snap)
+            )
 
     def _record_config(self) -> None:
         """Snapshot the result-determining config to ``workdir/config.json``
         so epoch chaining (fuzzysearch_spark/delta.py) can verify a delta
         run uses the SAME geometry/thresholds that produced the prior
         epochs' state — the incremental-equivalence proof depends on it.
-        First run wins under resume (the file describes the config that
-        PRODUCED the checkpoints); a non-resume run overwrites, since it
-        recomputes every checkpoint."""
-        path = os.path.join(self.cfg.workdir, "config.json")
-        if self.cfg.resume and os.path.exists(path):
+        Written when the first checkpoint is actually PRODUCED (not at
+        construction: a pipeline object built over an existing workdir and
+        abandoned must not relabel checkpoints it never touched)."""
+        if self._config_written:
             return
+        path = os.path.join(self.cfg.workdir, "config.json")
         with open(path, "w") as f:
             json.dump(config_snapshot(self.cfg), f, indent=2, sort_keys=True)
+        self._config_written = True
 
     def _stage_scratch(self, stage: str) -> list:
         """The caller-owned cache list for ``stage`` (see __init__)."""
@@ -146,6 +171,7 @@ class DedupPipeline:
         collecting them costs a cache hit instead of a separate serial job
         ahead of the barrier."""
         t0 = time.time()
+        self._record_config()
         if self.cfg.checkpoint_mode in ("memory", "eager"):
             # lazy persist: no count barrier, so consecutive stages pipeline
             # into one another and executors stay busy across stage seams;

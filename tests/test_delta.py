@@ -189,3 +189,45 @@ def test_delta_guards(spark, planted, two_epoch, tmp_path):
             [two_epoch["wd0"]],
             DedupConfig(workdir=str(tmp_path), signature=SignatureConfig(bands=8)),
         )
+    # chain-order / completeness guard: a misordered or gapped epoch list
+    # would silently drop epochs (the LAST dir's s5 is read as cumulative)
+    with pytest.raises(ValueError, match="complete epoch chain"):
+        delta_dedup(
+            spark,
+            df,
+            [two_epoch["wd1"], two_epoch["wd0"]],
+            DedupConfig(workdir=str(tmp_path)),
+        )
+    with pytest.raises(ValueError, match="complete epoch chain"):
+        delta_dedup(
+            spark, df, [two_epoch["wd1"]], DedupConfig(workdir=str(tmp_path))
+        )
+
+
+def test_abandoned_construction_never_relabels_config(
+    spark, planted, two_epoch, tmp_path
+):
+    """Constructing a pipeline over an existing workdir with a DIFFERENT
+    config and abandoning it (no stage run) must not rewrite config.json —
+    the file describes the config that PRODUCED the checkpoints."""
+    import json
+
+    from fuzzysearch_spark.operators.verify import VerifyConfig
+    from fuzzysearch_spark.pipeline import config_snapshot
+
+    wd0 = two_epoch["wd0"]
+    with open(f"{wd0}/config.json") as f:
+        before = json.load(f)
+    DedupPipeline(
+        spark,
+        DedupConfig(workdir=wd0, resume=False, verify=VerifyConfig(max_l_dist=2)),
+    )
+    with open(f"{wd0}/config.json") as f:
+        assert json.load(f) == before
+    # and resume=True with a mismatched config refuses at construction
+    with pytest.raises(ValueError, match="different"):
+        DedupPipeline(
+            spark,
+            DedupConfig(workdir=wd0, verify=VerifyConfig(max_l_dist=2)),
+        )
+    assert before == config_snapshot(DedupConfig(workdir=wd0))

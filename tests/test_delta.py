@@ -90,6 +90,50 @@ def test_three_epoch_chain_equals_full_run(
     assert _clusters(out) == full_clusters
 
 
+def test_degenerate_delta_exact_recrawl_and_empties(
+    spark, planted, two_epoch, tmp_path_factory
+):
+    """A delta that is mostly a re-crawl (exact copies of base docs under
+    new commits) plus empty documents: everything collapses through the
+    exact stage (no fuzzy work for the copies), empties group together by
+    sha256(''), and the partition still equals a full recompute."""
+    import copy
+
+    base_rows = planted.rows[:250]
+    delta_rows = []
+    for j, src in enumerate(base_rows[:30]):  # exact re-crawl of 30 docs
+        r = copy.deepcopy(src)
+        r["commit"] = f"{j:040d}"
+        delta_rows.append(r)
+    for j in range(3):  # empty docs: identical sha, one exact group
+        delta_rows.append(
+            {
+                "repo": "org0/empty",
+                "path": f"e{j}.py",
+                "commit": f"e{j:039d}",
+                "lang": "python",
+                "content": "",
+            }
+        )
+    sub = C.PlantedCorpus(rows=delta_rows)
+    delta_df = C.to_spark_df(spark, sub)
+
+    wd1 = str(tmp_path_factory.mktemp("delta_degen"))
+    incr = delta_dedup(spark, delta_df, [two_epoch["wd0"]], DedupConfig(workdir=wd1))
+
+    wdf = str(tmp_path_factory.mktemp("delta_degen_full"))
+    full = DedupPipeline(spark, DedupConfig(workdir=wdf)).run(
+        C.to_spark_df(spark, C.PlantedCorpus(rows=base_rows + delta_rows))
+    )
+    assert _clusters(incr) == _clusters(full)
+    # no fuzzy pair work happened: every delta doc was an exact dup or
+    # a brand-new sha with no near-dup band collisions into the base
+    import json
+
+    with open(f"{wd1}/metrics/s1_exact.json") as f:
+        assert json.load(f)["n_exact_members"] >= 30 + 2
+
+
 def test_delta_candidates_all_touch_delta_docs(spark, two_epoch):
     """Structural pin on the 'only new work' claim: every candidate pair the
     delta epoch verified has at least one delta-side member — prior-vs-prior

@@ -894,6 +894,23 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_report(docs.select("doc_id", aug.alias("text")))
 
 
+def _bpe_token_counts_oracle_sql() -> str:
+    """DuckDB mirror of q_bpe_token_counts: whitespace tokens via the
+    token_counts convention, BPE-ish pieces via the SAME interpolated
+    pattern the engine compiles (RE2 vs Java regex)."""
+    from fuzzysearch_spark.functions.text import BPE_ISH_PATTERN
+
+    return f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
+                       AS n_bpe_tokens
+            FROM documents
+        """
+
+
 def _pii_scrub_oracle_sql() -> str:
     """DuckDB mirror of q_pii_scrub: identical planted text, identical rule
     patterns (interpolated from PII_RULES — single source of truth), scrub
@@ -946,6 +963,22 @@ def _pii_scrub_oracle_sql() -> str:
                    length(scrubbed) AS scrubbed_len
             FROM counted
         """
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both conventions a data pipeline budgets by:
+    whitespace tokens and BPE-ish pieces (GPT-2-style pretokenizer
+    approximated without lookarounds so the SAME pattern runs under Java
+    regex and the oracle's RE2 — ``BPE_ISH_PATTERN`` is interpolated into
+    the SQL, one source of truth)."""
+    from fuzzysearch_spark.functions.text import bpe_token_count_col, token_count_col
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    )
 
 
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
+        "bpe_token_counts": q_bpe_token_counts,
         "event_sessions": q_event_sessions,
         "best_event_per_session": q_best_event_per_session,
         "top_value_users": q_top_value_users,
@@ -2124,6 +2158,7 @@ def _build_oracle_sql() -> dict[str, str]:
             GROUP BY lang, source
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         # per-row list lambdas mirror functions/text.py repetition_cols:
         # blank text = one empty token (dtr 1.0); bigrams only when >= 2
         # tokens; dup lines = len - len(distinct)

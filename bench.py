@@ -124,6 +124,7 @@ def main():
         "ann_lsh_top1",
         "ann_ivf_top1",
         "token_counts",
+        "bpe_token_counts",
         "quality_scores",
         "pii_scrub",
         "decontaminate",

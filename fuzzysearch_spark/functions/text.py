@@ -27,6 +27,20 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+# GPT-2-style pretokenizer, dialect-portable: letter pieces, digit pieces,
+# punctuation pieces (each with an optional leading space), whitespace runs.
+# The real GPT-2 pattern's `\s+(?!\S)` lookahead and `\p{L}` classes are not
+# expressible in RE2, so this is the documented ASCII approximation — piece
+# COUNTS track BPE token counts closely on code/English text, which is what
+# a data pipeline budgets by.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: matches of ``BPE_ISH_PATTERN`` (0 for empty)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def _count_class(text: Column, pattern: str) -> Column:
     """Number of characters matching a regex class (replace-and-measure)."""
     return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))

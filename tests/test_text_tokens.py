@@ -1,0 +1,50 @@
+"""BPE-ish token counting: Python-``re`` mirror on ASCII corpora and the
+piece-semantics edges (leading-space attachment, whitespace-run collapse)."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.text import BPE_ISH_PATTERN, bpe_token_count_col
+
+
+def _counts(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = (
+        df.select("doc_id", bpe_token_count_col(F.col("text")).alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    return [r["n"] for r in rows]
+
+
+def test_piece_semantics(spark):
+    texts = [
+        "",                      # 0 pieces
+        "   ",                   # one whitespace run
+        "hello world",           # 'hello', ' world'
+        "a  b",                  # 'a', '  ', 'b' (run breaks attachment)
+        "it's 2024!",            # it, 's, ' 2024'... mirror decides exactly
+        "def f(x):\n    return x+1\n",
+    ]
+    got = _counts(spark, texts)
+    expect = [len(re.findall(BPE_ISH_PATTERN, t)) for t in texts]
+    assert got == expect
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
+
+
+def test_fuzz_matches_python(spark):
+    rng = random.Random(31)
+    chunks = ["word", "W0rd", "123", "+=", "(", "  ", " ", "\n", "\t", "_", "x'y"]
+    texts = [
+        "".join(rng.choice(chunks) for _ in range(rng.randint(0, 30)))
+        for _ in range(300)
+    ]
+    assert _counts(spark, texts) == [
+        len(re.findall(BPE_ISH_PATTERN, t)) for t in texts
+    ]

@@ -1,8 +1,10 @@
-"""Corpus table sources: Iceberg catalog tables and Iceberg-shaped layouts."""
+"""Corpus table sources: Iceberg catalog tables, Iceberg-shaped layouts,
+and JSONL crawl drops."""
 
 from fuzzysearch_spark.sources.corpus_table import (  # noqa: F401
     files_read,
     read_corpus,
+    read_crawl_jsonl,
     scan_report,
     write_partitioned_corpus,
 )

@@ -134,3 +134,66 @@ def files_read(df: DataFrame) -> list[str]:
         r["f"]
         for r in df.select(F.input_file_name().alias("f")).distinct().collect()
     )
+
+
+def read_crawl_jsonl(
+    spark: SparkSession,
+    path: str,
+    field_map: dict[str, str] | None = None,
+    defaults: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Crawl-drop ingestion: JSONL (optionally compressed — Spark resolves
+    ``.gz``/``.zst`` codecs from the extension) into the corpus shape.
+
+    Returns ``(corpus, corrupt)``: the corpus-shaped frame (CORPUS_COLUMNS)
+    and the frame of unparseable lines — surfaced, never dropped silently
+    (a crawl drop with 3% broken JSON should fail loudly in the caller's
+    accounting, not shrink the corpus by 3%).
+
+    ``field_map`` maps corpus column -> JSON field name (identity by
+    default); ``defaults`` supplies constant values for corpus columns the
+    drop does not carry (e.g. ``{"commit": "crawl-2026-08"}``).
+
+    Scale posture: the schema is ALWAYS passed explicitly — schema-less
+    ``spark.read.json`` runs a full inference pass over the data before
+    the real read, which at crawl scale doubles the most expensive scan in
+    the job. PERMISSIVE mode with a named corrupt-record column keeps one
+    malformed line from failing a TB-sized drop while still accounting for
+    every such line.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    field_map = dict(field_map or {})
+    defaults = dict(defaults or {})
+    src_fields = [
+        field_map.get(c, c) for c in CORPUS_COLUMNS if c not in defaults
+    ]
+    schema = StructType(
+        [StructField(f, StringType(), True) for f in src_fields]
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark leaves all data columns null for a corrupt line; a WELL-FORMED
+    # line missing required fields is not corrupt to the parser, so the
+    # null-content check below folds it into the corrupt frame too — the
+    # corpus frame never carries a null content column into sha256 lineage.
+    corrupt = raw.where(
+        F.col("_corrupt_record").isNotNull()
+        | F.col(field_map.get("content", "content")).isNull()
+    )
+    good = raw.where(
+        F.col("_corrupt_record").isNull()
+        & F.col(field_map.get("content", "content")).isNotNull()
+    )
+    cols = []
+    for c in CORPUS_COLUMNS:
+        if c in defaults:
+            cols.append(F.lit(defaults[c]).alias(c))
+        else:
+            cols.append(F.col(field_map.get(c, c)).alias(c))
+    return good.select(*cols), corrupt

@@ -106,3 +106,68 @@ def test_iceberg_catalog_path_gated(spark):
 
     with pytest.raises(AnalysisException):
         read_corpus(spark, "iceberg.db.corpus").collect()
+
+
+def _write_jsonl(p, lines, gz=False):
+    import gzip
+    import json as _json
+
+    data = "\n".join(
+        l if isinstance(l, str) else _json.dumps(l) for l in lines
+    ).encode()
+    if gz:
+        p.write_bytes(gzip.compress(data))
+    else:
+        p.write_bytes(data)
+
+
+def test_jsonl_crawl_source(spark, tmp_path):
+    from fuzzysearch_spark.sources import read_crawl_jsonl
+
+    good = [
+        {"origin": "r1", "path": "a.py", "commit": "c1", "lang": "python",
+         "raw": "print('hi')"},
+        {"origin": "r2", "path": "b.go", "commit": "c2", "lang": "go",
+         "raw": "func main() {} // naïve ✓"},
+    ]
+    bad = ['{"origin": "r3", "path": BROKEN', {"origin": "r4", "path": "d.c",
+           "commit": "c4", "lang": "c"}]  # malformed json; missing content
+    _write_jsonl(tmp_path / "part-0.jsonl", [good[0], bad[0], good[1], bad[1]])
+    corpus, corrupt = read_crawl_jsonl(
+        spark,
+        str(tmp_path),
+        field_map={"repo": "origin", "content": "raw"},
+    )
+    rows = {r["repo"]: r for r in corpus.collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert list(corpus.columns) == ["repo", "path", "commit", "lang", "content"]
+    assert rows["r2"]["content"] == "func main() {} // naïve ✓"
+    # nothing dropped silently: both bad lines surface
+    assert corrupt.count() == 2
+
+
+def test_jsonl_gz_and_defaults_feed_pipeline_shape(spark, tmp_path):
+    from fuzzysearch_spark.sources import read_crawl_jsonl
+
+    lines = [
+        {"repo": f"r{i}", "path": f"f{i}.py", "lang": "python",
+         "content": f"def f{i}(): return {i}"}
+        for i in range(5)
+    ]
+    _write_jsonl(tmp_path / "drop.jsonl.gz", lines, gz=True)
+    corpus, corrupt = read_crawl_jsonl(
+        spark, str(tmp_path / "drop.jsonl.gz"),
+        defaults={"commit": "crawl-2026-08-19"},
+    )
+    assert corrupt.count() == 0
+    got = corpus.orderBy("repo").collect()
+    assert len(got) == 5 and got[0]["commit"] == "crawl-2026-08-19"
+    # the shape is directly ingestible: same columns the pipeline scans
+    from fuzzysearch_spark.sources.corpus_table import CORPUS_COLUMNS
+
+    assert tuple(corpus.columns) == CORPUS_COLUMNS
+    ingested = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.sha2("content", 256).alias("sha256"),
+    )
+    assert ingested.count() == 5

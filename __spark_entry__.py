@@ -574,6 +574,22 @@ def q_find_near_matches_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_find_near_matches_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-needle search (blocklist / license-header shape): K needles,
+    ONE corpus scan — the scan, not the kernel, is what fails to amortize
+    when the reference's one-call-per-needle shape is run K times at
+    corpus scale. Semantics are exactly K single-needle calls
+    (pytest-pinned); oracle = UNION ALL of the per-needle window-
+    enumeration SQL."""
+    from fuzzysearch_spark.operators.substring import find_near_matches_multi_df
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return find_near_matches_multi_df(docs, _MULTI_NEEDLES, max_l_dist=1)
+
+
+_MULTI_NEEDLES = ["value table part", "customer query line", "index merge"]
+
+
 def q_find_exact_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked scan with the exact kernel (E1 over the D3 chunker) — every
     occurrence of a fixed needle; DuckDB oracle scans positions directly."""
@@ -1149,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_recall_audit": q_delta_recall_audit,
         "stream_vs_corpus_audit": q_stream_vs_corpus_audit,
         "find_near_matches": q_find_near_matches,
+        "find_near_matches_multi": q_find_near_matches_multi,
         "find_near_matches_chunked": q_find_near_matches_chunked,
         "find_exact_matches": q_find_exact_matches,
         "cosine_top1": q_cosine_top1,
@@ -2060,6 +2077,12 @@ def _build_oracle_sql() -> dict[str, str]:
         """,
         "find_near_matches": _find_near_matches_oracle_sql(
             "value table part", max_l_dist=1
+        ),
+        "find_near_matches_multi": "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS INT) AS needle_idx, * FROM ("
+            + _find_near_matches_oracle_sql(nd, max_l_dist=1)
+            + ")"
+            for i, nd in enumerate(_MULTI_NEEDLES)
         ),
         "find_near_matches_chunked": _find_near_matches_oracle_sql(
             "value table part", max_l_dist=1

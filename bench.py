@@ -118,6 +118,7 @@ def main():
         "containment_pairs",
         "containment_pairs_exact",
         "find_near_matches",
+        "find_near_matches_multi",
         "find_near_matches_chunked",
         "find_exact_matches",
         "cosine_top1",

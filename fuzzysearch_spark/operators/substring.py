@@ -484,3 +484,61 @@ def find_near_matches_df(
         .select("doc_id", F.explode("ms").alias("m"))
         .select("doc_id", "m.start", "m.end", "m.dist")
     )
+
+
+def find_near_matches_multi_df(
+    docs: DataFrame,
+    needles: list[str],
+    max_substitutions: int | None = None,
+    max_insertions: int | None = None,
+    max_deletions: int | None = None,
+    max_l_dist: int | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, needle_idx, start, end, dist) — consolidated near-matches
+    of EVERY needle in every document, in ONE corpus scan.
+
+    The reference shape for this workload is one ``find_near_matches`` call
+    per needle (/root/reference/src/fuzzysearch/__init__.py:35-57); at
+    corpus scale that is K full content scans for a K-entry blocklist /
+    license-header list, and the scan — not the kernel — is what does not
+    amortize. Here the needle list rides to the workers once inside the
+    Arrow UDF closure (KBs–MBs; fine for any real blocklist) and each
+    content batch is searched for all needles while it is hot in memory.
+    Per-needle results are independent — semantics are EXACTLY K calls of
+    the single-needle operator (pytest-pinned equality)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from fuzzysearch_spark.kernels.dispatch import find_matches
+
+    needles = list(needles)
+
+    @pandas_udf("array<struct<needle_idx:int,start:int,end:int,dist:int>>")
+    def _search(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            yield pd.Series(
+                [
+                    [
+                        (ni, m.start, m.end, m.dist)
+                        for ni, nd in enumerate(needles)
+                        for m in find_matches(
+                            nd,
+                            s or "",
+                            max_substitutions,
+                            max_insertions,
+                            max_deletions,
+                            max_l_dist,
+                        )
+                    ]
+                    for s in series
+                ]
+            )
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), _search(F.col(content_col)).alias("ms")
+        )
+        .select("doc_id", F.explode("ms").alias("m"))
+        .select("doc_id", "m.needle_idx", "m.start", "m.end", "m.dist")
+    )

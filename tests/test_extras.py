@@ -282,6 +282,34 @@ def test_find_near_matches_df_matches_kernel(spark):
     assert got == expected
 
 
+def test_find_near_matches_multi_equals_k_single_calls(spark):
+    """One-scan multi-needle == K runs of the single-needle operator."""
+    from fuzzysearch_spark.operators.substring import (
+        find_near_matches_df,
+        find_near_matches_multi_df,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick crown fox jumps; lazy dig sleeps"),
+        (2, "quick brown and lazy dog and quick brown again"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    needles = ["quick brown", "lazy dog", "absent needle"]
+    got = {
+        (r["doc_id"], r["needle_idx"], r["start"], r["end"], r["dist"])
+        for r in find_near_matches_multi_df(docs, needles, max_l_dist=1).collect()
+    }
+    expected = set()
+    for ni, nd in enumerate(needles):
+        for r in find_near_matches_df(docs, nd, max_l_dist=1).collect():
+            expected.add((r["doc_id"], ni, r["start"], r["end"], r["dist"]))
+    assert got == expected
+    assert any(t[1] == 1 for t in got)  # second needle really matched
+    assert not any(t[1] == 2 for t in got)  # absent needle matched nothing
+
+
 def test_multimodal_real_decode_features(spark):
     from fuzzysearch_spark.multimodal import extract_media_features, sample_frames, synthetic_media
 

@@ -910,17 +910,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_report(docs.select("doc_id", aug.alias("text")))
 
 
+# the whitespace-token-count convention, mirrored ONCE for every oracle
+# that reports it (token_counts and bpe_token_counts must never drift)
+_WS_TOKEN_COUNT_SQL = """CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END"""
+
+
 def _bpe_token_counts_oracle_sql() -> str:
     """DuckDB mirror of q_bpe_token_counts: whitespace tokens via the
-    token_counts convention, BPE-ish pieces via the SAME interpolated
-    pattern the engine compiles (RE2 vs Java regex)."""
+    shared token_counts convention, BPE-ish pieces via the SAME
+    interpolated pattern the engine compiles (RE2 vs Java regex)."""
     from fuzzysearch_spark.functions.text import BPE_ISH_PATTERN
 
     return f"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS n_ws_tokens,
+                   {_WS_TOKEN_COUNT_SQL} AS n_ws_tokens,
                    len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
                        AS n_bpe_tokens
             FROM documents
@@ -2128,11 +2133,9 @@ def _build_oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_top1": _ann_lsh_oracle_sql(),
         "ann_ivf_top1": _ann_ivf_oracle_sql(),
-        "token_counts": """
+        "token_counts": f"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS n_tokens
+                   {_WS_TOKEN_COUNT_SQL} AS n_tokens
             FROM documents
         """,
         "quality_scores": """

@@ -7,8 +7,10 @@ whole-stage codegen and each has an exactly-mirroring ANSI-SQL oracle in
 ``__spark_entry__.oracle_sql`` (DuckDB-checked).
 
 Cross-engine determinism rules used throughout:
-* counting via length(regexp_replace(...)) rather than engine-specific
-  regexp_count variants;
+* CHARACTER-CLASS counting via length(regexp_replace(...)); MATCH counting
+  via the sanctioned pair F.regexp_count (Spark) <-> len(regexp_extract_all)
+  (DuckDB), with whitespace always spelled as an explicit ASCII class
+  (engine `\\s` shorthands disagree across Java/RE2/Python);
 * float outputs rounded to 6 decimals;
 * md5 hex (lowercase in both engines) for fingerprints.
 """
@@ -32,8 +34,14 @@ def token_count_col(text: Column) -> Column:
 # The real GPT-2 pattern's `\s+(?!\S)` lookahead and `\p{L}` classes are not
 # expressible in RE2, so this is the documented ASCII approximation — piece
 # COUNTS track BPE token counts closely on code/English text, which is what
-# a data pipeline budgets by.
-BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# a data pipeline budgets by. Whitespace is an EXPLICIT ASCII class, not
+# `\s`: the shorthand quietly differs per engine (Java includes \x0B, RE2
+# does not, Python adds \x1c-\x1f/\x85/\xa0), and this pattern must count
+# identically under all three.
+_BPE_WS = r" \t\n\f\r\x0b"
+BPE_ISH_PATTERN = (
+    rf" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_BPE_WS}]+|[{_BPE_WS}]+"
+)
 
 
 def bpe_token_count_col(text: Column) -> Column:

@@ -141,14 +141,21 @@ def read_crawl_jsonl(
     path: str,
     field_map: dict[str, str] | None = None,
     defaults: dict[str, str] | None = None,
+    cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Crawl-drop ingestion: JSONL (optionally compressed — Spark resolves
-    ``.gz``/``.zst`` codecs from the extension) into the corpus shape.
+    """Crawl-drop ingestion: JSONL (``.gz`` handled transparently and
+    tested here; other extensions resolve to Hadoop codecs only where
+    their native libraries exist — this sandbox lacks native hadoop, so
+    e.g. ``.zst`` is NOT available on it) into the corpus shape.
 
     Returns ``(corpus, corrupt)``: the corpus-shaped frame (CORPUS_COLUMNS)
-    and the frame of unparseable lines — surfaced, never dropped silently
+    and the frame of rejected lines — surfaced, never dropped silently
     (a crawl drop with 3% broken JSON should fail loudly in the caller's
-    accounting, not shrink the corpus by 3%).
+    accounting, not shrink the corpus by 3%). Rejected = unparseable JSON
+    OR a well-formed line with any required (non-default) field null: a
+    null repo/path/commit would silently merge distinct documents into one
+    ``xxhash64`` doc_id (Spark hash functions SKIP null inputs), and null
+    content would poison sha256 lineage.
 
     ``field_map`` maps corpus column -> JSON field name (identity by
     default); ``defaults`` supplies constant values for corpus columns the
@@ -159,17 +166,22 @@ def read_crawl_jsonl(
     the real read, which at crawl scale doubles the most expensive scan in
     the job. PERMISSIVE mode with a named corrupt-record column keeps one
     malformed line from failing a TB-sized drop while still accounting for
-    every such line.
+    every such line. The two returned frames share one parse plan but NOT
+    one materialization: a caller that executes both (ingest + corrupt
+    accounting) parses the drop twice. ``cache=True`` persists the parsed
+    frame so both actions share one parse — use it when the drop fits the
+    cluster cache; for larger drops, write the corrupt frame to a sink
+    first and read the corpus from the same job's output instead.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
     field_map = dict(field_map or {})
     defaults = dict(defaults or {})
-    src_fields = [
+    required = [
         field_map.get(c, c) for c in CORPUS_COLUMNS if c not in defaults
     ]
     schema = StructType(
-        [StructField(f, StringType(), True) for f in src_fields]
+        [StructField(f, StringType(), True) for f in required]
         + [StructField("_corrupt_record", StringType(), True)]
     )
     raw = (
@@ -178,22 +190,16 @@ def read_crawl_jsonl(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    # Spark leaves all data columns null for a corrupt line; a WELL-FORMED
-    # line missing required fields is not corrupt to the parser, so the
-    # null-content check below folds it into the corrupt frame too — the
-    # corpus frame never carries a null content column into sha256 lineage.
-    corrupt = raw.where(
-        F.col("_corrupt_record").isNotNull()
-        | F.col(field_map.get("content", "content")).isNull()
-    )
-    good = raw.where(
-        F.col("_corrupt_record").isNull()
-        & F.col(field_map.get("content", "content")).isNotNull()
-    )
+    if cache:
+        raw = raw.persist()
+    ok = F.col("_corrupt_record").isNull()
+    for f in required:
+        ok = ok & F.col(f).isNotNull()
+    corrupt = raw.where(~ok)
     cols = []
     for c in CORPUS_COLUMNS:
         if c in defaults:
             cols.append(F.lit(defaults[c]).alias(c))
         else:
             cols.append(F.col(field_map.get(c, c)).alias(c))
-    return good.select(*cols), corrupt
+    return raw.where(ok).select(*cols), corrupt

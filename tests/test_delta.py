@@ -126,12 +126,15 @@ def test_degenerate_delta_exact_recrawl_and_empties(
         C.to_spark_df(spark, C.PlantedCorpus(rows=base_rows + delta_rows))
     )
     assert _clusters(incr) == _clusters(full)
-    # no fuzzy pair work happened: every delta doc was an exact dup or
-    # a brand-new sha with no near-dup band collisions into the base
+    # pin the 'no fuzzy work' claim directly: the exact re-crawl copies
+    # collapse BEFORE the candidate stage, so s3 emits zero pairs (the
+    # empty doc's signature shares no band with any real base doc)
     import json
 
     with open(f"{wd1}/metrics/s1_exact.json") as f:
         assert json.load(f)["n_exact_members"] >= 30 + 2
+    with open(f"{wd1}/metrics/s3_candidates.json") as f:
+        assert json.load(f)["rows"] == 0
 
 
 def test_delta_candidates_all_touch_delta_docs(spark, two_epoch):

@@ -130,9 +130,16 @@ def test_jsonl_crawl_source(spark, tmp_path):
         {"origin": "r2", "path": "b.go", "commit": "c2", "lang": "go",
          "raw": "func main() {} // naïve ✓"},
     ]
-    bad = ['{"origin": "r3", "path": BROKEN', {"origin": "r4", "path": "d.c",
-           "commit": "c4", "lang": "c"}]  # malformed json; missing content
-    _write_jsonl(tmp_path / "part-0.jsonl", [good[0], bad[0], good[1], bad[1]])
+    bad = [
+        '{"origin": "r3", "path": BROKEN',  # malformed json
+        {"origin": "r4", "path": "d.c", "commit": "c4", "lang": "c"},  # no content
+        # missing repo: would merge distinct docs under one doc_id (Spark
+        # hash functions skip null inputs) — must be rejected, not ingested
+        {"path": "e.c", "commit": "c5", "lang": "c", "raw": "int x;"},
+    ]
+    _write_jsonl(
+        tmp_path / "part-0.jsonl", [good[0], bad[0], good[1], bad[1], bad[2]]
+    )
     corpus, corrupt = read_crawl_jsonl(
         spark,
         str(tmp_path),
@@ -142,8 +149,8 @@ def test_jsonl_crawl_source(spark, tmp_path):
     assert set(rows) == {"r1", "r2"}
     assert list(corpus.columns) == ["repo", "path", "commit", "lang", "content"]
     assert rows["r2"]["content"] == "func main() {} // naïve ✓"
-    # nothing dropped silently: both bad lines surface
-    assert corrupt.count() == 2
+    # nothing dropped silently: all three bad lines surface
+    assert corrupt.count() == 3
 
 
 def test_jsonl_gz_and_defaults_feed_pipeline_shape(spark, tmp_path):

@@ -1034,6 +1034,69 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench)
 
 
+_SPLIT_SALT = "fsw-r4"
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SAMPLE_RATES = {"en": 0.5, "de": 0.2}
+_SAMPLE_DEFAULT = 0.1
+_SHUFFLE_SHARDS = 8
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment: a pure
+    function of sha256(content || salt), so exact duplicates co-assign by
+    construction and re-crawls never move existing rows between splits
+    (functions/splits.py). Map-side only — no shuffle, no RNG state; the
+    oracle mirrors the hex-window threshold comparison verbatim."""
+    from fuzzysearch_spark.functions.splits import split_assign_col, split_key_col
+
+    docs = _docs(spark, sf_dir)
+    key = split_key_col(F.col("text"), salt=_SPLIT_SALT)
+    return docs.select(
+        "doc_id", split_assign_col(key, _SPLIT_FRACTIONS).alias("split")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates decided
+    on a hash window DISJOINT from the split window, so sampling is
+    unbiased within each split. Returns the kept (doc_id, lang) rows."""
+    from fuzzysearch_spark.functions.splits import sample_keep_col, split_key_col
+
+    docs = _docs(spark, sf_dir)
+    key = split_key_col(F.col("text"), salt=_SPLIT_SALT)
+    keep = sample_keep_col(
+        key,
+        stratum_col=F.col("lang"),
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+    )
+    return docs.where(keep).select("doc_id", "lang")
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + contiguous shard assignment: total
+    order by a content-hash window (doc_id tiebreak), positions computed
+    DISTRIBUTED via range-partitioned sort + per-partition offset
+    (operators/ordering.py — never row_number over an unpartitioned
+    window, which executes in one task), then shard = pos % n."""
+    from fuzzysearch_spark.functions.splits import shuffle_key_col, split_key_col
+    from fuzzysearch_spark.operators.ordering import global_order_index
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        shuffle_key_col(split_key_col(F.col("text"), salt=_SPLIT_SALT)).alias("sk"),
+    )
+    with _scratch_frames() as frames:
+        ordered = global_order_index(keyed, ["sk", "doc_id"], scratch=frames)
+        out = ordered.select(
+            "doc_id",
+            "pos",
+            (F.col("pos") % _SHUFFLE_SHARDS).alias("shard"),
+        )
+        return _materialized(spark, out)
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (C1/C2 as a window): 30-min-gap sessions per user."""
     from pyspark.sql import Window
@@ -1152,6 +1215,72 @@ def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _splits_oracle_key(window: tuple[int, int]) -> str:
+    """DuckDB mirror of splits.split_key_col + the hex-window read: the
+    same sha256(text || salt) digest, the same 1-based substring."""
+    return f"substr(sha256(text || '{_SPLIT_SALT}'), {window[0]}, {window[1]})"
+
+
+def _split_assign_oracle_sql() -> str:
+    """Mirror of q_split_assign: cumulative hex thresholds from the SAME
+    helper the engine uses (splits.hex_threshold), last split as the CASE
+    fallback — an exact dialect-independent restatement, no hash mirroring
+    needed because fixed-width lowercase hex compares like its value."""
+    from fuzzysearch_spark.functions.splits import SPLIT_WINDOW, hex_threshold
+
+    key = _splits_oracle_key(SPLIT_WINDOW)
+    names = list(_SPLIT_FRACTIONS)
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        t = hex_threshold(cum, SPLIT_WINDOW[1])
+        whens.append(f"WHEN {key} < '{t}' THEN '{name}'")
+    branches = "\n                 ".join(whens)
+    return f"""
+        SELECT doc_id,
+               CASE {branches}
+                 ELSE '{names[-1]}' END AS split
+        FROM documents
+    """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from fuzzysearch_spark.functions.splits import SAMPLE_WINDOW, hex_threshold
+
+    key = _splits_oracle_key(SAMPLE_WINDOW)
+    whens = "\n                 ".join(
+        f"WHEN '{name}' THEN '{hex_threshold(rate, SAMPLE_WINDOW[1])}'"
+        for name, rate in _SAMPLE_RATES.items()
+    )
+    default = hex_threshold(_SAMPLE_DEFAULT, SAMPLE_WINDOW[1])
+    return f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {key} < CASE lang
+                 {whens}
+                 ELSE '{default}' END
+    """
+
+
+def _global_shuffle_oracle_sql() -> str:
+    """Mirror of q_global_shuffle: DuckDB can afford the single-process
+    ROW_NUMBER total order the engine deliberately avoids — which makes it
+    the right oracle: it checks the distributed two-pass offset scheme
+    against the naive one-task plan it replaces."""
+    from fuzzysearch_spark.functions.splits import SHUFFLE_WINDOW
+
+    key = _splits_oracle_key(SHUFFLE_WINDOW)
+    return f"""
+        WITH k AS (SELECT doc_id, {key} AS sk FROM documents),
+        r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS pos
+          FROM k
+        )
+        SELECT doc_id, pos, pos % {_SHUFFLE_SHARDS} AS shard FROM r
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -1185,6 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "global_shuffle": q_global_shuffle,
         "bpe_token_counts": q_bpe_token_counts,
         "event_sessions": q_event_sessions,
         "best_event_per_session": q_best_event_per_session,
@@ -2212,6 +2344,9 @@ def _build_oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS top_bigram_ratio
             FROM big
         """,
+        "split_assign": _split_assign_oracle_sql(),
+        "stratified_sample": _stratified_sample_oracle_sql(),
+        "global_shuffle": _global_shuffle_oracle_sql(),
         # token 13-gram overlap vs the every-50th-doc benchmark fragment;
         # grams compared as STRINGS here (the engine joins on xxhash64 —
         # the hash compression is under test, not mirrored)

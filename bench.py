@@ -130,6 +130,9 @@ def main():
         "pii_scrub",
         "decontaminate",
         "repetition_scores",
+        "split_assign",
+        "stratified_sample",
+        "global_shuffle",
         "lang_id",
         "fingerprints",
         "event_sessions",

@@ -1,0 +1,153 @@
+"""Deterministic, content-keyed dataset splitting and sampling.
+
+Training-data pipeline surface the reference (a single-process search
+library) has no analogue for, but that any corpus this engine dedups is
+about to need: assign every document to train/val/test and draw
+stratified samples as a PURE FUNCTION of content, so that
+
+- assignment is reproducible across runs, clusters, and languages with no
+  RNG state to ship or seed to coordinate;
+- exact duplicates co-assign BY CONSTRUCTION (identical content ==
+  identical key == identical split), closing the classic eval-leakage
+  hole where a test document's byte-identical twin lands in train
+  (near-dup leakage is the decontaminate / near-dup-dedup operators'
+  job — see operators/decontaminate.py);
+- re-crawls that ADD rows never move existing rows between splits
+  (per-row decisions, no global state), so split membership is stable
+  under corpus growth — unlike ``df.randomSplit``, which reshuffles
+  everything when the input changes by one row.
+
+Mechanism: ``sha256(content || salt)`` hex, with DISJOINT fixed-width
+hex windows driving independent decisions — window [1..8] for split
+assignment, [9..16] for sampling, [17..32] for shuffle order — compared
+LEXICOGRAPHICALLY against fraction thresholds. A fixed-width lowercase
+hex string compares identically to its numeric value, so no dialect-
+specific hex-to-int conversion is ever needed: the whole scheme is
+portable to any SQL engine with ``sha256()`` (the DuckDB oracles in
+``__spark_entry__`` mirror it verbatim). All expressions are JVM
+built-ins — zero Python in the row path.
+
+At scale these are embarrassingly parallel map-side expressions: no
+shuffle, no state, pushdown-friendly (a split filter prunes at the scan
+when the split column is materialized at write time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# disjoint hex windows of the sha256(content||salt) digest; each decision
+# reads its own window so decisions are independent (e.g. sampling is
+# unbiased WITHIN each split)
+SPLIT_WINDOW = (1, 8)
+SAMPLE_WINDOW = (9, 8)
+SHUFFLE_WINDOW = (17, 16)
+
+
+def hex_threshold(frac: float, width: int = 8) -> str:
+    """Fraction -> fixed-width lowercase hex threshold string.
+
+    A key window ``h`` (width hex chars) satisfies ``h < hex_threshold(f)``
+    for (as close as representable to) a fraction ``f`` of uniformly
+    distributed keys. ``f >= 1`` returns an all-'g' sentinel that every
+    hex string compares below, so a 1.0 rate keeps everything.
+    """
+    if frac < 0:
+        raise ValueError(f"fraction must be >= 0, got {frac}")
+    if frac >= 1:
+        return "g" * width  # > every [0-9a-f] string of this width
+    return format(int(round(frac * (16**width))), f"0{width}x")
+
+
+def split_key_col(content_col: Column, salt: str = "") -> Column:
+    """64-hex-char sha256 decision key over content (+ optional salt).
+
+    The salt rotates EVERY downstream decision (splits, samples, shuffle
+    order) at once — e.g. per-experiment resampling — while keeping the
+    exact-dup co-assignment property within a salt.
+    """
+    if salt:
+        return F.sha2(F.concat(content_col, F.lit(salt)), 256)
+    return F.sha2(content_col, 256)
+
+
+def _window(key_col: Column, window: tuple[int, int]) -> Column:
+    start, width = window
+    return F.substring(key_col, start, width)
+
+
+def split_assign_col(key_col: Column, fractions: dict[str, float]) -> Column:
+    """Split-name column from a ``split_key_col`` key.
+
+    ``fractions`` is an ORDERED name -> fraction mapping summing to 1
+    (insertion order defines the hash-space layout, so the same dict
+    always yields the same assignment). The last split is the CASE
+    fallback: it absorbs the residual hash space exactly, so fractions
+    like 1/3 need no epsilon fiddling.
+    """
+    if len(fractions) < 1:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+
+    names = list(fractions)
+    window = _window(key_col, SPLIT_WINDOW)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = window < F.lit(hex_threshold(cum, SPLIT_WINDOW[1]))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    if expr is None:
+        return F.lit(names[0])
+    return expr.otherwise(F.lit(names[-1]))
+
+
+def sample_keep_col(
+    key_col: Column,
+    rate: float | None = None,
+    stratum_col: Column | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+) -> Column:
+    """Boolean keep-flag for deterministic (optionally stratified) sampling.
+
+    Uniform: pass ``rate``. Stratified: pass ``stratum_col`` + per-stratum
+    ``rates`` (strata absent from ``rates`` fall back to ``default_rate``).
+    Reads the SAMPLE_WINDOW of the key, so sampling is independent of the
+    split assignment drawn from the same key.
+    """
+    window = _window(key_col, SAMPLE_WINDOW)
+    width = SAMPLE_WINDOW[1]
+    if rates is None:
+        if rate is None:
+            raise ValueError("pass either rate or (stratum_col, rates)")
+        return window < F.lit(hex_threshold(rate, width))
+    if stratum_col is None:
+        raise ValueError("stratified sampling needs stratum_col")
+    threshold = None
+    for name, r in rates.items():
+        cond = stratum_col == F.lit(name)
+        lit = F.lit(hex_threshold(r, width))
+        threshold = F.when(cond, lit) if threshold is None else threshold.when(cond, lit)
+    threshold = (
+        F.lit(hex_threshold(default_rate, width))
+        if threshold is None
+        else threshold.otherwise(F.lit(hex_threshold(default_rate, width)))
+    )
+    return window < threshold
+
+
+def shuffle_key_col(key_col: Column) -> Column:
+    """16-hex-char deterministic shuffle-order key (SHUFFLE_WINDOW).
+
+    Sorting by (this, unique id) is a reproducible global permutation of
+    the corpus — the "shuffle the training data" step — with exact-dup
+    neighbors broken apart by the id tiebreak. Feed it to
+    ``operators.ordering.global_order_index`` for a contiguous position.
+    """
+    return _window(key_col, SHUFFLE_WINDOW)

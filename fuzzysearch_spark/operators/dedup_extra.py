@@ -101,7 +101,24 @@ def ngram_jaccard_pairs(
     if scratch is not None:
         grams = grams.persist()
         scratch.append(grams)
+    # cardinalities come off the PRE-pin frame: groupBy(doc_id) needs a
+    # doc-keyed exchange regardless, so it gains nothing from the gram pin
     card = grams.groupBy("doc_id").agg(F.count("*").alias("c"))
+    if scratch is not None:
+        # AQE sizes the self-join's exchanges by the gram table's BYTES
+        # (~16 B/row — a few MB even at millions of rows), blind to the
+        # per-gram fan-out behind them: on a boilerplate-heavy draw (one
+        # 12-gram shared by ~800 docs; 56M join rows from a 1.4M-row gram
+        # table, measured on the round-4 sf0.1 testdata) the join+agg
+        # collapsed to near-serial tasks — 82 s where an explicit
+        # gram-key pin runs 20 s (A/B, identical output). Same mechanism
+        # and same fix as the LSH band exchange and the verify salt
+        # window. The pin costs one narrow re-exchange of the CACHED gram
+        # table, so it is gated to inputs big enough to matter; the count
+        # also materializes the cache the self-join reads twice.
+        sc = docs.sparkSession.sparkContext
+        if grams.count() >= 500_000:
+            grams = grams.repartition(sc.defaultParallelism * 4, "gram")
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (

@@ -1,0 +1,93 @@
+"""Deterministic global shuffle with a contiguous position index.
+
+"Shuffle the training data, then shard it" needs a total order over the
+corpus plus a contiguous 0-based position per row — and the obvious Spark
+spelling, ``row_number()`` over an unpartitioned window, executes in ONE
+task (Spark moves every row to a single partition to number them), which
+is exactly the driver-side-loop anti-pattern at 100 TB.
+
+``global_order_index`` keeps the sort distributed with the classic
+two-pass scheme:
+
+1. ``repartitionByRange`` on the order keys — a range exchange whose
+   boundaries Spark picks by sampling; boundaries only decide partition
+   SIZES, never the global order, and equal keys land in one partition;
+2. ``sortWithinPartitions`` on the same keys — with a unique tiebreak
+   column in the keys this is a deterministic total order;
+3. ONE light count-per-partition aggregate over the sorted frame
+   (collects n_partitions rows — bounded by cluster parallelism, never
+   by data);
+4. a ``mapInPandas`` pass that adds each partition's cumulative offset
+   to its local running position. Arrow-batched, no Python per row.
+
+The sorted frame is persisted between passes 3 and 4 (appended to the
+caller's ``scratch`` list, the repo-wide contract) so both passes see
+the SAME range boundaries — under AQE a re-executed exchange may
+re-sample, and mismatched boundaries would corrupt the offsets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def global_order_index(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str = "pos",
+    num_partitions: int | None = None,
+    scratch: list | None = None,
+) -> DataFrame:
+    """Input columns + ``pos_col``: contiguous 0-based rank in the total
+    order defined by ``order_cols`` (which MUST end in a unique tiebreak
+    column, e.g. the doc id — uniqueness is what makes the permutation
+    deterministic and the equality oracle exact).
+
+    ``scratch``: caller-owned list to receive the persisted sorted frame
+    (unpersist after consuming the result, or materialize first — the
+    ``_scratch_frames`` pattern in ``__spark_entry__``). Without it the
+    frame is still persisted but only unpersisted lazily by Spark's LRU.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in order_cols]
+    ordered = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    with_pid = with_pid.persist()
+    if scratch is not None:
+        scratch.append(with_pid)
+
+    # pass 1: per-partition row counts -> cumulative offsets (n rows,
+    # bounded by parallelism). spark_partition_id is stable here because
+    # the frame is persisted: both passes read the same materialization.
+    counts = {
+        r["__pid"]: r["count"]
+        for r in with_pid.groupBy("__pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = with_pid.drop("__pid").schema.add(pos_col, "long")
+
+    def add_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[pos_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    # mapInPandas is narrow: each task sees exactly one sorted partition's
+    # batches in order, so the running local counter is the in-partition
+    # rank and base + rank is the global contiguous position.
+    return with_pid.mapInPandas(add_pos, schema=out_schema)

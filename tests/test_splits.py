@@ -1,0 +1,288 @@
+"""Deterministic split / sample / global-shuffle contracts.
+
+The load-bearing properties: pure function of content (exact dups
+co-assign, reruns identical), fraction accuracy on a uniform key space,
+row-addition stability (the randomSplit failure mode), and the ordering
+operator's contiguous-position equivalence with a single-process sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.splits import (
+    SAMPLE_WINDOW,
+    SHUFFLE_WINDOW,
+    SPLIT_WINDOW,
+    hex_threshold,
+    sample_keep_col,
+    shuffle_key_col,
+    split_assign_col,
+    split_key_col,
+)
+from fuzzysearch_spark.operators.ordering import global_order_index
+
+FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _docs(spark, n=4000, salt=""):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(f"doc body {salt} #"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+
+
+def _py_split(text: str, fractions=FRACTIONS, salt="") -> str:
+    """Single-process mirror of split_key_col + split_assign_col."""
+    h = hashlib.sha256((text + salt).encode()).hexdigest()
+    window = h[SPLIT_WINDOW[0] - 1 : SPLIT_WINDOW[0] - 1 + SPLIT_WINDOW[1]]
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        if window < hex_threshold(cum, SPLIT_WINDOW[1]):
+            return name
+    return names[-1]
+
+
+class TestHexThreshold:
+    def test_zero_keeps_nothing(self):
+        assert hex_threshold(0.0) == "00000000"
+
+    def test_one_keeps_everything(self):
+        t = hex_threshold(1.0)
+        assert "ffffffff" < t  # every hex window sorts below the sentinel
+
+    def test_midpoint(self):
+        assert hex_threshold(0.5) == "80000000"
+
+    def test_width(self):
+        assert hex_threshold(0.25, 16) == "4000000000000000"
+
+    def test_negative_raises(self):
+        with pytest.raises(ValueError):
+            hex_threshold(-0.1)
+
+
+class TestSplitAssign:
+    def test_matches_python_mirror(self, spark):
+        rows = (
+            _docs(spark, 500)
+            .select(
+                "text",
+                split_assign_col(split_key_col(F.col("text")), FRACTIONS).alias(
+                    "split"
+                ),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r["split"] == _py_split(r["text"])
+
+    def test_fraction_accuracy(self, spark):
+        counts = dict(
+            _docs(spark, 20000)
+            .select(
+                split_assign_col(split_key_col(F.col("text")), FRACTIONS).alias(
+                    "split"
+                )
+            )
+            .groupBy("split")
+            .count()
+            .collect()
+        )
+        for name, frac in FRACTIONS.items():
+            assert abs(counts.get(name, 0) / 20000 - frac) < 0.02, (name, counts)
+
+    def test_exact_dups_co_assign(self, spark):
+        docs = _docs(spark, 200).union(_docs(spark, 200))  # every text twice
+        n_distinct = (
+            docs.select(
+                "text",
+                split_assign_col(split_key_col(F.col("text")), FRACTIONS).alias(
+                    "split"
+                ),
+            )
+            .distinct()
+            .count()
+        )
+        assert n_distinct == 200  # a text never maps to two splits
+
+    def test_stable_under_row_addition(self, spark):
+        col = split_assign_col(split_key_col(F.col("text")), FRACTIONS)
+        small = {
+            r["text"]: r["split"]
+            for r in _docs(spark, 300).select("text", col.alias("split")).collect()
+        }
+        big = {
+            r["text"]: r["split"]
+            for r in _docs(spark, 600).select("text", col.alias("split")).collect()
+        }
+        for text, split in small.items():
+            assert big[text] == split
+
+    def test_salt_rotates_assignment(self, spark):
+        base = _docs(spark, 2000)
+        a = base.select(
+            "doc_id",
+            split_assign_col(split_key_col(F.col("text")), FRACTIONS).alias("s"),
+        )
+        b = base.select(
+            "doc_id",
+            split_assign_col(split_key_col(F.col("text"), salt="exp2"), FRACTIONS).alias(
+                "s2"
+            ),
+        )
+        moved = a.join(b, "doc_id").where(F.col("s") != F.col("s2")).count()
+        assert moved > 0  # the salt actually re-draws
+
+    def test_fractions_must_sum_to_one(self):
+        with pytest.raises(ValueError):
+            split_assign_col(F.lit("x"), {"a": 0.5, "b": 0.4})
+
+    def test_single_split_is_constant(self, spark):
+        rows = (
+            _docs(spark, 10)
+            .select(split_assign_col(split_key_col(F.col("text")), {"all": 1.0}).alias("s"))
+            .distinct()
+            .collect()
+        )
+        assert [r["s"] for r in rows] == ["all"]
+
+
+class TestSampleKeep:
+    def test_uniform_rate(self, spark):
+        kept = (
+            _docs(spark, 20000)
+            .where(sample_keep_col(split_key_col(F.col("text")), rate=0.3))
+            .count()
+        )
+        assert abs(kept / 20000 - 0.3) < 0.02
+
+    def test_rate_one_keeps_all_rate_zero_none(self, spark):
+        docs = _docs(spark, 500)
+        key = split_key_col(F.col("text"))
+        assert docs.where(sample_keep_col(key, rate=1.0)).count() == 500
+        assert docs.where(sample_keep_col(key, rate=0.0)).count() == 0
+
+    def test_stratified_rates(self, spark):
+        docs = _docs(spark, 30000)  # ~10k per lang
+        kept = dict(
+            docs.where(
+                sample_keep_col(
+                    split_key_col(F.col("text")),
+                    stratum_col=F.col("lang"),
+                    rates={"en": 0.5, "de": 0.1},
+                    default_rate=0.9,
+                )
+            )
+            .groupBy("lang")
+            .count()
+            .collect()
+        )
+        per = 10000
+        assert abs(kept["en"] / per - 0.5) < 0.03
+        assert abs(kept["de"] / per - 0.1) < 0.03
+        assert abs(kept["fr"] / per - 0.9) < 0.03  # default rate
+
+    def test_sampling_independent_of_split(self, spark):
+        # the sample window is disjoint from the split window, so the kept
+        # fraction inside each split matches the global rate
+        docs = _docs(spark, 30000)
+        key = split_key_col(F.col("text"))
+        tagged = docs.select(
+            split_assign_col(key, FRACTIONS).alias("split"),
+            sample_keep_col(key, rate=0.5).alias("keep"),
+        )
+        stats = {
+            r["split"]: (r["n"], r["k"])
+            for r in tagged.groupBy("split")
+            .agg(F.count("*").alias("n"), F.sum(F.col("keep").cast("int")).alias("k"))
+            .collect()
+        }
+        for split, (n, k) in stats.items():
+            assert abs(k / n - 0.5) < 0.05, (split, n, k)
+
+    def test_requires_rate_or_rates(self):
+        with pytest.raises(ValueError):
+            sample_keep_col(F.lit("x"))
+        with pytest.raises(ValueError):
+            sample_keep_col(F.lit("x"), rates={"en": 0.5})
+
+
+class TestGlobalOrderIndex:
+    def _run(self, spark, df, order_cols, **kw):
+        scratch = []
+        try:
+            out = global_order_index(df, order_cols, scratch=scratch, **kw).toPandas()
+        finally:
+            for f in scratch:
+                f.unpersist()
+        return out
+
+    def test_matches_single_process_sort(self, spark):
+        docs = _docs(spark, 3000).select(
+            "doc_id", shuffle_key_col(split_key_col(F.col("text"))).alias("sk")
+        )
+        out = self._run(spark, docs, ["sk", "doc_id"])
+        expect = (
+            out[["doc_id", "sk"]]
+            .sort_values(["sk", "doc_id"])
+            .reset_index(drop=True)
+        )
+        expect["pos"] = range(len(expect))
+        got = out.sort_values("pos").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "sk", "pos"]], expect[["doc_id", "sk", "pos"]]
+        )
+
+    def test_positions_contiguous(self, spark):
+        docs = _docs(spark, 1234).select("doc_id", F.col("text"))
+        out = self._run(spark, docs, ["text", "doc_id"])
+        assert sorted(out["pos"]) == list(range(1234))
+
+    def test_deterministic_across_runs(self, spark):
+        docs = _docs(spark, 800).select(
+            "doc_id", shuffle_key_col(split_key_col(F.col("text"))).alias("sk")
+        )
+        a = self._run(spark, docs, ["sk", "doc_id"]).sort_values("doc_id")
+        b = self._run(spark, docs, ["sk", "doc_id"]).sort_values("doc_id")
+        assert list(a["pos"]) == list(b["pos"])
+
+    def test_duplicate_keys_tiebreak(self, spark):
+        # 50 identical sort keys: the doc_id tiebreak must order them
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"), F.lit("same").alias("k")
+        )
+        out = self._run(spark, docs, ["k", "doc_id"]).sort_values("pos")
+        assert list(out["doc_id"]) == list(range(50))
+
+    def test_runs_distributed(self, spark):
+        docs = _docs(spark, 2000).select("doc_id", F.col("text"))
+        scratch = []
+        try:
+            ordered = global_order_index(docs, ["text", "doc_id"], scratch=scratch)
+            ordered.count()
+            # the sorted intermediate spans multiple partitions: the sort
+            # never collapsed to the one-task window plan
+            assert scratch[0].rdd.getNumPartitions() > 1
+        finally:
+            for f in scratch:
+                f.unpersist()
+
+    def test_windows_disjoint(self):
+        spans = []
+        for start, width in (SPLIT_WINDOW, SAMPLE_WINDOW, SHUFFLE_WINDOW):
+            spans.append(set(range(start, start + width)))
+        assert not (spans[0] & spans[1] or spans[0] & spans[2] or spans[1] & spans[2])
+        assert max(spans[2]) <= 64  # inside the sha256 hex digest

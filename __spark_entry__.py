@@ -180,6 +180,59 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 12-gram Jaccard >= 0.7 pairs via the AllPairs/PPJoin-style
+    prefix+positional-filtered join — identical output to
+    q_ngram_jaccard_pairs by construction (the equivalence audit pins it),
+    so it shares the quadratic rung's oracle SQL verbatim. This is the
+    exact rung that stays tractable on boilerplate-dominated corpora
+    where hot-gram fan-out makes the quadratic join explode (measured:
+    30k docs sharing a license header — 33 s here, quadratic rung did
+    not finish in 600 s; see operators/dedup_extra.py docstring)."""
+    from fuzzysearch_spark.operators.dedup_extra import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    with _scratch_frames() as scratch:
+        return _materialized(
+            spark,
+            prefix_filtered_jaccard_pairs(
+                _docs(spark, sf_dir), n=12, min_jaccard=0.7, scratch=scratch
+            ),
+        )
+
+
+def q_jaccard_prefix_equivalence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric difference between the prefix-filtered exact Jaccard join
+    and the quadratic ground-truth rung — the prefix/length/positional
+    filters are provably lossless (dedup_extra.prefix_filtered_jaccard_
+    pairs docstring carries the bound derivations, including the
+    ROUND(.,4) admission slack), so the outputs must be row-identical
+    and the oracle pins emptiness. Non-vacuity is pytest-pinned
+    (tests/test_entry_audits.py: the truth set at sf0.01 is non-empty)."""
+    from fuzzysearch_spark.operators.dedup_extra import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    with _scratch_frames() as scratch:
+        quad = ngram_jaccard_pairs(
+            docs, n=12, min_jaccard=0.7, scratch=scratch
+        ).persist()
+        scratch.append(quad)
+        pref = prefix_filtered_jaccard_pairs(
+            docs, n=12, min_jaccard=0.7, scratch=scratch
+        ).persist()
+        scratch.append(pref)
+        diff = quad.exceptAll(pref).unionAll(pref.exceptAll(quad)).select(
+            "a_id", "b_id"
+        )
+        return _materialized(spark, diff)
+
+
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-DP verified edit distance <= 8 on Jaccard candidates (L5)."""
     from fuzzysearch_spark.operators.dedup_extra import edit_distance_pairs
@@ -1285,6 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "jaccard_join_prefix": q_jaccard_join_prefix,
+        "jaccard_prefix_equivalence_audit": q_jaccard_prefix_equivalence_audit,
         "edit_distance_pairs": q_edit_distance_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -2134,6 +2189,16 @@ def _build_oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_CTE
         + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.7",
+        # identical-output contract with the quadratic rung (equivalence
+        # audit below pins it), so the prefix join reuses its oracle
+        "jaccard_join_prefix": _JACCARD_CTE
+        + "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.7",
+        # emptiness pin: AllPairs/PPJoin filters are lossless, so the
+        # prefix join's symmetric difference vs the quadratic rung is empty
+        "jaccard_prefix_equivalence_audit": """
+            SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+            WHERE FALSE
+        """,
         # inlined-parameter oracles (the _ann_ivf_oracle_sql pattern):
         # per-doc band keys / simhash values as literals, the relational
         # work (joins, Hamming filter, dedup) done independently in SQL

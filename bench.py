@@ -112,6 +112,7 @@ def main():
     bench_queries = [
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",
+        "jaccard_join_prefix",
         "edit_distance_pairs",
         "near_dup_clusters",
         "simhash_near_dup_pairs",

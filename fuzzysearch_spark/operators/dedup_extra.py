@@ -152,6 +152,173 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 12,
+    min_jaccard: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scratch: list | None = None,
+    broadcast_arrays_max_grams: int = 4_000_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX + POSITIONAL FILTERING — same
+    output as ``ngram_jaccard_pairs``, without the gram-frequency-quadratic
+    join blowup.
+
+    The AllPairs/PPJoin family results (Bayardo et al., WWW'07; Xiao et
+    al., WWW'08 — public papers), re-expressed relationally:
+
+    * **Prefix filter.** Order every document's gram set by one GLOBAL
+      total order (ascending document frequency, ties by gram value —
+      rare grams first); a document's *prefix* is its first
+      ``pl = c - ceil(t*c) + 2`` grams. Any pair with Jaccard >= t shares
+      its order-FIRST common gram inside BOTH prefixes (if every common
+      gram sat past A's prefix, overlap <= |A| - pl_A < t*|A| <= the
+      overlap a qualifying pair needs — contradiction; symmetric for B).
+      Candidates therefore come from a self-join of PREFIX tables only.
+    * **Length filter.** J >= t forces t*ca <= cb <= ca/t — applied the
+      moment both cardinalities meet.
+    * **Positional filter.** The first common gram, at within-doc ranks
+      (ra, rb), bounds the overlap: o <= 1 + min(ca-ra, cb-rb); pairs
+      whose best bound undershoots o_req = ceil(t'(ca+cb)/(1+t')) can
+      never qualify. (The global order makes the first common gram
+      simultaneously rank-minimal in both docs, so max over prefix
+      matches of the bound IS the first-match bound.)
+    * **Exact verification.** Survivors join per-doc sorted gram arrays
+      (broadcast below ``broadcast_arrays_max_grams`` total grams — map
+      side, zero shuffle; doc-keyed join above) and apply the
+      byte-identical ROUND(ix/(ca+cb-ix), 4) >= t expression the
+      quadratic rung uses — the equivalence audit pins the two operators
+      EQUAL, so any drift turns an oracle row red.
+
+    All thresholds use t' = t - 5e-5 and prefix slack +2 (standard bound
+    +1): the quadratic rung admits pairs whose ROUNDED jaccard reaches t,
+    i.e. true J down to t - 5e-5, and that slack exceeds float error by
+    ~8 orders of magnitude. The slack argument is exact for documents
+    under 20k distinct grams (~240 KB of text at this shingle width —
+    past the corpus P99.9); beyond it the guarantee degrades to the
+    standard bound, i.e. only a round-UP borderline pair could differ.
+
+    When to use which exact rung (A/B, round-4 sf0.1 draw, local[32],
+    interleaved repeats): the QUADRATIC rung joins on every shared gram —
+    one boilerplate 12-gram in d docs alone contributes d*(d-1)/2 join
+    rows (measured: one gram in 778 docs, 56M rows) — but streams those
+    rows through one pinned exchange in 8.0-11.9 s. THIS operator prunes
+    12.5M doc pairs to 58k candidates (length+positional filters cut a
+    raw 467k prefix-collision set 8x) and verifies in 1.4-3.4 s, but pays
+    the df-count + rank-window prep: 11.8-17.2 s total — SLOWER on that
+    draw, because its phrase-pool vocabulary spreads shared grams across
+    mid-frequency ranks where prefixes still collide. It WINS when hot
+    grams dominate (measured, same host/session, deterministic corpus of
+    sha256 bodies all sharing one ~400-char license header + planted
+    near-dup siblings): 2 020 docs — prefix 27.3 s vs quadratic 42.1 s;
+    30 300 docs — prefix 33.4 s while the quadratic rung DID NOT FINISH
+    in 600 s (its ~390 header grams at df=30 300 alone imply ~1.8e11
+    join rows; the prefix order sorts every one of them past every
+    prefix). Both stay; callers pick by corpus shape (the dedup
+    pipeline's LSH path needs neither — these are the exact audit
+    rungs).
+
+    Cache ownership (the ``lsh.py`` contract): the gram table has five
+    consumers (df, cardinality, rank join, array build x2) — with
+    ``scratch`` it persists and is COUNTED here (materializing the cache
+    before its consumers fan out; the count also sizes the broadcast
+    gate). The filtered-candidate and prefix frames ride the same list.
+    Without ``scratch`` nothing persists and the array join is left to
+    AQE's runtime broadcast decision.
+    """
+    from pyspark.sql import Window
+
+    t_slack = min_jaccard - 5e-5
+    grams = char_ngram_shingles(docs, n, id_col, text_col, hashed=True)
+    n_grams: int | None = None
+    if scratch is not None:
+        grams = grams.persist()
+        scratch.append(grams)
+        n_grams = grams.count()
+    card = grams.groupBy("doc_id").agg(F.count("*").alias("c"))
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
+
+    rank_w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pl = F.least(
+        F.col("c"),
+        F.col("c") - F.ceil(F.lit(min_jaccard) * F.col("c")) + F.lit(2),
+    )
+    prefix = (
+        grams.join(df_tbl, "gram")
+        .withColumn("r", F.row_number().over(rank_w))
+        .join(card, "doc_id")
+        .where(F.col("r") <= pl)
+        .select("doc_id", "gram", "r", "c")
+    )
+    if scratch is not None:
+        prefix = prefix.persist()
+        scratch.append(prefix)
+
+    o_req = F.ceil(
+        F.lit(t_slack / (1.0 + t_slack)) * (F.col("ca") + F.col("cb"))
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+        .where(
+            (F.col("cb") >= F.ceil(F.lit(t_slack) * F.col("ca")))
+            & (F.col("ca") >= F.ceil(F.lit(t_slack) * F.col("cb")))
+        )
+        .groupBy("a_id", "b_id", "ca", "cb")
+        .agg(
+            F.max(
+                F.least(F.col("ca") - F.col("ra"), F.col("cb") - F.col("rb"))
+            ).alias("ub")
+        )
+        .where(F.lit(1) + F.col("ub") >= o_req)
+        .select("a_id", "b_id")
+    )
+
+    arrs = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gram")).alias("gs")
+    )
+    a_side = arrs.select(F.col("doc_id").alias("a_id"), F.col("gs").alias("ga"))
+    b_side = arrs.select(F.col("doc_id").alias("b_id"), F.col("gs").alias("gb"))
+    # ~24 B/gram in the array rows; below the gate the doc->grams table
+    # rides map-side to every candidate partition (zero shuffle of pairs)
+    if n_grams is not None and n_grams <= broadcast_arrays_max_grams:
+        a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
+    verified = (
+        cands.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("ga", "gb")).alias("ix"),
+            F.size("ga").alias("ca"),
+            F.size("gb").alias("cb"),
+        )
+    )
+    return (
+        verified.select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("ix") / (F.col("ca") + F.col("cb") - F.col("ix")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash_near_dup_pairs(
     docs_with_simhash: DataFrame,
     max_hamming: int = 3,

@@ -40,6 +40,13 @@ def test_simhash_equivalence_audit_empty_and_nonvacuous(spark):
     assert e.q_simhash_near_dup_pairs(spark, SF_DIR).count() > 0
 
 
+def test_jaccard_prefix_equivalence_audit_empty_and_nonvacuous(spark):
+    e = _entry()
+    assert e.q_jaccard_prefix_equivalence_audit(spark, SF_DIR).count() == 0
+    # vacuity guard: both compared sets are non-empty at this SF
+    assert e.q_jaccard_join_prefix(spark, SF_DIR).count() > 0
+
+
 def test_pipeline_recall_audit_empty_and_nonvacuous(spark):
     """The flagship pipeline co-clusters EVERY ground-truth near-dup pair
     at sf0.01 (audit empty), and the truth set is non-empty (non-vacuous)."""

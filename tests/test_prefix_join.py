@@ -1,0 +1,102 @@
+"""Prefix-filtered exact Jaccard join ≡ the quadratic ground-truth rung.
+
+The operator's whole claim is OUTPUT EQUALITY with ``ngram_jaccard_pairs``
+at a fraction of the join volume, so every test here is an equality pin —
+on the driver testdata draw, on a synthetic boilerplate-heavy draw (the
+shape that motivated the operator), and on randomized corpora across
+thresholds (including sub-gram-length documents and exact duplicates).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from fuzzysearch_spark.operators.dedup_extra import (
+    ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return sorted(
+        (r["a_id"], r["b_id"], r["jaccard"]) for r in df.collect()
+    )
+
+
+def _assert_equal(spark, docs, n=12, t=0.7):
+    scratch: list = []
+    try:
+        quad = _pairs(ngram_jaccard_pairs(docs, n=n, min_jaccard=t))
+        pref = _pairs(
+            prefix_filtered_jaccard_pairs(
+                docs, n=n, min_jaccard=t, scratch=scratch
+            )
+        )
+    finally:
+        for f in scratch:
+            f.unpersist()
+    assert pref == quad
+    return quad
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_prefix_join_equals_quadratic_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    quad = _assert_equal(spark, docs)
+    assert len(quad) > 0  # non-vacuous: the draw plants near-dups
+
+
+def test_prefix_join_equals_quadratic_on_boilerplate_draw(spark):
+    """The motivating shape: one license header shared by EVERY document
+    (its grams have df == n_docs, the quadratic rung's hot-key blowup),
+    plus planted near-dup pairs and exact duplicates."""
+    rng = random.Random(7)
+    header = "// SPDX-License-Identifier: MIT | copyright acme corp\n" * 2
+    rows = []
+    for i in range(120):
+        body = "".join(
+            rng.choice("abcdefghij klmnop qrstu vwxyz\n") for _ in range(300)
+        )
+        rows.append((i, header + body))
+        if i % 10 == 0:  # near-dup: one mid-string edit
+            rows.append((1000 + i, header + body[:150] + "#" + body[151:]))
+        if i % 25 == 0:  # exact dup
+            rows.append((2000 + i, header + body))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    quad = _assert_equal(spark, docs)
+    assert len(quad) >= 16  # planted pairs found (non-vacuous)
+
+
+@pytest.mark.parametrize("t", [0.5, 0.7, 0.9])
+def test_prefix_join_equals_quadratic_randomized(spark, t):
+    """Randomized corpora over several thresholds, with mutation rates
+    tuned to land pairs ON and AROUND each threshold, plus degenerate
+    documents shorter than the gram width."""
+    rng = random.Random(int(t * 100))
+    alphabet = "abcdef"
+    rows = []
+    doc_id = 0
+    for _ in range(40):
+        base = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 120)))
+        rows.append((doc_id, base))
+        doc_id += 1
+        for _ in range(rng.randint(0, 3)):  # mutated siblings
+            chars = list(base)
+            for _ in range(rng.randint(0, max(1, len(chars) // 10))):
+                chars[rng.randrange(len(chars))] = rng.choice(alphabet)
+            rows.append((doc_id, "".join(chars)))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    _assert_equal(spark, docs, n=8, t=t)
+
+
+def test_prefix_join_no_pairs_single_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaa"), (2, "bbbbbbbbbbbbbbbb")], ["doc_id", "text"]
+    )
+    assert _pairs(prefix_filtered_jaccard_pairs(docs)) == []

@@ -848,6 +848,40 @@ def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup geometry: same deterministic quantizer family as IVF (the
+# oracle retrains bit-identically and inlines the centroids); tau is set
+# to exercise non-vacuous drops on the testdata's cluster structure —
+# production corpora use ~0.985 (the operator default)
+SEMDEDUP_CENTROIDS = 16
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_ITERS = 4
+SEMDEDUP_SEED = 7
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup verdicts (vec_id, cid, keep): k-means
+    cluster the embeddings, drop any vector whose cluster holds a
+    smaller-id vector with ROUND(cosine,4) >= tau. Oracle: centroids are
+    retrained driver-side (bit-identical ``train_centroids_local``) and
+    inlined as literals; assignment/pairing/keep-rule mirrored
+    expression-for-expression (``_semdedup_oracle_sql``)."""
+    from fuzzysearch_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    with _scratch_frames() as scratch:
+        return _materialized(
+            spark,
+            semdedup(
+                emb,
+                n_centroids=SEMDEDUP_CENTROIDS,
+                min_cosine=SEMDEDUP_TAU,
+                n_iters=SEMDEDUP_ITERS,
+                seed=SEMDEDUP_SEED,
+                scratch=scratch,
+            ),
+        )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.functions.text import token_count_col
 
@@ -1359,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_exact_matches": q_find_exact_matches,
         "cosine_top1": q_cosine_top1,
         "embedding_near_dups": q_embedding_near_dups,
+        "semdedup": q_semdedup,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
         "token_counts": q_token_counts,
@@ -1533,6 +1568,77 @@ def _ann_ivf_oracle_sql() -> str:
             PARTITION BY cand.vec_id
             ORDER BY ROUND(list_cosine_similarity(a.vec, b.vec), 4) DESC,
                      cand.neighbor_id ASC) = 1
+    """
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB mirror of q_semdedup with the TRAINED centroids inlined.
+
+    Same inlined-parameter pattern as ``_ann_ivf_oracle_sql`` (training is
+    a pure function of the table + seed, replayed bit-identically by
+    ``train_centroids_local``); assignment is the identical
+    csq - 2*dot argmin with ties to the lower cid, restricted to rankable
+    vectors; the keep rule is mirrored literally — a vector is dropped iff
+    a smaller-id vector in its cluster reaches ROUND(cosine, 4) >= tau.
+    """
+    import duckdb
+    import numpy as np
+
+    from fuzzysearch_spark.operators.ivf import train_centroids_local
+
+    rel = duckdb.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
+        f"FROM '{ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rel], dtype=np.int64)
+    vecs = np.array([r[1] for r in rel], dtype=np.float64)
+    cent = train_centroids_local(
+        ids,
+        vecs,
+        n_centroids=SEMDEDUP_CENTROIDS,
+        n_iters=SEMDEDUP_ITERS,
+        seed=SEMDEDUP_SEED,
+    )
+    csq = (cent**2).sum(axis=1)
+    values = ",\n              ".join(
+        f"({cid}, {csq[cid]!r}, ["
+        + ", ".join(repr(float(x)) for x in cent[cid])
+        + "]::DOUBLE[])"
+        for cid in range(len(cent))
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        c(cid, csq, cvec) AS (
+          SELECT * FROM (VALUES
+              {values}
+          )
+        ),
+        r AS (
+          SELECT vec_id, vec FROM v WHERE {_VEC_RANKABLE}
+        ),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT r.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.vec_id
+                       ORDER BY c.csq - 2 * list_dot_product(r.vec, c.cvec),
+                                c.cid) AS rn
+            FROM r CROSS JOIN c)
+          WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assign a
+          JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN r ra ON ra.vec_id = a.vec_id
+          JOIN r rb ON rb.vec_id = b.vec_id
+          WHERE ROUND(list_cosine_similarity(ra.vec, rb.vec), 4)
+                >= {SEMDEDUP_TAU}
+        )
+        SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+        FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     """
 
 
@@ -2330,6 +2436,7 @@ def _build_oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_top1": _ann_lsh_oracle_sql(),
         "ann_ivf_top1": _ann_ivf_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    {_WS_TOKEN_COUNT_SQL} AS n_tokens

@@ -123,6 +123,7 @@ def main():
         "find_near_matches_chunked",
         "find_exact_matches",
         "cosine_top1",
+        "semdedup",
         "ann_lsh_top1",
         "ann_ivf_top1",
         "token_counts",

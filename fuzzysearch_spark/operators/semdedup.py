@@ -1,0 +1,154 @@
+"""SemDeDup-style semantic dedup over an embedding column.
+
+The published recipe (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540 — public
+paper): coarse k-means over the embedding space, then WITHIN each cluster
+compare all pairs and drop every vector that sits above a cosine
+threshold with a retained one. Clustering makes the quadratic step local
+— k grows with the corpus so cluster sizes stay bounded — and vectors in
+different clusters are never compared (the approximation the paper
+accepts).
+
+This module re-expresses the recipe on the engine's existing pieces:
+
+* quantizer  = ``ivf.train_centroids`` (seeded, deterministic, bounded
+  sample — the same trained matrix the IVF oracle inlines into SQL, so
+  THIS operator is DuckDB-oracle-checkable the same way);
+* assignment = ``ivf.assign_lists`` at probe_rank 0 (map-side matmul);
+* in-cluster pair generation = ``lsh.lsh_pairs_from_keys`` with the
+  cluster id as the bucket key — the SAME three-tier skew machinery as
+  LSH banding (in-place expansion, salted slices, reported exclusion),
+  so one semantically dense mega-cluster cannot serialize or OOM an
+  executor and is never dropped silently;
+* verification = the ann.py cosine expressions, byte-identical with the
+  oracle-green ``embedding_near_dups`` query.
+
+Keep rule (deterministic, relational): a vector is DROPPED iff some
+SMALLER-id vector in its cluster has ROUND(cosine, 4) >= tau. The paper
+keeps one representative per similarity neighborhood chosen by a cluster-
+internal heuristic; anchoring on min-id makes the output a pure function
+of the input table — exactly reproducible in SQL, at the cost of
+occasionally dropping slightly more than the greedy chain would (a vec
+can be dropped because of an itself-dropped earlier neighbor). Both
+resolve the same neighborhoods; the choice of survivor differs only
+inside a dup group, which downstream training does not see.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.operators.ann import _dot, _norm, _rankable
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    min_cosine: float = 0.985,
+    n_iters: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    max_bucket: int = 10_000,
+    salt_cap: int | None = None,
+    report_out: list | None = None,
+    scratch: list | None = None,
+) -> DataFrame:
+    """(vec_id, cid, keep) — semantic-dedup verdict for every rankable row.
+
+    ``keep`` is false iff a smaller-id vector in the same k-means cluster
+    has ROUND(cosine, 4) >= ``min_cosine``. Degenerate vectors (zero/NaN/
+    Inf norm) are excluded from the output entirely — they have no cosine
+    and no cluster (the ann.py policy; the oracle mirrors the exclusion).
+
+    Scale shape: training cost is sample-bounded; assignment is one
+    map-side matmul pass; pair generation shuffles (vec_id, cid) — 12
+    bytes/row — through the LSH tier machinery (a cluster past
+    ``salt_cap`` is excluded AND reported via ``report_out``, never
+    silent: treat such a report as "raise n_centroids for this corpus");
+    only then do vectors travel, once per surviving pair side. n_centroids
+    should scale ~ n_vectors / target_cluster_size exactly as the paper's
+    k does.
+
+    ``centroids``: pass a pre-trained matrix to skip training (the oracle
+    path trains the identical matrix via ``train_centroids_local``).
+    ``scratch``: caller-owned persist list (the lsh.py contract) for the
+    assignment frame, which is consumed by both pair generation and the
+    final verdict join.
+    """
+    from fuzzysearch_spark.operators.ivf import assign_lists, train_centroids
+    from fuzzysearch_spark.operators.lsh import lsh_pairs_from_keys
+
+    if centroids is None:
+        centroids = train_centroids(
+            embeddings,
+            n_centroids=n_centroids,
+            n_iters=n_iters,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).where(_rankable(F.col("nrm")))
+
+    assigned = assign_lists(
+        base, centroids, n_probe=1, id_col="vec_id", vec_col="vec"
+    ).select("vec_id", "cid")
+    if scratch is not None:
+        assigned = assigned.persist()
+        scratch.append(assigned)
+
+    pairs, report = lsh_pairs_from_keys(
+        assigned.select(
+            F.col("vec_id").alias("doc_id"), F.col("cid").cast("long").alias("bk")
+        ),
+        max_bucket=max_bucket,
+        salt_cap=salt_cap,
+    )
+    if report_out is not None:
+        report_out.append(report)
+
+    sides = base.select("vec_id", "vec", "nrm")
+    scored = (
+        pairs.join(
+            sides.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("vec").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "a_id",
+        )
+        .join(
+            sides.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("vec").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(min_cosine))
+    )
+    # a vector is dropped iff it is the LARGER id of any qualifying pair
+    # (lsh pairs are emitted with a_id < b_id)
+    dropped = (
+        scored.select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", "cid", F.col("_d").isNull().alias("keep")
+    )

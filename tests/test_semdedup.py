@@ -1,0 +1,142 @@
+"""SemDeDup operator: numpy-replica equality, drop-rule soundness, skew.
+
+The operator's contract is relational and deterministic (drop iff a
+smaller-id same-cluster vector reaches the cosine threshold), so the main
+pin is exact equality with an independent numpy implementation built on
+the SAME trained centroids (``train_centroids_local`` is already
+parity-pinned against the Spark trainer in tests/test_extras.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from fuzzysearch_spark.operators.ivf import train_centroids_local
+from fuzzysearch_spark.operators.semdedup import semdedup
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _numpy_semdedup(ids, vecs, n_centroids, tau, n_iters, seed):
+    """Independent replica: assignment by csq - 2*x.c argmin (stable ties
+    to lower cid), drop iff smaller-id same-cluster cosine rounds >= tau."""
+    nrm = np.sqrt((vecs**2).sum(axis=1))
+    ok = (nrm > 0) & np.isfinite(nrm)
+    ids, vecs, nrm = ids[ok], vecs[ok], nrm[ok]
+    cent = train_centroids_local(
+        ids, vecs, n_centroids=n_centroids, n_iters=n_iters, seed=seed
+    )
+    d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (vecs @ cent.T)
+    cid = np.argsort(d2, axis=1, kind="stable")[:, 0]
+    order = np.argsort(ids)
+    verdicts = {}
+    for c in np.unique(cid):
+        members = order[cid[order] == c]  # ascending vec_id
+        kept_or_not = []
+        for idx in members:
+            dropped = False
+            for jdx in kept_or_not:  # every EARLIER member, kept or not
+                cos = float(vecs[idx] @ vecs[jdx] / (nrm[idx] * nrm[jdx]))
+                if np.round(cos, 4) >= tau:
+                    dropped = True
+                    break
+            kept_or_not.append(idx)
+            verdicts[int(ids[idx])] = (int(c), not dropped)
+    return verdicts
+
+
+def _load(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return emb, ids, vecs
+
+
+def test_semdedup_matches_numpy_replica(spark):
+    emb, ids, vecs = _load(spark)
+    scratch: list = []
+    try:
+        out = {
+            r["vec_id"]: (r["cid"], r["keep"])
+            for r in semdedup(
+                emb, n_centroids=16, min_cosine=0.35, scratch=scratch
+            ).collect()
+        }
+    finally:
+        for f in scratch:
+            f.unpersist()
+    ref = _numpy_semdedup(ids, vecs, 16, 0.35, 4, 7)
+    assert out == ref
+    # non-vacuity: the testdata's cluster structure produces real drops
+    # AND real keeps at this tau
+    keeps = sum(1 for _, k in out.values() if k)
+    assert 0 < keeps < len(out)
+
+
+def test_semdedup_thresholds_monotone(spark):
+    """Raising tau can only keep MORE vectors (drop sets shrink)."""
+    emb, _, _ = _load(spark)
+    kept = {}
+    for tau in (0.3, 0.45):
+        scratch: list = []
+        try:
+            kept[tau] = {
+                r["vec_id"]
+                for r in semdedup(
+                    emb, n_centroids=16, min_cosine=tau, scratch=scratch
+                ).collect()
+                if r["keep"]
+            }
+        finally:
+            for f in scratch:
+                f.unpersist()
+    assert kept[0.3] <= kept[0.45]
+    assert len(kept[0.3]) < len(kept[0.45])  # strictly more drops at low tau
+
+
+def test_semdedup_hot_cluster_report(spark):
+    """A semantically dense mega-cluster (every vector identical) exceeds
+    max_bucket and rides the salted tier — pairs survive, report says so,
+    and every vector but the smallest id is dropped."""
+    n = 60
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    rows.append((n, [-1.0, -2.0, -3.0, -4.0]))  # opposite direction: kept
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    reports: list = []
+    out = semdedup(
+        emb,
+        n_centroids=2,
+        min_cosine=0.99,
+        max_bucket=8,
+        salt_cap=1000,
+        report_out=reports,
+    ).collect()
+    verdict = {r["vec_id"]: r["keep"] for r in out}
+    assert verdict[0] is True
+    assert all(verdict[i] is False for i in range(1, n))
+    rep = {(r["action"]) for r in reports[0].collect()}
+    assert "salted" in rep
+
+
+def test_semdedup_excludes_degenerate_vectors(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # zero norm: excluded
+            (3, [float("nan"), 1.0]),  # NaN norm: excluded
+            (4, [1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = semdedup(emb, n_centroids=2, min_cosine=0.99).collect()
+    got = {r["vec_id"]: r["keep"] for r in out}
+    assert set(got) == {1, 4}
+    assert got[1] is True and got[4] is False

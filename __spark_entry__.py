@@ -882,6 +882,31 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+PACK_CTX = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: every document's span in
+    the (source, doc_id)-ordered token stream, cut into PACK_CTX-token
+    training windows. The running offset is computed DISTRIBUTED (range
+    exchange + per-partition sums + Arrow cumsum — operators/packing.py),
+    never a one-task window; the DuckDB oracle is free to use the naive
+    one-machine window, which is exactly the point of the comparison."""
+    from fuzzysearch_spark.functions.text import token_count_col
+    from fuzzysearch_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    with _scratch_frames() as scratch:
+        return _materialized(
+            spark,
+            pack_sequences(
+                docs, PACK_CTX, ["source", "doc_id"], scratch=scratch
+            ),
+        )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.functions.text import token_count_col
 
@@ -1396,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
+        "pack_sequences": q_pack_sequences,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -2441,6 +2467,29 @@ def _build_oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {_WS_TOKEN_COUNT_SQL} AS n_tokens
             FROM documents
+        """,
+        # the naive one-machine spelling of the packing offsets — the
+        # engine computes the same stream distributed (packing.py)
+        "pack_sequences": f"""
+            WITH tk AS (
+              SELECT doc_id, source, {_WS_TOKEN_COUNT_SQL} AS n_tokens
+              FROM documents
+            ),
+            off AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY source, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_start
+              FROM tk
+            )
+            SELECT doc_id, source, n_tokens, tok_start,
+                   tok_start // {PACK_CTX} AS ctx_start,
+                   (tok_start + GREATEST(n_tokens, 1) - 1) // {PACK_CTX}
+                       AS ctx_end,
+                   (tok_start + GREATEST(n_tokens, 1) - 1) // {PACK_CTX}
+                       - tok_start // {PACK_CTX} + 1 AS n_ctx
+            FROM off
         """,
         "quality_scores": """
             WITH feat AS (

@@ -126,6 +126,7 @@ def main():
         "semdedup",
         "ann_lsh_top1",
         "ann_ivf_top1",
+        "pack_sequences",
         "token_counts",
         "bpe_token_counts",
         "quality_scores",

@@ -1,0 +1,107 @@
+"""Sequence packing: concatenate-and-chunk a corpus into training contexts.
+
+The standard LM data-prep step ("pack then chunk"): lay every document's
+tokens end-to-end in one deterministic order and cut the stream into
+fixed-size context windows. What training needs back per document is its
+SPAN in the token stream — which window it starts in, which it ends in,
+whether it straddles a boundary — so shard builders can group documents
+by window and loss-mask across document joins.
+
+The distributed spelling is the running-offset problem, and the obvious
+Spark answer (``sum() over (order by ...)`` on an unpartitioned window)
+collapses to ONE task. This module reuses the two-pass scheme from
+``operators/ordering.py`` (range exchange -> in-partition sort -> one
+bounded per-partition aggregate -> Arrow cumsum pass), with a running
+token SUM instead of a row count:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order keys
+   (MUST end in a unique tiebreak column for determinism);
+2. one count-AND-sum per partition (n_partitions rows to the driver —
+   bounded by cluster parallelism, never by data);
+3. a ``mapInPandas`` pass adds each partition's cumulative token offset
+   to the in-partition exclusive cumsum.
+
+Window ids then come from integer division JVM-side. Wall cost is one
+range exchange + one narrow pass — the same shape at 100 TB, with the
+sampling-based range boundaries keeping partitions even regardless of
+token-count skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs_with_counts: DataFrame,
+    ctx_len: int,
+    order_cols: list[str],
+    count_col: str = "n_tokens",
+    num_partitions: int | None = None,
+    scratch: list | None = None,
+) -> DataFrame:
+    """Input columns + (``tok_start``, ``ctx_start``, ``ctx_end``,
+    ``n_ctx``): the document's exclusive token offset in the concatenated
+    stream (ordered by ``order_cols``), the first and last ctx_len-sized
+    window it touches, and how many windows that is.
+
+    Zero-token documents sit AT their offset's window without occupying
+    tokens (ctx_end = ctx_start); ``count_col`` must be non-negative.
+    ``scratch``: caller-owned persist list for the sorted frame — pinned
+    between the offset aggregate and the cumsum pass so both read the
+    SAME range boundaries (AQE may re-sample an un-persisted exchange,
+    which would corrupt offsets; the ordering.py contract).
+    """
+    spark = docs_with_counts.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in order_cols]
+    ordered = docs_with_counts.repartitionByRange(n, *keys).sortWithinPartitions(
+        *keys
+    )
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
+    if scratch is not None:
+        scratch.append(with_pid)
+
+    sums = {
+        r["__pid"]: r["s"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.sum(count_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+
+    out_schema = with_pid.drop("__pid").schema.add("tok_start", "long")
+
+    def add_offsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            counts = pdf[count_col].astype("int64")
+            pdf = pdf.drop(columns=["__pid"])
+            # exclusive prefix sum: stream offset where this doc begins
+            pdf["tok_start"] = base + local + counts.cumsum() - counts
+            local += int(counts.sum())
+            yield pdf
+
+    packed = with_pid.mapInPandas(add_offsets, schema=out_schema)
+    c = F.col(count_col).cast("long")
+    ctx_start = F.floor(F.col("tok_start") / ctx_len)
+    ctx_end = F.floor(
+        (F.col("tok_start") + F.greatest(c, F.lit(1)) - F.lit(1)) / ctx_len
+    )
+    return packed.select(
+        "*",
+        ctx_start.alias("ctx_start"),
+        ctx_end.alias("ctx_end"),
+        (ctx_end - ctx_start + F.lit(1)).alias("n_ctx"),
+    )

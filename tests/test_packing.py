@@ -1,0 +1,88 @@
+"""Sequence packing: pandas-replica equality, invariants, partition
+independence.
+
+The operator's distributed two-pass offsets must be EXACTLY the sequential
+concatenate-and-chunk a single machine would compute, regardless of how
+many range partitions the plan happens to use.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fuzzysearch_spark.operators.packing import pack_sequences
+
+CTX = 100
+
+
+def _replica(rows):
+    """Sequential reference: sort by (source, doc_id), exclusive cumsum."""
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens"])
+    df = df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    df["tok_start"] = df["n_tokens"].cumsum() - df["n_tokens"]
+    occ = df["n_tokens"].clip(lower=1)
+    df["ctx_start"] = df["tok_start"] // CTX
+    df["ctx_end"] = (df["tok_start"] + occ - 1) // CTX
+    df["n_ctx"] = df["ctx_end"] - df["ctx_start"] + 1
+    return {
+        r.doc_id: (r.tok_start, r.ctx_start, r.ctx_end, r.n_ctx)
+        for r in df.itertuples()
+    }
+
+
+def _rows():
+    rows = []
+    for i in range(200):
+        rows.append((i, f"src{i % 7}", (i * 37) % 250))
+    rows.append((500, "src0", 0))  # zero-token doc
+    rows.append((501, "src1", 1))
+    rows.append((502, "src1", 10_000))  # giant doc spanning many windows
+    return rows
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_packing_matches_sequential_replica(spark, n_parts):
+    rows = _rows()
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    scratch: list = []
+    try:
+        out = pack_sequences(
+            docs,
+            CTX,
+            ["source", "doc_id"],
+            num_partitions=n_parts,
+            scratch=scratch,
+        ).collect()
+    finally:
+        for f in scratch:
+            f.unpersist()
+    got = {
+        r["doc_id"]: (r["tok_start"], r["ctx_start"], r["ctx_end"], r["n_ctx"])
+        for r in out
+    }
+    assert got == _replica(rows)
+
+
+def test_packing_stream_is_contiguous(spark):
+    rows = _rows()
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    scratch: list = []
+    try:
+        out = sorted(
+            pack_sequences(
+                docs, CTX, ["source", "doc_id"], scratch=scratch
+            ).collect(),
+            key=lambda r: (r["source"], r["doc_id"]),
+        )
+    finally:
+        for f in scratch:
+            f.unpersist()
+    acc = 0
+    for r in out:
+        assert r["tok_start"] == acc
+        acc += r["n_tokens"]
+    assert acc == sum(n for _, _, n in rows)
+    # the giant doc spans the expected number of windows
+    giant = next(r for r in out if r["doc_id"] == 502)
+    assert giant["n_ctx"] >= 10_000 // CTX

@@ -1126,6 +1126,20 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *(c.alias(k) for k, c in cols.items()))
 
 
+def q_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter: (doc_id, keep, reasons) with
+    reasons a fixed-order comma-joined list of every failed rule. Pure
+    projection over the oracle-green quality/repetition signal columns;
+    the oracle mirrors each threshold on the identical rounded values."""
+    from fuzzysearch_spark.functions.text import filter_decision_cols
+
+    docs = _docs(spark, sf_dir)
+    cols = filter_decision_cols(F.col("text"))
+    return docs.select(
+        "doc_id", cols["keep"].alias("keep"), cols["reasons"].alias("reasons")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (eval-leakage guard): the benchmark set is
     a deterministic fragment of every 50th document (tokens 6-35 — an eval
@@ -1430,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
+        "filter_decisions": q_filter_decisions,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "global_shuffle": q_global_shuffle,
@@ -2564,6 +2579,63 @@ def _build_oracle_sql() -> dict[str, str]:
                                    / GREATEST(len(b), 1), 6)
                         ELSE 0.0 END AS top_bigram_ratio
             FROM big
+        """,
+        # fixed-order rule list over the SAME rounded signal expressions the
+        # quality/repetition oracles pin; concat_ws skips un-fired (NULL)
+        # rules on both engines
+        "filter_decisions": """
+            WITH feat AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     GREATEST(length(text), 1) * 1.0 AS safe_n,
+                     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+                     length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS space,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS tokens,
+                     regexp_split_to_array(trim(text), '\\s+') AS t,
+                     regexp_split_to_array(text, '\\n') AS l
+              FROM documents
+            ),
+            big AS (
+              SELECT *, list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1]) AS b
+              FROM feat
+            ),
+            sig AS (
+              SELECT doc_id, tokens,
+                     ROUND(alpha / safe_n, 6) AS alpha_ratio,
+                     ROUND(digit / safe_n, 6) AS digit_ratio,
+                     ROUND((n - space) * 1.0 / GREATEST(tokens, 1), 6) AS mean_tok_len,
+                     ROUND((len(l) - len(list_distinct(l))) * 1.0
+                           / GREATEST(len(l), 1), 6) AS dup_line_ratio,
+                     ROUND(len(list_distinct(t)) * 1.0
+                           / GREATEST(len(t), 1), 6) AS distinct_token_ratio,
+                     CASE WHEN len(t) >= 2
+                          THEN ROUND(len(list_filter(b, g -> g = b[1])) * 1.0
+                                     / GREATEST(len(b), 1), 6)
+                          ELSE 0.0 END AS top_bigram_ratio
+              FROM big
+            ),
+            dec AS (
+              SELECT doc_id,
+                     concat_ws(',',
+                       CASE WHEN tokens < 20 THEN 'too_few_tokens' END,
+                       CASE WHEN tokens > 100000 THEN 'too_many_tokens' END,
+                       CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END,
+                       CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END,
+                       CASE WHEN mean_tok_len < 3.0 OR mean_tok_len > 12.0
+                            THEN 'mean_tok_len_out_of_range' END,
+                       CASE WHEN dup_line_ratio > 0.3
+                            THEN 'repetitive_lines' END,
+                       CASE WHEN distinct_token_ratio < 0.32
+                            THEN 'low_token_diversity' END,
+                       CASE WHEN top_bigram_ratio > 0.18
+                            THEN 'stuffing' END) AS reasons
+              FROM sig
+            )
+            SELECT doc_id, (reasons = '') AS keep, reasons FROM dec
         """,
         "split_assign": _split_assign_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),

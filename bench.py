@@ -133,6 +133,7 @@ def main():
         "pii_scrub",
         "decontaminate",
         "repetition_scores",
+        "filter_decisions",
         "split_assign",
         "stratified_sample",
         "global_shuffle",

@@ -162,6 +162,71 @@ def repetition_cols(text: Column) -> dict[str, Column]:
     }
 
 
+#: Gopher-style rule thresholds (Rae et al. 2021, arXiv:2112.11446; the
+#: RefinedWeb variants, Penedo et al. 2023, arXiv:2306.01116 — public
+#: papers). Ratio rules compare against the ROUNDED signal columns the
+#: quality/repetition builders expose, so the decision is a pure function
+#: of already-oracle-checked values. min_distinct_token_ratio is tuned to
+#: the testdata's observed p10 so driver runs exercise both verdicts;
+#: production corpora tune per-distribution like any Gopher deployment.
+FILTER_THRESHOLDS: dict[str, float] = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_alpha_ratio": 0.6,
+    "max_digit_ratio": 0.2,
+    "min_mean_tok_len": 3.0,
+    "max_mean_tok_len": 12.0,
+    "max_dup_line_ratio": 0.3,
+    "min_distinct_token_ratio": 0.32,
+    "max_top_bigram_ratio": 0.18,
+}
+
+
+def filter_decision_cols(text: Column) -> dict[str, Column]:
+    """Composite keep/drop verdict with machine-readable reasons.
+
+    ``reasons`` is a comma-joined, FIXED-ORDER list of every rule the
+    document fails (empty string = clean); ``keep`` is its emptiness. A
+    document fails for ALL its reasons, not the first — downstream
+    curation wants the full diagnosis (which rules co-fire distinguishes
+    "spam" from "truncated crawl"). Everything is one codegen-resident
+    projection over the rounded quality/repetition signal columns — no
+    shuffle, no UDF, exactly as cheap as the signals themselves.
+    """
+    t = FILTER_THRESHOLDS
+    q = quality_score_cols(text)
+    r = repetition_cols(text)
+    tokens = token_count_col(text)
+    rules: list[tuple[str, Column]] = [
+        ("too_few_tokens", tokens < F.lit(t["min_tokens"])),
+        ("too_many_tokens", tokens > F.lit(t["max_tokens"])),
+        ("low_alpha", q["alpha_ratio"] < F.lit(t["min_alpha_ratio"])),
+        ("high_digit", q["digit_ratio"] > F.lit(t["max_digit_ratio"])),
+        (
+            "mean_tok_len_out_of_range",
+            (q["mean_tok_len"] < F.lit(t["min_mean_tok_len"]))
+            | (q["mean_tok_len"] > F.lit(t["max_mean_tok_len"])),
+        ),
+        (
+            "repetitive_lines",
+            r["dup_line_ratio"] > F.lit(t["max_dup_line_ratio"]),
+        ),
+        (
+            "low_token_diversity",
+            r["distinct_token_ratio"] < F.lit(t["min_distinct_token_ratio"]),
+        ),
+        (
+            "stuffing",
+            r["top_bigram_ratio"] > F.lit(t["max_top_bigram_ratio"]),
+        ),
+    ]
+    # concat_ws skips the NULLs un-fired rules leave behind
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return {"keep": reasons == F.lit(""), "reasons": reasons}
+
+
 def _marker_hits(tokens: Column, words: list[str]) -> Column:
     """Count of tokens equal to any marker word (over a pre-split array).
 

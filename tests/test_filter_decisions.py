@@ -1,0 +1,99 @@
+"""Composite Gopher-style filter: each rule fires on a targeted document,
+clean text passes, co-firing rules all appear in fixed order, and the
+driver draw exercises both verdicts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.text import filter_decision_cols
+
+SF_DIR = "/root/testdata/sf0.01"
+
+CLEAN = (
+    "the quick brown fox jumps over the lazy dog while seventeen other "
+    "animals watch from nearby trees and comment about weather patterns "
+    "during long afternoon hours near quiet rivers flowing gently south"
+)
+
+
+def _decide(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    cols = filter_decision_cols(F.col("text"))
+    rows = df.select(
+        "doc_id", cols["keep"].alias("keep"), cols["reasons"].alias("reasons")
+    ).collect()
+    return {r["doc_id"]: (r["keep"], r["reasons"]) for r in rows}
+
+
+def test_clean_document_keeps(spark):
+    got = _decide(spark, [CLEAN])
+    assert got[0] == (True, "")
+
+
+@pytest.mark.parametrize(
+    "text,expected_rule",
+    [
+        ("just five words right here", "too_few_tokens"),
+        (CLEAN + " " + "12345 67890 4711 9000 1234567 " * 20, "high_digit"),
+        (
+            "#### $$$$ @@@@ %%%% ^^^^ &&&& !!!! ???? ;;;; :::: " * 8,
+            "low_alpha",
+        ),
+        (
+            " ".join("supercalifragilisticexpialidocious" for _ in range(40)),
+            "mean_tok_len_out_of_range",
+        ),
+        (
+            ("the same line of text here\n" * 30)
+            + "unique closing words differ entirely now",
+            "repetitive_lines",
+        ),
+        (
+            " ".join(["alpha beta"] * 40),
+            "stuffing",
+        ),
+    ],
+)
+def test_each_rule_fires(spark, text, expected_rule):
+    got = _decide(spark, [text])
+    keep, reasons = got[0]
+    assert keep is False
+    assert expected_rule in reasons.split(",")
+
+
+def test_cofiring_rules_fixed_order(spark):
+    # repeated single word: few tokens is false (40 tokens) but diversity,
+    # stuffing and line-duplication co-fire; order must be the fixed rule
+    # order, not alphabetical
+    text = ("word word word word word\n" * 8).strip()
+    got = _decide(spark, [text])
+    keep, reasons = got[0]
+    assert keep is False
+    fired = reasons.split(",")
+    assert fired == sorted(
+        fired,
+        key=[
+            "too_few_tokens",
+            "too_many_tokens",
+            "low_alpha",
+            "high_digit",
+            "mean_tok_len_out_of_range",
+            "repetitive_lines",
+            "low_token_diversity",
+            "stuffing",
+        ].index,
+    )
+    assert {"repetitive_lines", "low_token_diversity", "stuffing"} <= set(fired)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_driver_draw_mixed_verdicts(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cols = filter_decision_cols(F.col("text"))
+    agg = docs.select(cols["keep"].alias("keep")).groupBy("keep").count()
+    counts = {r["keep"]: r["count"] for r in agg.collect()}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0

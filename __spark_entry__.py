@@ -967,6 +967,73 @@ def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language by DOCUMENT frequency (distinct docs
+    containing the lowercased alphabetic token). The classic explode →
+    two-level aggregate → per-group top-k shape: the explode's raw token
+    stream collapses map-side (partial agg on (lang, token, doc) distinct),
+    the window runs over the already-aggregated per-language counts (a few
+    thousand rows per lang), and ties break by token for determinism."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    ).where(F.col("token").rlike("^[a-z]+$"))
+    df_counts = (
+        toks.distinct()
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_docs"), F.asc("token")
+    )
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("lang", "token", "n_docs", "rank")
+    )
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: for each unordered
+    source pair (same-source on the diagonal), how many ground-truth
+    near-dup pairs (exact 12-gram Jaccard >= 0.7) span them — the
+    crawl-overlap accounting a curation pipeline uses to decide which
+    sources re-serve each other's content. Joins the (small) truth-pair
+    set to the doc->source map twice, then normalizes the pair with
+    least/greatest so the matrix is unordered; the heavy lifting is the
+    already-audited truth-candidate plan, reused via the shared helper."""
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    with _scratch_frames() as frames:
+        cands, _ = _jaccard_truth_cands(docs, frames)
+        pairs = (
+            cands.join(
+                src.select(
+                    F.col("doc_id").alias("a_id"), F.col("source").alias("sa")
+                ),
+                "a_id",
+            )
+            .join(
+                src.select(
+                    F.col("doc_id").alias("b_id"), F.col("source").alias("sb")
+                ),
+                "b_id",
+            )
+            .groupBy(
+                F.least("sa", "sb").alias("source_a"),
+                F.greatest("sa", "sb").alias("source_b"),
+            )
+            .agg(F.count("*").alias("n_near_dup_pairs"))
+        )
+        return _materialized(spark, pairs)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/secret scrub (training-data cleanse stage): per-document match
     counts for every rule in ``PII_RULES`` plus the fully redacted text —
@@ -1441,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "doc_stats_by_lang": q_doc_stats_by_lang,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "cross_source_overlap": q_cross_source_overlap,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -2550,6 +2619,36 @@ def _build_oracle_sql() -> dict[str, str]:
                    MAX(n_chars) AS max_chars
             FROM documents
             GROUP BY lang, source
+        """,
+        "top_terms_per_lang": """
+            WITH toks AS (
+              SELECT DISTINCT lang, doc_id, t.token
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS t(token)
+              WHERE regexp_full_match(t.token, '[a-z]+')
+            ),
+            counts AS (
+              SELECT lang, token, COUNT(*) AS n_docs
+              FROM toks GROUP BY lang, token
+            )
+            SELECT lang, token, n_docs,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_docs DESC, token
+                   ) AS INT) AS rank
+            FROM counts
+            QUALIFY rank <= 10
+        """,
+        "cross_source_overlap": _JACCARD_CTE
+        + """
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b,
+                   COUNT(*) AS n_near_dup_pairs
+            FROM jac
+            JOIN documents da ON da.doc_id = a_id
+            JOIN documents db ON db.doc_id = b_id
+            WHERE jaccard >= 0.7
+            GROUP BY 1, 2
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),

@@ -138,6 +138,8 @@ def main():
         "stratified_sample",
         "global_shuffle",
         "lang_id",
+        "top_terms_per_lang",
+        "cross_source_overlap",
         "fingerprints",
         "event_sessions",
         "top_value_users",

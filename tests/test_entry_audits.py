@@ -55,6 +55,24 @@ def test_pipeline_recall_audit_empty_and_nonvacuous(spark):
     assert e.q_edit_distance_pairs(spark, SF_DIR).count() > 0
 
 
+def test_top_terms_and_overlap_invariants(spark):
+    """top_terms: exactly <=10 ranks per lang, ranks contiguous from 1;
+    cross_source_overlap: pair counts sum to the truth-pair total and the
+    matrix is unordered (source_a <= source_b)."""
+    e = _entry()
+    terms = e.q_top_terms_per_lang(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in terms:
+        by_lang.setdefault(r["lang"], []).append(r["rank"])
+    for ranks in by_lang.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+    overlap = e.q_cross_source_overlap(spark, SF_DIR).collect()
+    assert all(r["source_a"] <= r["source_b"] for r in overlap)
+    total = sum(r["n_near_dup_pairs"] for r in overlap)
+    assert total == e.q_ngram_jaccard_pairs(spark, SF_DIR).count() > 0
+
+
 def test_chained_queries_leave_no_cached_rdds(spark):
     """The queries that persist expensive intermediates (candidate plans,
     verified edges) must release them before returning: a sweep leaves no
@@ -65,6 +83,9 @@ def test_chained_queries_leave_no_cached_rdds(spark):
     e.q_edit_distance_pairs(spark, SF_DIR).collect()
     e.q_near_dup_clusters(spark, SF_DIR).collect()
     e.q_minhash_lsh_candidates(spark, SF_DIR).collect()
+    e.q_jaccard_join_prefix(spark, SF_DIR).collect()
+    e.q_semdedup(spark, SF_DIR).collect()
+    e.q_pack_sequences(spark, SF_DIR).collect()
     after = set(jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before, f"leaked persistent RDDs: {after - before}"
 

@@ -272,6 +272,66 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict — the composed workflow a training-data
+    user actually runs, one row per document:
+
+      status   = 'drop_quality'  (Gopher-style composite filter fails)
+               | 'drop_near_dup' (a smaller-id doc shares its near-dup
+                                  cluster; exact duplicates are the
+                                  jaccard=1.0 special case)
+               | 'keep'
+      reasons  = the quality filter's fixed-order rule list ('' if clean)
+      cluster_id, split (content-keyed, leakage-safe) always populated.
+
+    Precedence is quality-first deliberately: a low-quality doc is dropped
+    even when it is its cluster's min-id representative (dedup does not
+    rescue spam). Every stage reuses an independently oracle-green piece
+    (truth candidates, banded verify, connected components, filter rules,
+    split thresholds), and the oracle recomposes ALL of them in SQL —
+    recursive-CTE components included."""
+    from fuzzysearch_spark.functions.splits import (
+        split_assign_col,
+        split_key_col,
+    )
+    from fuzzysearch_spark.functions.text import filter_decision_cols
+    from fuzzysearch_spark.operators.components import (
+        attach_clusters,
+        connected_components,
+    )
+    from fuzzysearch_spark.operators.dedup_extra import edit_distance_pairs
+
+    docs = _docs(spark, sf_dir)
+    with _scratch_frames() as frames:
+        cands, hint = _jaccard_truth_cands(docs, frames)
+        edges = edit_distance_pairs(
+            docs, cands, max_l_dist=8, n_pairs_hint=hint
+        ).persist()
+        frames.append(edges)
+        clusters = attach_clusters(
+            docs.select("doc_id"), connected_components(edges)
+        )
+        qcols = filter_decision_cols(F.col("text"))
+        key = split_key_col(F.col("text"), salt=_SPLIT_SALT)
+        base = docs.select(
+            "doc_id",
+            qcols["keep"].alias("_q_keep"),
+            qcols["reasons"].alias("reasons"),
+            split_assign_col(key, _SPLIT_FRACTIONS).alias("split"),
+        )
+        out = base.join(clusters, "doc_id").select(
+            "doc_id",
+            "cluster_id",
+            F.when(~F.col("_q_keep"), F.lit("drop_quality"))
+            .when(F.col("cluster_id") != F.col("doc_id"), F.lit("drop_near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            "reasons",
+            "split",
+        )
+        return _materialized(spark, out)
+
+
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs; oracle inlines per-doc band keys
     (see _minhash_lsh_oracle_sql) and pytest pins recall."""
@@ -1477,6 +1537,7 @@ def _global_shuffle_oracle_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
+        "curate": q_curate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "jaccard_join_prefix": q_jaccard_join_prefix,
         "jaccard_prefix_equivalence_audit": q_jaccard_prefix_equivalence_audit,
@@ -1551,6 +1612,83 @@ jac AS (
 """
 
 _JACCARD_CTE = "WITH " + _JACCARD_BODY
+
+# verified-edge + connected-component CTEs over `jac` (recursive min-label
+# walk); shared by the near_dup_clusters oracle and the composed curate
+# oracle — prepend "WITH RECURSIVE " + _JACCARD_BODY
+_CC_BODY = """
+            , edges AS (
+              SELECT j.a_id AS a, j.b_id AS b
+              FROM jac j
+              JOIN documents da ON da.doc_id = j.a_id
+              JOIN documents db ON db.doc_id = j.b_id
+              WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
+            ),
+            sym AS (
+              SELECT a, b FROM edges
+              UNION SELECT b, a FROM edges
+            ),
+            walk(doc_id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.doc_id
+              WHERE w.lbl < s.b
+            )
+"""
+
+# quality-signal + fixed-order rule CTEs ending in dec(doc_id, reasons);
+# shared by the filter_decisions oracle and the composed curate oracle
+_FILTER_DEC_BODY = """feat AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     GREATEST(length(text), 1) * 1.0 AS safe_n,
+                     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+                     length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS space,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS tokens,
+                     regexp_split_to_array(trim(text), '\\s+') AS t,
+                     regexp_split_to_array(text, '\\n') AS l
+              FROM documents
+            ),
+            big AS (
+              SELECT *, list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1]) AS b
+              FROM feat
+            ),
+            sig AS (
+              SELECT doc_id, tokens,
+                     ROUND(alpha / safe_n, 6) AS alpha_ratio,
+                     ROUND(digit / safe_n, 6) AS digit_ratio,
+                     ROUND((n - space) * 1.0 / GREATEST(tokens, 1), 6) AS mean_tok_len,
+                     ROUND((len(l) - len(list_distinct(l))) * 1.0
+                           / GREATEST(len(l), 1), 6) AS dup_line_ratio,
+                     ROUND(len(list_distinct(t)) * 1.0
+                           / GREATEST(len(t), 1), 6) AS distinct_token_ratio,
+                     CASE WHEN len(t) >= 2
+                          THEN ROUND(len(list_filter(b, g -> g = b[1])) * 1.0
+                                     / GREATEST(len(b), 1), 6)
+                          ELSE 0.0 END AS top_bigram_ratio
+              FROM big
+            ),
+            dec AS (
+              SELECT doc_id,
+                     concat_ws(',',
+                       CASE WHEN tokens < 20 THEN 'too_few_tokens' END,
+                       CASE WHEN tokens > 100000 THEN 'too_many_tokens' END,
+                       CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END,
+                       CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END,
+                       CASE WHEN mean_tok_len < 3.0 OR mean_tok_len > 12.0
+                            THEN 'mean_tok_len_out_of_range' END,
+                       CASE WHEN dup_line_ratio > 0.3
+                            THEN 'repetitive_lines' END,
+                       CASE WHEN distinct_token_ratio < 0.32
+                            THEN 'low_token_diversity' END,
+                       CASE WHEN top_bigram_ratio > 0.18
+                            THEN 'stuffing' END) AS reasons
+              FROM sig
+            )"""
 
 
 def _vec_rankable(expr: str = "vec") -> str:
@@ -2471,27 +2609,34 @@ def _build_oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = j.b_id
             WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
         """,
-        "near_dup_clusters": "WITH RECURSIVE " + _JACCARD_BODY
+        "near_dup_clusters": "WITH RECURSIVE "
+        + _JACCARD_BODY
+        + _CC_BODY
         + """
-            , edges AS (
-              SELECT j.a_id AS a, j.b_id AS b
-              FROM jac j
-              JOIN documents da ON da.doc_id = j.a_id
-              JOIN documents db ON db.doc_id = j.b_id
-              WHERE j.jaccard >= 0.7 AND levenshtein(da.text, db.text) <= 8
-            ),
-            sym AS (
-              SELECT a, b FROM edges
-              UNION SELECT b, a FROM edges
-            ),
-            walk(doc_id, lbl) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.doc_id
-              WHERE w.lbl < s.b
-            )
             SELECT doc_id, MIN(lbl) AS cluster_id
             FROM walk GROUP BY doc_id
+        """,
+        # the composed curation verdict: components + quality rules +
+        # split thresholds, every piece the SAME text as its standalone
+        # oracle, with the Spark side's exact precedence CASE
+        "curate": "WITH RECURSIVE "
+        + _JACCARD_BODY
+        + _CC_BODY
+        + ",\n            clus AS (SELECT doc_id, MIN(lbl) AS cluster_id"
+        + " FROM walk GROUP BY doc_id),\n            "
+        + _FILTER_DEC_BODY
+        + ",\n            spl AS ("
+        + _split_assign_oracle_sql()
+        + """)
+            SELECT d.doc_id, clus.cluster_id,
+                   CASE WHEN dec.reasons <> '' THEN 'drop_quality'
+                        WHEN clus.cluster_id <> d.doc_id THEN 'drop_near_dup'
+                        ELSE 'keep' END AS status,
+                   dec.reasons, spl.split
+            FROM documents d
+            JOIN clus ON clus.doc_id = d.doc_id
+            JOIN dec ON dec.doc_id = d.doc_id
+            JOIN spl ON spl.doc_id = d.doc_id
         """,
         "find_near_matches": _find_near_matches_oracle_sql(
             "value table part", max_l_dist=1
@@ -2682,60 +2827,9 @@ def _build_oracle_sql() -> dict[str, str]:
         # fixed-order rule list over the SAME rounded signal expressions the
         # quality/repetition oracles pin; concat_ws skips un-fired (NULL)
         # rules on both engines
-        "filter_decisions": """
-            WITH feat AS (
-              SELECT doc_id,
-                     length(text) AS n,
-                     GREATEST(length(text), 1) * 1.0 AS safe_n,
-                     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
-                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
-                     length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS space,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                     END AS tokens,
-                     regexp_split_to_array(trim(text), '\\s+') AS t,
-                     regexp_split_to_array(text, '\\n') AS l
-              FROM documents
-            ),
-            big AS (
-              SELECT *, list_transform(range(1, len(t)),
-                                       i -> t[i] || ' ' || t[i+1]) AS b
-              FROM feat
-            ),
-            sig AS (
-              SELECT doc_id, tokens,
-                     ROUND(alpha / safe_n, 6) AS alpha_ratio,
-                     ROUND(digit / safe_n, 6) AS digit_ratio,
-                     ROUND((n - space) * 1.0 / GREATEST(tokens, 1), 6) AS mean_tok_len,
-                     ROUND((len(l) - len(list_distinct(l))) * 1.0
-                           / GREATEST(len(l), 1), 6) AS dup_line_ratio,
-                     ROUND(len(list_distinct(t)) * 1.0
-                           / GREATEST(len(t), 1), 6) AS distinct_token_ratio,
-                     CASE WHEN len(t) >= 2
-                          THEN ROUND(len(list_filter(b, g -> g = b[1])) * 1.0
-                                     / GREATEST(len(b), 1), 6)
-                          ELSE 0.0 END AS top_bigram_ratio
-              FROM big
-            ),
-            dec AS (
-              SELECT doc_id,
-                     concat_ws(',',
-                       CASE WHEN tokens < 20 THEN 'too_few_tokens' END,
-                       CASE WHEN tokens > 100000 THEN 'too_many_tokens' END,
-                       CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END,
-                       CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END,
-                       CASE WHEN mean_tok_len < 3.0 OR mean_tok_len > 12.0
-                            THEN 'mean_tok_len_out_of_range' END,
-                       CASE WHEN dup_line_ratio > 0.3
-                            THEN 'repetitive_lines' END,
-                       CASE WHEN distinct_token_ratio < 0.32
-                            THEN 'low_token_diversity' END,
-                       CASE WHEN top_bigram_ratio > 0.18
-                            THEN 'stuffing' END) AS reasons
-              FROM sig
-            )
-            SELECT doc_id, (reasons = '') AS keep, reasons FROM dec
-        """,
+        "filter_decisions": "WITH "
+        + _FILTER_DEC_BODY
+        + "\n            SELECT doc_id, (reasons = '') AS keep, reasons FROM dec",
         "split_assign": _split_assign_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),

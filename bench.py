@@ -110,6 +110,7 @@ def main():
 
     qs = entrymod.queries()
     bench_queries = [
+        "curate",
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",
         "jaccard_join_prefix",

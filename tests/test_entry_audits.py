@@ -73,6 +73,41 @@ def test_top_terms_and_overlap_invariants(spark):
     assert total == e.q_ngram_jaccard_pairs(spark, SF_DIR).count() > 0
 
 
+def test_curate_composes_its_pieces_exactly(spark):
+    """The curation verdict must agree row-for-row with the standalone
+    queries it composes: cluster ids with near_dup_clusters, reasons with
+    filter_decisions, split with split_assign, and the status CASE with
+    the documented precedence. All three statuses occur at this SF."""
+    e = _entry()
+    cur = {r["doc_id"]: r for r in e.q_curate(spark, SF_DIR).collect()}
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in e.q_near_dup_clusters(spark, SF_DIR).collect()
+    }
+    decisions = {
+        r["doc_id"]: (r["keep"], r["reasons"])
+        for r in e.q_filter_decisions(spark, SF_DIR).collect()
+    }
+    splits = {
+        r["doc_id"]: r["split"] for r in e.q_split_assign(spark, SF_DIR).collect()
+    }
+    assert set(cur) == set(clusters) == set(decisions) == set(splits)
+    statuses = set()
+    for doc_id, row in cur.items():
+        assert row["cluster_id"] == clusters[doc_id]
+        q_keep, reasons = decisions[doc_id]
+        assert row["reasons"] == reasons
+        assert row["split"] == splits[doc_id]
+        expected = (
+            "drop_quality"
+            if not q_keep
+            else ("drop_near_dup" if row["cluster_id"] != doc_id else "keep")
+        )
+        assert row["status"] == expected
+        statuses.add(row["status"])
+    assert statuses == {"keep", "drop_quality", "drop_near_dup"}
+
+
 def test_chained_queries_leave_no_cached_rdds(spark):
     """The queries that persist expensive intermediates (candidate plans,
     verified edges) must release them before returning: a sweep leaves no

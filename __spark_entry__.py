@@ -111,16 +111,33 @@ def _corpus_view(docs: DataFrame) -> DataFrame:
 
 def _jaccard_truth_cands(docs: DataFrame, frames: list) -> tuple[DataFrame, int]:
     """Materialized exact 12-gram Jaccard >= 0.7 ground-truth candidates
-    plus their count (the verify operator's broadcast-gate hint). The
-    quadratic candidate plan persists into ``frames`` (caller-owned,
-    released by ``_scratch_frames`` on exit); the operator's internal gram
-    table is released HERE — the count materializes the candidates, after
-    which the gram table is dead weight and should not ride through the
-    caller's downstream verify/cluster stages."""
-    from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
+    plus their count (the verify operator's broadcast-gate hint).
+
+    Computed via the PREFIX-FILTERED join, not the quadratic gram
+    self-join: the two are output-identical by construction (pinned
+    oracle-green by ``jaccard_prefix_equivalence_audit`` and the operator's
+    own property tests), but the quadratic rung shuffles the full
+    gram-frequency-quadratic pair multiset — on boilerplate-heavy draws
+    that is tens of millions of rows through ``spark.local.dir``, which
+    both costs wall time and (measured) degrades the whole session by
+    evicting page cache from the RAM-backed shuffle dir; same-session A/B
+    at sf0.1: quadratic 17.2 s first run and 34.5 s on REPEAT, prefix
+    11.4 s / 7.9 s, identical 256-pair output. The quadratic plan remains
+    the standalone ``ngram_jaccard_pairs`` audit rung; every composed
+    consumer (verify, clustering, curation) takes the prefix path, which
+    is also the only one of the two that survives a 100× corpus.
+
+    The candidate plan persists into ``frames`` (caller-owned, released by
+    ``_scratch_frames`` on exit); the operator's internal scratch frames
+    are released HERE — the count materializes the candidates, after which
+    they are dead weight and should not ride through the caller's
+    downstream verify/cluster stages."""
+    from fuzzysearch_spark.operators.dedup_extra import (
+        prefix_filtered_jaccard_pairs,
+    )
 
     grams: list = []
-    cands = ngram_jaccard_pairs(
+    cands = prefix_filtered_jaccard_pairs(
         docs, n=12, min_jaccard=0.7, scratch=grams
     ).persist()
     frames.extend(grams)
@@ -255,7 +272,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzysearch_spark.operators.dedup_extra import edit_distance_pairs
 
     docs = _docs(spark, sf_dir)
-    # persist both reused plans: the quadratic Jaccard candidates (via the
+    # persist both reused plans: the exact Jaccard candidates (via the
     # helper) and the verified edges (traversed by CC's gate + collect)
     with _scratch_frames() as frames:
         cands, hint = _jaccard_truth_cands(docs, frames)

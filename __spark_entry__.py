@@ -1304,6 +1304,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench)
 
 
+SPAN_SCRUB_K = 12
+SPAN_SCRUB_MIN_DOCS = 2
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span scrub: every document rewritten
+    with cross-document duplicated token spans removed — a token is
+    scrubbed iff some 12-token window containing it occurs in >= 2
+    DISTINCT documents (operators/span_dedup.py; within-doc repeats
+    survive by contract). Engine side: one occurrence scan, a gated
+    broadcast of the shared-gram hash set, per-doc interval merge, pure
+    JVM rebuild. Oracle side: DuckDB re-derives shared grams over gram
+    STRINGS and reconstructs positionally, so the xxhash64 compression
+    and the interval-merge rebuild are both under test."""
+    from fuzzysearch_spark.operators.span_dedup import scrub_duplicated_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    with _scratch_frames() as scratch:
+        return _materialized(
+            spark,
+            scrub_duplicated_spans(
+                docs, k=SPAN_SCRUB_K, min_docs=SPAN_SCRUB_MIN_DOCS, scratch=scratch
+            ),
+        )
+
+
 _SPLIT_SALT = "fsw-r4"
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SAMPLE_RATES = {"en": 0.5, "de": 0.2}
@@ -1590,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": q_cross_source_overlap,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "span_scrub": q_span_scrub,
         "repetition_scores": q_repetition_scores,
         "filter_decisions": q_filter_decisions,
         "split_assign": q_split_assign,
@@ -2875,6 +2902,49 @@ def _build_oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_contaminated_grams
             FROM cgrams JOIN bgrams USING (g)
             GROUP BY doc_id
+        """,
+        # ExactSubstr-style span scrub; shared grams re-derived over gram
+        # STRINGS (the engine joins on xxhash64 — the hash compression is
+        # under test) and documents reconstructed positionally
+        "span_scrub": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, CAST(i AS INT) AS i,
+                     array_to_string(
+                       t[CAST(i AS INT):CAST(i + {SPAN_SCRUB_K - 1} AS INT)], ' ') AS g
+              FROM toks, unnest(range(1, len(t) - {SPAN_SCRUB_K - 2})) AS r(i)
+            ),
+            shared AS (
+              SELECT g FROM (
+                SELECT g, COUNT(DISTINCT doc_id) AS n FROM grams GROUP BY g
+              ) s WHERE n >= {SPAN_SCRUB_MIN_DOCS}
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, i + CAST(off AS INT) AS pos
+              FROM grams JOIN shared USING (g),
+                   unnest(range(0, {SPAN_SCRUB_K})) AS o(off)
+            ),
+            tok_rows AS (
+              SELECT doc_id, CAST(generate_subscripts(t, 1) AS INT) AS pos,
+                     unnest(t) AS tok
+              FROM toks
+            ),
+            kept AS (
+              SELECT tr.doc_id, tr.pos, tr.tok
+              FROM tok_rows tr
+              ANTI JOIN cov ON tr.doc_id = cov.doc_id AND tr.pos = cov.pos
+            )
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_clean,
+                   len(t.t) AS n_tokens,
+                   len(t.t) - COUNT(k.tok) AS n_dropped
+            FROM documents d
+            JOIN toks t USING (doc_id)
+            LEFT JOIN kept k ON k.doc_id = d.doc_id
+            GROUP BY d.doc_id, len(t.t)
         """,
         "event_sessions": """
             WITH flagged AS (

@@ -133,6 +133,7 @@ def main():
         "quality_scores",
         "pii_scrub",
         "decontaminate",
+        "span_scrub",
         "repetition_scores",
         "filter_decisions",
         "split_assign",

@@ -1,0 +1,191 @@
+"""Duplicated-span scrub: rewrite documents with cross-document duplicated
+token spans removed (the ExactSubstr pipeline step).
+
+The published recipe (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", arXiv:2107.06499 — public paper) removes every
+text span that occurs verbatim elsewhere in the corpus, because document-
+level dedup leaves boilerplate (license headers, navigation chrome,
+templated openings) duplicated across documents that are otherwise
+distinct. The paper finds spans with one global suffix array; the
+distributed re-expression here uses the same witness structure as the
+reference's pigeonhole n-gram seeding
+(/root/reference/src/fuzzysearch/levenshtein_ngram.py:159-198): a token
+``k``-gram is the witness, and a token is "duplicated" exactly when some
+``k``-gram window covering it occurs in at least ``min_docs`` DISTINCT
+documents. (Within-one-document repeats are deliberately NOT scrubbed —
+the cross-document criterion is the boilerplate one; self-repetition is
+a QUALITY signal handled by ``functions/text.py`` repetition scores.)
+
+100 TB shape, stage by stage:
+
+1. one corpus scan emits ``(doc_id, pos, gram_hash)`` window occurrences
+   (JVM ``transform``/``slice``/``xxhash64`` — no UDF, no text through
+   the shuffle: 8-byte hashes, the decontaminate.py convention with the
+   same documented collision direction — a 64-bit collision can only
+   over-scrub a span, never miss a duplicated one);
+2. the shared-gram set is a distinct + partial-aggregated count on the
+   hash — the ONLY corpus-wide shuffle, and it carries (hash, doc_id)
+   pairs only; the resulting set (boilerplate grams) is size-gated onto
+   the broadcast path, shuffle join past the gate;
+3. window hits join back against that small set, then group by doc —
+   per-group state is bounded by the document's own window count, the
+   same per-doc bound the corpus itself obeys;
+4. the rewrite is pure per-row JVM expression work: merge hit windows
+   into disjoint intervals (``aggregate`` fold over the sorted starts),
+   keep every token index no interval covers, re-join with single
+   spaces. Worst-case per-row cost is n_tokens x n_intervals, and merged
+   intervals are each >= k long, so it is bounded by n_tokens^2 / k —
+   quadratic only in the one quantity (document length) the corpus
+   already bounds.
+
+Determinism: a pure function of the input table — no RNG, no
+accumulator, no ordering sensitivity (``collect_set`` feeds a
+``sort_array``). The DuckDB oracle re-derives shared grams positionally
+over gram STRINGS, so the xxhash64 compression is itself under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.util import estimated_plan_bytes
+
+# shared-gram tables with a Catalyst estimate under this go map-side
+SHARED_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+DEFAULT_K = 12  # token window; >= the corpus' boilerplate phrase length
+DEFAULT_MIN_DOCS = 2  # "duplicated" = seen in this many DISTINCT docs
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text — the same token spec as the
+    text-analysis counters and decontaminate.py."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def _window_hashes(toks: Column, k: int) -> Column:
+    """Array of (pos, gh) structs for every ``k``-token window, 1-based;
+    empty for rows with fewer than ``k`` tokens (``sequence`` is guarded:
+    it generates DESCENDING ranges when stop < start, so the short-row
+    branch must never reach it)."""
+    n_tok = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), n_tok - (k - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.xxhash64(F.array_join(F.slice(toks, i, k), " ")).alias("gh"),
+        ),
+    )
+    empty = F.array().cast("array<struct<pos:int,gh:bigint>>")
+    return F.when(n_tok >= k, windows).otherwise(empty)
+
+
+def _merged_intervals(starts: Column, k: int) -> Column:
+    """Sorted window starts -> disjoint covered intervals [lo, hi]
+    (token indices, inclusive), merging overlapping AND adjacent windows
+    so the per-token membership test below scans the fewest structs."""
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+
+    def fold(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["lo"].alias("lo"),
+                    F.greatest(last["hi"], s + (k - 1)).cast("int").alias("hi"),
+                )
+            ),
+        )
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s.cast("int").alias("lo"), (s + (k - 1)).cast("int").alias("hi")
+                )
+            ),
+        )
+        return F.when(
+            (F.size(acc) > 0) & (s <= last["hi"] + 1), extended
+        ).otherwise(appended)
+
+    return F.aggregate(starts, empty, fold)
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    min_docs: int = DEFAULT_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scratch: list | None = None,
+) -> DataFrame:
+    """Every input row as (``id_col``, text_clean, n_tokens, n_dropped):
+    the document rewritten with all cross-document duplicated spans
+    removed, its whitespace token count, and how many of those tokens
+    were scrubbed.
+
+    A token is scrubbed iff some ``k``-token window containing it occurs
+    in >= ``min_docs`` DISTINCT documents. Surviving tokens re-join with
+    single spaces (a normalization — the operator's contract is token
+    content, not byte-exact inter-token whitespace). Documents shorter
+    than ``k`` tokens pass through untouched; a fully-duplicated document
+    comes back with ``text_clean = ''``.
+
+    ``scratch``: caller-owned persist list (the lsh.py contract) for the
+    window-occurrence table, which feeds both the shared-gram count and
+    the hit join — pass it to make this ONE corpus scan; without it the
+    corpus is scanned twice, which is still the documented floor of the
+    dedup pipeline itself.
+    """
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+
+    occ = base.select(
+        F.col(id_col).alias("__did"),
+        F.explode(_window_hashes(F.col("__toks"), k)).alias("w"),
+    ).select("__did", F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    if scratch is not None:
+        occ = occ.persist()
+        scratch.append(occ)
+
+    shared = (
+        occ.select("gh", "__did")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= min_docs)
+        .select("gh")
+    )
+    if estimated_plan_bytes(shared) <= SHARED_BROADCAST_MAX_BYTES:
+        shared = F.broadcast(shared)
+
+    starts = (
+        occ.join(shared, "gh")
+        .groupBy("__did")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+
+    joined = base.join(
+        starts, base[id_col] == starts["__did"], "left"
+    ).select(id_col, "__toks", "__starts")
+
+    ivs = F.when(
+        F.col("__starts").isNotNull(),
+        _merged_intervals(F.col("__starts"), k),
+    ).otherwise(F.array().cast("array<struct<lo:int,hi:int>>"))
+    n_tok = F.size(F.col("__toks"))
+    kept = F.filter(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: ~F.exists(ivs, lambda v: (i >= v["lo"]) & (i <= v["hi"])),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(F.col("__toks"), i)), " "
+        ).alias("text_clean"),
+        n_tok.alias("n_tokens"),
+        (n_tok - F.size(kept)).alias("n_dropped"),
+    )

@@ -1,0 +1,152 @@
+"""Duplicated-span scrub (ExactSubstr-style): planted-span semantics, a
+Python mirror fuzz battery, interval-merge boundaries, and the
+cross-document-only contract (within-doc repeats survive)."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import defaultdict
+
+from fuzzysearch_spark.operators.span_dedup import scrub_duplicated_spans
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+         "iota", "kappa", "lam", "mu", "nu", "xi", "om", "pi", "rho", "sig"]
+
+
+def _toks(text: str) -> list[str]:
+    # the engine's token spec exactly: split(trim(text), r"\s+") — note
+    # re.split on "" yields [''], same as Spark's split
+    return re.split(r"\s+", text.strip())
+
+
+def py_scrub(rows, k, min_docs=2):
+    toks = {d: _toks(t) for d, t in rows}
+    gram_docs: dict[str, set] = defaultdict(set)
+    for d, tk in toks.items():
+        for i in range(len(tk) - k + 1):
+            gram_docs[" ".join(tk[i : i + k])].add(d)
+    shared = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for d, tk in toks.items():
+        covered: set[int] = set()
+        for i in range(len(tk) - k + 1):
+            if " ".join(tk[i : i + k]) in shared:
+                covered.update(range(i, i + k))
+        kept = [tk[i] for i in range(len(tk)) if i not in covered]
+        out[d] = (" ".join(kept), len(tk), len(tk) - len(kept))
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run(spark, rows, k, min_docs=2, scratch=None):
+    got = scrub_duplicated_spans(
+        _df(spark, rows), k=k, min_docs=min_docs, scratch=scratch
+    ).collect()
+    return {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_dropped"]) for r in got
+    }
+
+
+def test_planted_shared_span(spark):
+    span = " ".join(WORDS[:6])  # 6 tokens, k=6 below
+    rows = [
+        (0, "x1 y1 " + span + " z1 w1"),
+        (1, "p2 q2 r2 " + span + " s2"),
+        (2, "clean doc nothing shared here at all ok"),
+        (3, "tiny"),  # shorter than k: untouched
+    ]
+    got = _run(spark, rows, k=6)
+    assert got == py_scrub(rows, k=6)
+    # the span is gone from both carriers, the flanks survive
+    assert got[0] == ("x1 y1 z1 w1", 10, 6)
+    assert got[1] == ("p2 q2 r2 s2", 10, 6)
+    assert got[2][2] == 0 and got[3] == ("tiny", 1, 0)
+
+
+def test_identical_twins_fully_scrubbed(spark):
+    text = " ".join(random.Random(7).choice(WORDS) for _ in range(20))
+    rows = [(0, text), (1, text), (2, "unrelated words only here")]
+    got = _run(spark, rows, k=8)
+    assert got == py_scrub(rows, k=8)
+    assert got[0] == ("", 20, 20) and got[1] == ("", 20, 20)
+    assert got[2][2] == 0
+
+
+def test_within_doc_repeat_survives(spark):
+    # the same k-run twice in ONE document is not cross-document
+    # boilerplate: distinct-doc count is 1, nothing is scrubbed
+    run = " ".join(WORDS[6:12])
+    rows = [(0, run + " mid " + run), (1, "other text entirely different")]
+    got = _run(spark, rows, k=6)
+    assert got == py_scrub(rows, k=6)
+    assert got[0][2] == 0
+
+
+def test_overlapping_windows_merge(spark):
+    # a shared 8-token run with k=6 yields three overlapping shared
+    # windows; coverage must be their union (8 tokens), not 3*6
+    run = " ".join(WORDS[:8])
+    rows = [(0, "a0 " + run + " b0"), (1, run)]
+    got = _run(spark, rows, k=6)
+    assert got == py_scrub(rows, k=6)
+    assert got[0] == ("a0 b0", 10, 8)
+    assert got[1] == ("", 8, 8)
+
+
+def test_min_docs_three(spark):
+    span = " ".join(WORDS[3:9])
+    rows = [
+        (0, "x " + span),
+        (1, "y " + span),
+        (2, "z " + span),
+        (3, "unshared filler text"),
+    ]
+    # at min_docs=3 the span (in 3 docs) is scrubbed...
+    got3 = _run(spark, rows, k=6, min_docs=3)
+    assert got3 == py_scrub(rows, k=6, min_docs=3)
+    assert got3[0][0] == "x" and got3[2][0] == "z"
+    # ...at min_docs=4 it is not
+    got4 = _run(spark, rows, k=6, min_docs=4)
+    assert all(v[2] == 0 for v in got4.values())
+
+
+def test_whitespace_and_empty(spark):
+    rows = [(0, ""), (1, "   "), (2, "a\t b\n  c d e f g h"), (3, "a b c d e f g h")]
+    got = _run(spark, rows, k=4)
+    assert got == py_scrub(rows, k=4)
+    # mixed whitespace tokenizes identically, so docs 2 and 3 share
+    # every window and both scrub to empty
+    assert got[2][0] == "" and got[3][0] == ""
+    # empty/blank docs are single-empty-token rows, untouched
+    assert got[0] == ("", 1, 0) and got[1] == ("", 1, 0)
+
+
+def test_fuzz_matches_python_mirror(spark):
+    rng = random.Random(20260820)
+    fragments = [
+        [rng.choice(WORDS) for _ in range(rng.randint(5, 14))] for _ in range(6)
+    ]
+    rows = []
+    for i in range(120):
+        toks = [rng.choice(WORDS) for _ in range(rng.randint(0, 40))]
+        while rng.random() < 0.5:
+            frag = rng.choice(fragments)
+            at = rng.randrange(len(toks) + 1)
+            toks = toks[:at] + frag + toks[at:]
+        rows.append((i, " ".join(toks)))
+    for k in (5, 9):
+        assert _run(spark, rows, k=k) == py_scrub(rows, k=k)
+
+
+def test_scratch_contract(spark):
+    rows = [(0, "a b c d e f"), (1, "a b c d e f")]
+    scratch = []
+    got = _run(spark, rows, k=6, scratch=scratch)
+    assert got == py_scrub(rows, k=6)
+    assert len(scratch) == 1 and scratch[0].is_cached
+    for df in scratch:
+        df.unpersist()

@@ -1330,6 +1330,43 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+BM25_TOPK = 5
+DEFAULT_BM25_K1 = 1.2
+DEFAULT_BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 batch retrieval: top-5 scored documents per query, the query
+    table being a deterministic slice of every 40th document (tokens
+    10-13 — a 4-token keyword query mined from the crawl). Engine side:
+    broadcast query-term semi-join prunes postings at the corpus scan,
+    partial-agg tf, one small df aggregate, window top-k ordered on
+    ROUND(score,4) with doc_id tie-break (operators/bm25.py). Oracle
+    side: DuckDB recomputes the full formula positionally — idf
+    smoothing, length normalization, rounding, and tie-break are all
+    under test."""
+    from fuzzysearch_spark.operators.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.where(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 10, 4), " ").alias("qtext"),
+    )
+    with _scratch_frames() as scratch:
+        return _materialized(
+            spark,
+            bm25_topk(
+                docs,
+                queries,
+                top_k=BM25_TOPK,
+                k1=DEFAULT_BM25_K1,
+                b=DEFAULT_BM25_B,
+                scratch=scratch,
+            ),
+        )
+
+
 _SPLIT_SALT = "fsw-r4"
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SAMPLE_RATES = {"en": 0.5, "de": 0.2}
@@ -1617,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
+        "bm25_topk": q_bm25_topk,
         "repetition_scores": q_repetition_scores,
         "filter_decisions": q_filter_decisions,
         "split_assign": q_split_assign,
@@ -2902,6 +2940,55 @@ def _build_oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_contaminated_grams
             FROM cgrams JOIN bgrams USING (g)
             GROUP BY doc_id
+        """,
+        # BM25 retrieval: the full formula recomputed relationally; ranks
+        # order on the ROUNDED score so sub-rounding FP jitter (summation
+        # order) cannot flip a rank on either engine
+        "bm25_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            stats AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM toks
+            ),
+            qterms AS (
+              SELECT DISTINCT doc_id AS query_id, unnest(
+                regexp_split_to_array(
+                  trim(array_to_string(t[10:13], ' ')), '\\s+')) AS term
+              FROM toks WHERE doc_id % 40 = 0
+            ),
+            tf AS (
+              SELECT doc_id, len(t) AS dl, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, t, unnest(t) AS term FROM toks) p
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, len(t), term
+            ),
+            dfs AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ),
+            scored AS (
+              SELECT q.query_id, f.doc_id,
+                     ROUND(SUM(
+                       ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * f.tf * ({DEFAULT_BM25_K1} + 1)
+                       / (f.tf + {DEFAULT_BM25_K1}
+                          * (1 - {DEFAULT_BM25_B}
+                             + {DEFAULT_BM25_B} * f.dl / s.avgdl))), 4) AS score
+              FROM tf f
+              JOIN dfs d USING (term)
+              JOIN qterms q USING (term), stats s
+              GROUP BY q.query_id, f.doc_id
+            )
+            SELECT query_id, doc_id, "rank", score FROM (
+              SELECT query_id, doc_id, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS "rank"
+              FROM scored
+            ) r WHERE "rank" <= {BM25_TOPK}
         """,
         # ExactSubstr-style span scrub; shared grams re-derived over gram
         # STRINGS (the engine joins on xxhash64 — the hash compression is

@@ -134,6 +134,7 @@ def main():
         "pii_scrub",
         "decontaminate",
         "span_scrub",
+        "bm25_topk",
         "repetition_scores",
         "filter_decisions",
         "split_assign",

@@ -1,0 +1,161 @@
+"""BM25 batch retrieval: top-k scored documents for a table of queries.
+
+The classic probabilistic ranking function (Robertson & Zaragoza, "The
+Probabilistic Relevance Framework: BM25 and Beyond", Foundations and
+Trends in IR 2009 — public reference; the +0.5/+1 IDF smoothing below is
+the Lucene/standard variant that keeps IDF positive):
+
+    idf(t)        = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d)   = sum over DISTINCT t in q of
+                    idf(t) * tf_td * (k1 + 1)
+                            / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+This is the batch-retrieval complement to the engine's fuzzy-search
+surface: `find_near_matches_multi` scans for approximate OCCURRENCES of
+needles; BM25 RANKS whole documents for bags of query terms. Same
+one-scan discipline as the reference's n-gram seeding — the corpus is
+touched once and only query-relevant slivers shuffle.
+
+100 TB shape, stage by stage:
+
+1. the DISTINCT query-term set is tiny next to the corpus (queries x a
+   few tokens); it is size-gated onto the broadcast path and semi-joins
+   the exploded corpus tokens — so postings (doc, term, tf) exist ONLY
+   for terms some query mentions, and the corpus never shuffles its
+   full vocabulary;
+2. tf comes from a (doc_id, term) partial-aggregated count: a document's
+   tokens start co-located in its row, so map-side combine collapses the
+   explode before the exchange;
+3. df / N / avgdl are one small aggregate over the postings sliver and
+   one 1-row corpus aggregate (count + sum of JVM-computed token
+   lengths, no explode);
+4. scoring is a pure JVM expression over the postings-x-query join; the
+   final top-k is a window over query_id — partitioned by QUERY, never
+   by the corpus, so its exchange carries only scored candidate rows.
+
+Determinism / oracle-parity: ranking orders by ROUND(score, 4) DESC
+with doc_id ascending as the tie-break, so a sub-rounding FP difference
+(e.g. a different summation order in another engine) cannot flip ranks;
+the emitted score is the same rounded value the order uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.util import estimated_plan_bytes
+
+# query-term sets with a Catalyst estimate under this go map-side
+QUERY_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _tokens(col):
+    """Whitespace tokens of trimmed text — the same token spec as the
+    text-analysis counters, decontaminate.py, and span_dedup.py."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    scratch: list | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, rank, score): the ``top_k`` highest-BM25
+    documents per query, rank 1-based, score rounded to 4 decimals (the
+    rounding the ordering itself uses — see module docstring).
+
+    Documents matching NO query term never reach the window (no zero
+    rows); a query whose terms appear nowhere returns no rows. Duplicate
+    terms within one query count once (bag-of-DISTINCT-terms queries,
+    the standard formulation).
+
+    ``scratch``: caller-owned persist list (the lsh.py contract) for the
+    postings sliver, which feeds both the df aggregate and the scoring
+    join — pass it to keep the corpus at ONE scan.
+    """
+    qterms = queries.select(
+        F.col(qid_col).alias("__qid"),
+        F.explode(F.array_distinct(_tokens(F.col(qtext_col)))).alias("__term"),
+    )
+    term_set = qterms.select("__term").distinct()
+    if estimated_plan_bytes(term_set) <= QUERY_BROADCAST_MAX_BYTES:
+        term_set = F.broadcast(term_set)
+
+    toks = docs.select(
+        F.col(id_col).alias("__did"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    # one 1-row job: corpus size and average document length
+    n_docs, sum_dl = toks.agg(
+        F.count("*"), F.sum(F.size("__toks"))
+    ).first()
+    avgdl = (sum_dl or 0) / n_docs if n_docs else 0.0
+    if not n_docs or not avgdl:
+        # empty corpus (or all-empty docs): nothing can score
+        return (
+            qterms.select(F.col("__qid").alias(qid_col))
+            .where(F.lit(False))
+            .select(
+                F.col(qid_col),
+                F.lit(None).cast(toks.schema["__did"].dataType).alias(id_col),
+                F.lit(0).alias("rank"),
+                F.lit(0.0).alias("score"),
+            )
+        )
+
+    postings = (
+        toks.select(
+            "__did",
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("__term"),
+        )
+        .join(term_set, "__term")
+        .groupBy("__did", "__dl", "__term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    if scratch is not None:
+        postings = postings.persist()
+        scratch.append(postings)
+
+    df_t = postings.groupBy("__term").agg(
+        F.countDistinct("__did").alias("__df")
+    )
+    if estimated_plan_bytes(df_t) <= QUERY_BROADCAST_MAX_BYTES:
+        df_t = F.broadcast(df_t)
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / avgdl)
+    )
+    scored = (
+        postings.join(df_t, "__term")
+        .join(qterms, "__term")
+        .groupBy("__qid", "__did")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("__score"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__score").desc(), F.col("__did").asc()
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= top_k)
+        .select(
+            F.col("__qid").alias(qid_col),
+            F.col("__did").alias(id_col),
+            F.col("__rank").alias("rank"),
+            F.col("__score").alias("score"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""BM25 batch retrieval: formula parity against a Python mirror,
+rounded-score tie-break determinism, distinct-term query semantics,
+top-k truncation, and degenerate inputs."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from collections import Counter
+
+from fuzzysearch_spark.operators.bm25 import bm25_topk
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+         "iota", "kappa", "lam", "mu", "nu", "xi", "om", "pi", "rho", "sig"]
+
+
+def _toks(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip())
+
+
+def py_bm25_topk(doc_rows, query_rows, top_k=5, k1=1.2, b=0.75):
+    toks = {d: _toks(t) for d, t in doc_rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n if n else 0.0
+    tf = {d: Counter(t) for d, t in toks.items()}
+    out = []
+    for qid, qtext in query_rows:
+        terms = sorted(set(_toks(qtext)))
+        scores = {}
+        for d, c in tf.items():
+            s = 0.0
+            for t in terms:
+                if not c[t]:
+                    continue
+                df = sum(1 for cc in tf.values() if cc[t])
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * c[t] * (k1 + 1) / (
+                    c[t] + k1 * (1 - b + b * len(toks[d]) / avgdl)
+                )
+            if s > 0.0:
+                scores[d] = round(s, 4)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out.extend(
+            (qid, d, r + 1, sc) for r, (d, sc) in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+def _run(spark, doc_rows, query_rows, **kw):
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(query_rows, "query_id long, qtext string")
+    got = bm25_topk(docs, qs, **kw).collect()
+    return sorted((r["query_id"], r["doc_id"], r["rank"], r["score"]) for r in got)
+
+
+def test_single_term_ranking(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha alpha beta"),          # higher tf, shorter doc
+        (2, "beta gamma delta eps zeta"),  # no alpha
+    ]
+    queries = [(0, "alpha")]
+    got = _run(spark, rows, queries)
+    assert got == py_bm25_topk(rows, queries)
+    # only the two alpha-carrying docs appear, tf-rich short doc first
+    assert {g[1]: g[2] for g in got} == {1: 1, 0: 2}
+
+
+def test_distinct_term_queries_and_tiebreak(spark):
+    # docs 1 and 2 are identical -> exactly equal scores; the rank
+    # tie-break must be doc_id ascending on BOTH engines
+    rows = [
+        (0, "unrelated filler words here"),
+        (1, "alpha beta alpha"),
+        (2, "alpha beta alpha"),
+    ]
+    queries = [(0, "alpha alpha beta"), (1, "alpha beta")]
+    got = _run(spark, rows, queries)
+    assert got == py_bm25_topk(rows, queries)
+    q0 = [g for g in got if g[0] == 0]
+    q1 = [g for g in got if g[0] == 1]
+    # duplicate query terms count once: both queries score identically
+    assert [(g[1], g[2], g[3]) for g in q0] == [(g[1], g[2], g[3]) for g in q1]
+    assert [g[1] for g in q0] == [1, 2]
+
+
+def test_topk_truncation(spark):
+    rows = [(i, "alpha " + " ".join(["pad"] * i)) for i in range(10)]
+    queries = [(0, "alpha")]
+    got = _run(spark, rows, queries, top_k=3)
+    assert got == py_bm25_topk(rows, queries, top_k=3)
+    assert len(got) == 3 and [g[2] for g in got] == [1, 2, 3]
+
+
+def test_no_hit_query_and_empty_text(spark):
+    rows = [(0, ""), (1, "   "), (2, "alpha beta")]
+    queries = [(0, "nowhere"), (1, "alpha")]
+    got = _run(spark, rows, queries)
+    assert got == py_bm25_topk(rows, queries)
+    assert {g[0] for g in got} == {1}
+
+
+def test_fuzz_matches_python_mirror(spark):
+    rng = random.Random(20260821)
+    rows = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    queries = [
+        (q, " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 4))))
+        for q in range(12)
+    ]
+    got = _run(spark, rows, queries, top_k=7)
+    assert got == py_bm25_topk(rows, queries, top_k=7)
+
+
+def test_scratch_contract(spark):
+    rows = [(0, "alpha beta"), (1, "alpha gamma")]
+    queries = [(0, "alpha")]
+    scratch = []
+    got = _run(spark, rows, queries, scratch=scratch)
+    assert got == py_bm25_topk(rows, queries)
+    assert len(scratch) == 1 and scratch[0].is_cached
+    for df in scratch:
+        df.unpersist()

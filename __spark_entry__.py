@@ -1330,6 +1330,21 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical-LM quality score: per-document mean
+    negative log-likelihood (nats/gram, rounded 6) under a character-
+    trigram model whose probabilities are corpus-wide relative
+    frequencies (operators/lm_score.py). Engine side: one gram scan
+    feeds both the count table (gated broadcast) and the scoring join.
+    Oracle side: DuckDB rebuilds the gram stream, the count table, and
+    the log-domain mean positionally."""
+    from fuzzysearch_spark.operators.lm_score import lm_nll_scores
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    with _scratch_frames() as scratch:
+        return _materialized(spark, lm_nll_scores(docs, scratch=scratch))
+
+
 BM25_TOPK = 5
 DEFAULT_BM25_K1 = 1.2
 DEFAULT_BM25_B = 0.75
@@ -1655,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
         "bm25_topk": q_bm25_topk,
+        "lm_nll": q_lm_nll,
         "repetition_scores": q_repetition_scores,
         "filter_decisions": q_filter_decisions,
         "split_assign": q_split_assign,
@@ -2940,6 +2956,25 @@ def _build_oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_contaminated_grams
             FROM cgrams JOIN bgrams USING (g)
             GROUP BY doc_id
+        """,
+        # trigram-LM quality: gram stream, count table, and log-domain
+        # mean all rebuilt relationally (scores stay in the log domain —
+        # see operators/lm_score.py on why exp() would amplify jitter)
+        "lm_nll": """
+            WITH grams AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+              FROM documents, unnest(range(1, len(text) - 1)) AS r(i)
+            ),
+            counts AS (SELECT g, COUNT(*) AS n FROM grams GROUP BY g),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM grams),
+            scored AS (
+              SELECT doc_id, COUNT(*) AS n_grams,
+                     ROUND(-SUM(ln(n / t.total)) / COUNT(*), 6) AS nll
+              FROM grams JOIN counts USING (g), tot t
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams, s.nll
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         # BM25 retrieval: the full formula recomputed relationally; ranks
         # order on the ROUNDED score so sub-rounding FP jitter (summation

@@ -135,6 +135,7 @@ def main():
         "decontaminate",
         "span_scrub",
         "bm25_topk",
+        "lm_nll",
         "repetition_scores",
         "filter_decisions",
         "split_assign",

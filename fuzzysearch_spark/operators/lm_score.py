@@ -1,0 +1,112 @@
+"""Statistical-LM quality scoring: per-document mean negative
+log-likelihood under a character-trigram model trained on the corpus.
+
+The CCNet recipe (Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", arXiv:1911.00359 — public
+paper) ranks crawl documents by perplexity under a language model and
+keeps the low-perplexity head; documents statistically unlike the
+training distribution (boilerplate soup, encoding garbage, wrong-language
+fragments) land in the tail. The model here is the simplest deterministic
+member of that family — an unsmoothed character-trigram unigram model
+whose probabilities are corpus-wide relative frequencies — because the
+published models (KenLM) are external binaries and the value under test
+is the DISTRIBUTED shape, which is identical for any count-based model:
+
+1. the trigram count table is ONE partial-aggregated count over a
+   per-row JVM gram expansion (``transform``/``substring`` — no UDF);
+   its size is bounded by the corpus' character-trigram vocabulary, not
+   its row count, so at 100 TB it stays a side table;
+2. the total-gram normalizer is a 1-row aggregate of per-row lengths —
+   no explode, no shuffle;
+3. scoring joins each document's gram stream against the count table —
+   size-gated onto the broadcast path (the expected case: a trigram
+   vocabulary is small), shuffle join past the gate — and partial-agg
+   sums per document. Every gram occurrence scores by construction
+   (the model was trained on the same corpus, so no gram is unseen and
+   the unsmoothed model is total).
+
+Scores are reported in the LOG domain (mean negative log-likelihood per
+gram, nats) and rounded to 6 decimals: the exp() back to perplexity
+would amplify sub-rounding FP summation jitter (~1e-12 relative) past a
+fixed decimal rounding at realistic magnitudes, while the log-domain
+number is O(10) with absolute jitter ~1e-13 — orders of magnitude under
+the rounding. Callers wanting perplexity exponentiate downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.util import estimated_plan_bytes
+
+# trigram count tables with a Catalyst estimate under this go map-side
+COUNTS_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+GRAM_CHARS = 3
+
+
+def _gram_col(text_col):
+    """Array of character trigrams of the raw text (1-based positions);
+    empty for texts shorter than 3 chars (``sequence`` is guarded: it
+    generates DESCENDING ranges when stop < start)."""
+    n = F.length(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (GRAM_CHARS - 1)),
+        lambda i: F.substring(text_col, i, GRAM_CHARS),
+    )
+    return F.when(n >= GRAM_CHARS, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lm_nll_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scratch: list | None = None,
+) -> DataFrame:
+    """Every input row as (``id_col``, n_grams, nll): the document's
+    character-trigram count and its mean negative log-likelihood per
+    gram (nats, rounded to 6) under the corpus-trained trigram model.
+    Documents shorter than 3 characters have n_grams = 0 and nll NULL.
+
+    ``scratch``: caller-owned persist list (the lsh.py contract) for the
+    exploded gram stream, which feeds both the count table and the
+    scoring join — pass it to keep the corpus at ONE scan.
+    """
+    base = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+    grams = base.select(
+        F.col(id_col).alias("__did"),
+        F.explode(_gram_col(F.col("__text"))).alias("__g"),
+    )
+    if scratch is not None:
+        grams = grams.persist()
+        scratch.append(grams)
+
+    counts = grams.groupBy("__g").agg(F.count("*").alias("__n"))
+    total = base.agg(
+        F.sum(F.greatest(F.length("__text") - (GRAM_CHARS - 1), F.lit(0)))
+    ).first()[0]
+    total = float(total or 0)
+    if estimated_plan_bytes(counts) <= COUNTS_BROADCAST_MAX_BYTES:
+        counts = F.broadcast(counts)
+
+    scored = (
+        grams.join(counts, "__g")
+        .groupBy("__did")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                -F.sum(F.log(F.col("__n") / F.lit(total))) / F.count("*"), 6
+            ).alias("nll"),
+        )
+    )
+    return (
+        base.join(scored, base[id_col] == scored["__did"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.col("nll"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Trigram-LM quality scores: formula parity against a Python mirror,
+the statistically-unlike-document ordering the score exists for, short
+and empty documents, and the one-scan scratch contract."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+from fuzzysearch_spark.operators.lm_score import lm_nll_scores
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def py_nll(rows):
+    grams_by_doc = {
+        d: [t[i : i + 3] for i in range(len(t) - 2)] for d, t in rows
+    }
+    counts = Counter(g for gs in grams_by_doc.values() for g in gs)
+    total = sum(counts.values())
+    out = {}
+    for d, gs in grams_by_doc.items():
+        if not gs:
+            out[d] = (0, None)
+            continue
+        s = -sum(math.log(counts[g] / total) for g in gs) / len(gs)
+        out[d] = (len(gs), round(s, 6))
+    return out
+
+
+def _run(spark, rows, scratch=None):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lm_nll_scores(docs, scratch=scratch).collect()
+    return {r["doc_id"]: (r["n_grams"], r["nll"]) for r in got}
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return a is b
+    return abs(a - b) <= 1e-9
+
+
+def _assert_match(got, expect):
+    assert set(got) == set(expect)
+    for d in got:
+        assert got[d][0] == expect[d][0], (d, got[d], expect[d])
+        assert _close(got[d][1], expect[d][1]), (d, got[d], expect[d])
+
+
+def test_matches_python_mirror(spark):
+    rows = [
+        (0, "abcabcabc"),
+        (1, "abcxyzabc"),
+        (2, "zzzzzz"),
+        (3, "ab"),      # shorter than a trigram
+        (4, ""),
+    ]
+    got = _run(spark, rows)
+    _assert_match(got, py_nll(rows))
+    assert got[3] == (0, None) and got[4] == (0, None)
+
+
+def test_unusual_doc_scores_higher(spark):
+    # 30 docs drawn from the same vocabulary + one encoding-garbage doc:
+    # the score exists exactly to rank the outlier last
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(25))) for i in range(30)
+    ]
+    rows.append((99, "q7#Jx!pv0@Lz%Wn&Ky*Tr9^Bh$Mc2(Vd)Gf8"))
+    got = _run(spark, rows)
+    _assert_match(got, py_nll(rows))
+    worst = max(got, key=lambda d: got[d][1] if got[d][1] is not None else -1)
+    assert worst == 99
+
+
+def test_fuzz_matches_python_mirror(spark):
+    rng = random.Random(20260822)
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice("abcdefg ") for _ in range(rng.randint(0, 40))
+            ),
+        )
+        for i in range(100)
+    ]
+    _assert_match(_run(spark, rows), py_nll(rows))
+
+
+def test_scratch_contract(spark):
+    rows = [(0, "abcdef"), (1, "abcdef")]
+    scratch = []
+    got = _run(spark, rows, scratch=scratch)
+    _assert_match(got, py_nll(rows))
+    assert len(scratch) == 1 and scratch[0].is_cached
+    for df in scratch:
+        df.unpersist()

@@ -184,6 +184,195 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLONE_N_FILES, _CLONE_N_VARIANTS, _CLONE_SEED = 160, 60, 77
+_CLONE_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _clone_fixture_rows() -> list[tuple[int, str]]:
+    """Deterministic code corpus for the clone-detection query:
+    ``generate()`` base files plus planted format-only (type-1) and
+    identifier-renamed (type-2) clone variants.  Pure function of the
+    module constants, shared by the Spark query and the DuckDB oracle."""
+    from fuzzysearch_spark.corpus import generate, plant_clone_variants
+    from fuzzysearch_spark.functions.clone_norm import KEYWORDS
+
+    corpus = generate(n_files=_CLONE_N_FILES, seed=_CLONE_SEED)
+    plant_clone_variants(
+        corpus, n_variants=_CLONE_N_VARIANTS, seed=_CLONE_SEED,
+        keywords=KEYWORDS,
+    )
+    return [(i, r["content"]) for i, r in enumerate(corpus.rows)]
+
+
+def _clone_fixture_path() -> str:
+    """Fixture parquet for the oracle, keyed by the rows' CONTENT digest
+    (same staleness rule as the media fixture: edits to the generator or
+    the variant planting force a fresh file)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _clone_fixture_rows()
+    digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
+    path = f"/tmp/fsw_clone_oracle_{len(rows)}_{digest}.parquet"
+    if _CLONE_FIXTURE_CACHE.get("path") != path or not os.path.exists(path):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "content": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        _CLONE_FIXTURE_CACHE["path"] = path
+    return path
+
+
+def q_clone_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 / type-2 code-clone clusters over a planted code corpus:
+    comment/whitespace normalization (type-1) and identifier/literal
+    abstraction with keyword preservation (type-2), each fingerprinted
+    with sha256 and grouped to min-doc_id clusters — the
+    renamed-copy-as-exact-duplicate rung of code dedup
+    (functions/clone_norm.py).  The whole stage is JVM regexp_replace
+    chains + one window per level; no UDF, no Python.
+
+    Oracle: the SAME rule table rendered as DuckDB regexp_replace chains
+    (clone_norm.normalize_sql_expr) over the content fixture parquet —
+    three regex engines (Java here, RE2 there, Python ``re`` in pytest)
+    must produce identical clusterings."""
+    from pyspark.sql import Window
+
+    from fuzzysearch_spark.functions.clone_norm import clone_key_col
+
+    rows = _clone_fixture_rows()
+    docs = spark.createDataFrame(rows, schema="doc_id long, content string")
+    w1 = Window.partitionBy(clone_key_col(F.col("content"), "type1"))
+    w2 = Window.partitionBy(clone_key_col(F.col("content"), "type2"))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w1).alias("group_t1"),
+        F.min("doc_id").over(w2).alias("group_t2"),
+    )
+
+
+_FORK_FILES_PER_REPO = 8
+_FORK_EVERY = 3           # every 3rd base repo gets a planted fork
+_FORK_MAX_GID_DF = 40     # fingerprints shared by more repos are boilerplate
+_FORK_MIN_SIM = 0.5
+_FORK_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _fork_fixture_rows() -> list[tuple[int, str, str]]:
+    """(doc_id, repo, content) rows for the fork-detection query: the
+    clone fixture's files grouped into synthetic repos of
+    ``_FORK_FILES_PER_REPO`` files, plus planted FORKS — every
+    ``_FORK_EVERY``-th repo cloned file-by-file with a deterministic mix
+    of byte-exact / reformatted / identifier-renamed copies.  Ground
+    truth by construction: each (repoK, repoK_fork) pair shares (almost)
+    all type-2 fingerprints; unrelated repos share only boilerplate."""
+    import random as _random
+
+    from fuzzysearch_spark.corpus import format_variant, rename_variant
+    from fuzzysearch_spark.functions.clone_norm import KEYWORDS
+
+    base = _clone_fixture_rows()
+    rows = [
+        (doc_id, f"repo{doc_id // _FORK_FILES_PER_REPO}", content)
+        for doc_id, content in base
+    ]
+    rng = _random.Random(0xF02C)
+    next_id = len(base)
+    n_repos = (len(base) + _FORK_FILES_PER_REPO - 1) // _FORK_FILES_PER_REPO
+    for r in range(0, n_repos, _FORK_EVERY):
+        members = [row for row in rows if row[1] == f"repo{r}"]
+        for _, _, content in members:
+            kind = rng.choice(["exact", "format", "rename"])
+            if kind == "format":
+                content = format_variant(content, rng)
+            elif kind == "rename":
+                content = rename_variant(content, rng, KEYWORDS)
+            rows.append((next_id, f"repo{r}_fork", content))
+            next_id += 1
+    return rows
+
+
+def _fork_fixture_path() -> str:
+    """Oracle fixture parquet, digest-keyed like the clone fixture."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _fork_fixture_rows()
+    digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
+    path = f"/tmp/fsw_fork_oracle_{len(rows)}_{digest}.parquet"
+    if _FORK_FIXTURE_CACHE.get("path") != path or not os.path.exists(path):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "repo": pa.array([r[1] for r in rows], pa.string()),
+                    "content": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        _FORK_FIXTURE_CACHE["path"] = path
+    return path
+
+
+def q_repo_fork_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork detection over a code corpus: repo-pair similarity via shared
+    type-2 clone fingerprints (renamed/reformatted copies count as
+    shared).  sim = |shared fingerprints| / min(|A|, |B|) over DISTINCT
+    per-repo fingerprints, with a document-frequency cap dropping
+    fingerprints present in more than ``_FORK_MAX_GID_DF`` repos —
+    boilerplate (license stubs, generated same-shape files) otherwise
+    makes every repo pair a candidate AND makes the fingerprint join a
+    skew hazard at corpus scale; the cap bounds the join fan-out exactly
+    like the containment stage's max_fp_df.  All relational: one scan,
+    one distinct, one self-join on the capped fingerprint, one groupBy.
+    """
+    from fuzzysearch_spark.functions.clone_norm import clone_key_col
+
+    rows = _fork_fixture_rows()
+    files = spark.createDataFrame(
+        rows, schema="doc_id long, repo string, content string"
+    )
+    rg = files.select(
+        "repo", clone_key_col(F.col("content"), "type2").alias("gid")
+    ).distinct()
+    df_ok = (
+        rg.groupBy("gid")
+        .agg(F.countDistinct("repo").alias("df"))
+        .where(F.col("df") <= _FORK_MAX_GID_DF)
+        .select("gid")
+    )
+    rg = rg.join(df_ok, "gid")
+    card = rg.groupBy("repo").agg(F.count("*").alias("n"))
+    a, b = rg.alias("a"), rg.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gid") == F.col("b.gid")) & (F.col("a.repo") < F.col("b.repo")))
+        .groupBy(F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        shared.join(card.withColumnRenamed("repo", "repo_a").withColumnRenamed("n", "na"), "repo_a")
+        .join(card.withColumnRenamed("repo", "repo_b").withColumnRenamed("n", "nb"), "repo_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= _FORK_MIN_SIM)
+    )
+    return out
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 12-gram Jaccard >= 0.7 pairs (ground-truth dedup operator)."""
     from fuzzysearch_spark.operators.dedup_extra import ngram_jaccard_pairs
@@ -1632,6 +1821,8 @@ def _global_shuffle_oracle_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
+        "clone_clusters": q_clone_clusters,
+        "repo_fork_candidates": q_repo_fork_candidates,
         "curate": q_curate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "jaccard_join_prefix": q_jaccard_join_prefix,
@@ -2449,6 +2640,60 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, g
 """
 
 
+def _clone_oracle_sql() -> str:
+    """DuckDB mirror of q_clone_clusters: the identical ordered rule
+    table rendered as RE2 regexp_replace chains over the content fixture
+    parquet, grouped by the normalized form itself (fingerprint-hash
+    equality in Spark == normalized-string equality here, sha256 being
+    injective on this corpus)."""
+    from fuzzysearch_spark.functions.clone_norm import normalize_sql_expr
+
+    path = _clone_fixture_path()
+    f1 = normalize_sql_expr("content", "type1")
+    f2 = normalize_sql_expr("content", "type2")
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {f1} AS f1, {f2} AS f2
+          FROM '{path}'
+        )
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY f1) AS group_t1,
+               MIN(doc_id) OVER (PARTITION BY f2) AS group_t2
+        FROM norm
+    """
+
+
+def _fork_oracle_sql() -> str:
+    """DuckDB mirror of q_repo_fork_candidates over the fork fixture:
+    same normalize chain, same df cap, same min-cardinality similarity."""
+    from fuzzysearch_spark.functions.clone_norm import normalize_sql_expr
+
+    path = _fork_fixture_path()
+    f2 = normalize_sql_expr("content", "type2")
+    return f"""
+        WITH rg AS (
+          SELECT DISTINCT repo, {f2} AS gid FROM '{path}'
+        ),
+        df_ok AS (
+          SELECT gid FROM rg GROUP BY gid
+          HAVING COUNT(DISTINCT repo) <= {_FORK_MAX_GID_DF}
+        ),
+        rgc AS (SELECT rg.* FROM rg JOIN df_ok USING (gid)),
+        card AS (SELECT repo, COUNT(*) AS n FROM rgc GROUP BY repo),
+        shared AS (
+          SELECT a.repo AS repo_a, b.repo AS repo_b, COUNT(*) AS n_shared
+          FROM rgc a JOIN rgc b ON a.gid = b.gid AND a.repo < b.repo
+          GROUP BY 1, 2
+        )
+        SELECT repo_a, repo_b, n_shared,
+               ROUND(n_shared * 1.0 / LEAST(ca.n, cb.n), 4) AS sim
+        FROM shared
+        JOIN card ca ON ca.repo = repo_a
+        JOIN card cb ON cb.repo = repo_b
+        WHERE ROUND(n_shared * 1.0 / LEAST(ca.n, cb.n), 4) >= {_FORK_MIN_SIM}
+    """
+
+
 def _media_oracle_sql(kind: str) -> str:
     """DuckDB mirrors of q_media_features / q_frame_features.
 
@@ -3136,4 +3381,6 @@ def _build_oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_oracle_sql("media"),
         "frame_features": _media_oracle_sql("frames"),
+        "clone_clusters": _clone_oracle_sql(),
+        "repo_fork_candidates": _fork_oracle_sql(),
     }

@@ -111,6 +111,7 @@ def main():
     qs = entrymod.queries()
     bench_queries = [
         "curate",
+        "clone_clusters",
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",
         "jaccard_join_prefix",

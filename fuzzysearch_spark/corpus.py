@@ -216,3 +216,84 @@ def to_spark_df(spark, corpus: PlantedCorpus):
         [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus.rows],
         schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Clone-variant planting (type-1 / type-2 clone-detection ground truth)
+# ---------------------------------------------------------------------------
+
+def format_variant(content: str, rng: random.Random) -> str:
+    """A type-1 clone of ``content``: same code up to whitespace and
+    comments — reindent runs of spaces, inject blank lines and a fresh
+    line comment, add trailing spaces.  Normalizing away comments and
+    collapsing whitespace must map this and the original to the SAME
+    fingerprint at BOTH clone levels."""
+    import re as _re
+
+    out_lines = []
+    for line in content.splitlines():
+        line = _re.sub(r"^ +", lambda m: " " * (len(m.group(0)) + rng.randint(1, 4)), line)
+        if rng.random() < 0.2:
+            line = line + " " * rng.randint(1, 3)
+        out_lines.append(line)
+        if rng.random() < 0.15:
+            out_lines.append("")
+        if rng.random() < 0.1:
+            out_lines.append(f"# note {rng.randint(0, 999)}")
+    return "\n".join(out_lines) + "\n"
+
+
+def rename_variant(content: str, rng: random.Random, keywords: tuple[str, ...]) -> str:
+    """A type-2 clone of ``content``: every non-keyword identifier is
+    injectively renamed (first-appearance order -> ren0, ren1, ...) and
+    every numeric literal's digits are rewritten.  Structure, keywords,
+    and punctuation are untouched, so the type-2 fingerprint is preserved
+    while the type-1 fingerprint (and the raw sha256) changes."""
+    import re as _re
+
+    kw = set(keywords)
+    mapping: dict[str, str] = {}
+
+    def _ren(m: "_re.Match[str]") -> str:
+        tok = m.group(0)
+        if tok in kw:
+            return tok
+        if tok not in mapping:
+            mapping[tok] = f"ren{len(mapping)}"
+        return mapping[tok]
+
+    renamed = _re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\b", _ren, content)
+    shift = rng.randint(1, 8)
+    renumbered = _re.sub(
+        r"\b[0-9]+\b",
+        lambda m: str((int(m.group(0)) + shift) % (10 ** len(m.group(0)))),
+        renamed,
+    )
+    return renumbered
+
+
+def plant_clone_variants(
+    corpus: PlantedCorpus,
+    n_variants: int,
+    seed: int,
+    keywords: tuple[str, ...],
+) -> list[dict]:
+    """Append ``n_variants`` clone rows to ``corpus`` (alternating
+    format/rename kinds over distinct base rows) and return the truth
+    records ``{base_doc_id, clone_doc_id, kind}``.  Seeded independently
+    of generate() so existing (seed, n_files) fixtures stay byte-stable."""
+    rng = random.Random(seed * 2654435761 % (2**31))
+    n_base = len(corpus.rows)
+    bases = rng.sample(range(n_base), min(n_variants, n_base))
+    truth = []
+    for j, src_id in enumerate(bases):
+        src = corpus.rows[src_id]
+        kind = "format" if j % 2 == 0 else "rename"
+        if kind == "format":
+            content = format_variant(src["content"], rng)
+        else:
+            content = rename_variant(src["content"], rng, keywords)
+        new_id = len(corpus.rows)
+        corpus.rows.append(_mk_row(rng, new_id, src["lang"], content))
+        truth.append({"base_doc_id": src_id, "clone_doc_id": new_id, "kind": kind})
+    return truth

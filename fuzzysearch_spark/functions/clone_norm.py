@@ -1,0 +1,193 @@
+"""Code clone normalization: type-1 / type-2 clone fingerprints.
+
+Classic clone-detection taxonomy (Roy & Cordy 2007; the NiCad /
+SourcererCC normalization step) applied as a SCAN-ONLY Spark stage over a
+source-code corpus:
+
+* **type-1** — clones identical up to whitespace and comments.  The
+  normalizer strips block/line comments and collapses whitespace runs.
+* **type-2** — type-1 plus systematic renaming: identifiers, numeric
+  literals, and string literals are abstracted to fixed placeholder
+  tokens (``ID`` / ``N`` / ``S``) while a small set of structural
+  keywords is preserved, so ``for (i = 0; i < n; i++)`` and
+  ``for (j = 10; j < m; j++)`` produce the same fingerprint but a
+  ``for`` loop and a ``while`` loop do not.
+
+This complements the fuzzy (MinHash/edit-distance) stages the same way
+the reference's exact search complements its Levenshtein search
+(/root/reference/src/fuzzysearch/search_exact.py — cheap exact rung
+first): renamed/reformatted copies are *exact* duplicates after
+normalization, so they collapse in one groupBy instead of surviving into
+the quadratic-ish fuzzy stages.  At 100 TB this is the right shape: the
+whole normalizer is a chain of JVM ``regexp_replace`` column expressions
+(no UDF, no Python, no shuffle), followed by one ``sha2`` and one
+aggregation on a 64-hex key with map-side partial combine — exactly the
+plan of ``exact_dup_groups``.
+
+Dialect notes (the same rules run under Java regex in Spark, RE2 in the
+DuckDB oracle, and Python ``re`` in the pytest mirror):
+
+* patterns avoid lookarounds, backreferences, and capture-group
+  replacement refs entirely — replacements are literal strings, so Java
+  ``$1`` vs RE2 ``\\1`` syntax differences never arise;
+* keyword preservation uses the digit-shield trick: ``\\bfor\\b`` →
+  ``0for0`` BEFORE identifier abstraction (``0for0`` starts with a
+  digit, so the identifier pattern ``\\b[A-Za-z_][A-Za-z0-9_]*\\b``
+  cannot touch it, and the number pattern's trailing ``\\b`` fails
+  against the following letter), and back AFTER;
+* ``\\b`` is Unicode-aware in Java but ASCII in RE2; comments and
+  string literals — where non-ASCII text lives in real code — are
+  removed/abstracted by earlier rules, and the fuzz corpus for the
+  three-engine parity test is ASCII plus targeted unicode-in-comment /
+  unicode-in-string cases (same validity argument as
+  ``functions/scrub.py``).
+
+The normalizer is a deterministic HEURISTIC lexer, not a parser: a
+quote inside a comment or a ``//`` inside an unquoted URL can misgroup,
+but every engine misgroups identically, which is what fingerprint
+equality needs.  Rules are data (module-level tuples) so the driver
+oracle generates its DuckDB SQL from the very same pattern strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Structural keywords preserved by type-2 abstraction.  Deliberately a
+# compact cross-language core (C/Java/JS/Go/Python overlap): enough to
+# keep control-flow shape distinct, small enough that the protect /
+# unprotect passes stay a shallow expression chain.
+KEYWORDS: tuple[str, ...] = (
+    "if", "else", "for", "while", "return", "break", "continue",
+    "def", "class", "import", "function", "var", "const", "switch",
+    "case", "try",
+)
+
+# (name, pattern, replacement) applied in order.  Shared verbatim by the
+# Spark column chain, the DuckDB oracle (regexp_replace(..., 'g')), and
+# the pytest mirror (re.sub).
+_STRING_RULES: tuple[tuple[str, str, str], ...] = (
+    # string literals first: protects '//' and '#' inside them from the
+    # comment rules.  Single-line only ([^\n]) so an apostrophe in a
+    # comment cannot eat the rest of the file.
+    ("dq_string", r'"(\\.|[^"\\\n])*"', "0S0"),
+    ("sq_string", r"'(\\.|[^'\\\n])*'", "0S0"),
+)
+
+_COMMENT_RULES: tuple[tuple[str, str, str], ...] = (
+    ("block_comment", r"(?s)/\*.*?\*/", " "),
+    ("line_comment", r"(//|#)[^\n]*", ""),
+)
+
+_ABSTRACT_RULES: tuple[tuple[str, str, str], ...] = (
+    # numbers before identifiers (identifiers may contain digits, e.g.
+    # v1, and must stay a single ID token).  Hex / float / exponent
+    # forms all collapse to the same placeholder.
+    ("hex_number", r"\b0[xX][0-9a-fA-F]+\b", "0N0"),
+    ("number", r"\b[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?\b", "0N0"),
+    ("identifier", r"\b[A-Za-z_][A-Za-z0-9_]*\b", "ID"),
+)
+
+_WS_RULES: tuple[tuple[str, str, str], ...] = (
+    ("ws", r"\s+", " "),
+)
+
+
+def type1_rules() -> tuple[tuple[str, str, str], ...]:
+    """Ordered (name, pattern, replacement) rules for type-1."""
+    return _COMMENT_RULES + _WS_RULES
+
+
+def type2_rules() -> tuple[tuple[str, str, str], ...]:
+    """Ordered rules for type-2, keyword shields included."""
+    protect = tuple(
+        (f"kw_protect_{k}", rf"\b{k}\b", f"0{k}0") for k in KEYWORDS
+    )
+    unprotect = tuple(
+        (f"kw_restore_{k}", f"0{k}0", k) for k in KEYWORDS
+    )
+    restore_placeholders = (
+        ("restore_number", "0N0", "N"),
+        ("restore_string", "0S0", "S"),
+    )
+    return (
+        _STRING_RULES
+        + _COMMENT_RULES
+        + protect
+        + _ABSTRACT_RULES
+        + unprotect
+        + restore_placeholders
+        + _WS_RULES
+    )
+
+
+def rules_for(level: str) -> tuple[tuple[str, str, str], ...]:
+    if level == "type1":
+        return type1_rules()
+    if level == "type2":
+        return type2_rules()
+    raise ValueError(f"unknown clone level {level!r}; use 'type1' or 'type2'")
+
+
+def normalize_code_col(text: Column | str, level: str = "type2") -> Column:
+    """The normalized form of ``text`` as a single JVM expression chain.
+
+    Whole-stage-codegen friendly: every rule is a built-in
+    ``regexp_replace``; the final ``trim`` removes the edge spaces the
+    whitespace collapse leaves behind.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, rep in rules_for(level):
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def clone_key_col(text: Column | str, level: str = "type2") -> Column:
+    """sha256 of the normalized form — the clone-cluster grouping key."""
+    return F.sha2(normalize_code_col(text, level), 256)
+
+
+def clone_clusters(
+    docs: DataFrame,
+    level: str = "type2",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, clone_key, clone_group_id, is_representative).
+
+    Same contract as ``exact_dup_groups`` (operators/exact_dedup.py) so
+    downstream stages treat renamed/reformatted copies exactly like
+    byte-identical ones: ``clone_group_id`` = min doc_id sharing the
+    normalized fingerprint.  One scan + one shuffle on a 64-hex key.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        clone_key_col(F.col(content_col), level).alias("clone_key"),
+    )
+    w = Window.partitionBy("clone_key")
+    return hashed.select(
+        "doc_id",
+        "clone_key",
+        F.min("doc_id").over(w).alias("clone_group_id"),
+    ).withColumn("is_representative", F.col("doc_id") == F.col("clone_group_id"))
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_sql_expr(col_expr: str, level: str = "type2") -> str:
+    """The SAME rule chain as ``normalize_code_col`` rendered as a DuckDB
+    scalar expression over ``col_expr`` — generated from the shared rule
+    table so the oracle can never drift from the engine.  DuckDB's
+    ``regexp_replace`` replaces only the first match unless given the
+    ``'g'`` flag; Spark always replaces all, hence ``'g'`` everywhere.
+    """
+    expr = col_expr
+    for _, pat, rep in rules_for(level):
+        expr = (
+            f"regexp_replace({expr}, {_sql_quote(pat)}, "
+            f"{_sql_quote(rep)}, 'g')"
+        )
+    return f"trim({expr})"

@@ -1,0 +1,255 @@
+"""Type-1/type-2 clone normalization: three-engine parity + semantics.
+
+Parity: the SAME ordered rule table (functions/clone_norm.py) must
+produce identical normalized strings under Java regex (Spark), RE2
+(DuckDB, via normalize_sql_expr — the driver oracle's chain), and Python
+``re`` (the mirror below).  Validity caveat shared with
+functions/scrub.py: ``\\b`` is ASCII in RE2 and Unicode in Java/Python,
+so non-ASCII text is only exercised where earlier rules (comment strip /
+string abstraction) remove it before any ``\\b`` rule runs — which is
+where non-ASCII lives in real code.
+
+Semantics (ground truth by construction, corpus.plant_clone_variants):
+format-only variants co-cluster at BOTH levels, renamed/renumbered
+variants co-cluster at type-2 only, structurally different files never
+co-cluster.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import duckdb
+import pytest
+
+from fuzzysearch_spark.corpus import (
+    format_variant,
+    generate,
+    rename_variant,
+)
+from fuzzysearch_spark.functions.clone_norm import (
+    KEYWORDS,
+    clone_key_col,
+    normalize_code_col,
+    normalize_sql_expr,
+    rules_for,
+)
+
+
+def norm_py(text: str, level: str) -> str:
+    """Python-re mirror of normalize_code_col."""
+    for _, pat, rep in rules_for(level):
+        text = re.sub(pat, rep.replace("\\", "\\\\"), text)
+    return text.strip()
+
+
+EDGE_CASES = [
+    # digit-shield literals pre-existing in the source
+    "x = 0if0 + 0for0\n",
+    # hex / float / exponent numbers
+    "a = 0x1F + 3.14 + 1e9 + 2E-3\n",
+    # identifiers with digits, leading underscore
+    "v1 = _x2 * base36\n",
+    # keywords adjacent to punctuation and as substrings of identifiers
+    "for(i=0;i<n;i++){ formal = iffy; }\n",
+    # strings containing comment markers and quotes
+    'u = "http://x#y" + \'# not a comment\'\n',
+    # escaped quote inside a string
+    's = "she said \\"hi\\"" + 1\n',
+    # apostrophe in a line comment (heuristic, but must be deterministic)
+    "# don't trip the quote rule\ny = 2\n",
+    # block comment spanning lines, then code
+    "/* multi\n line */ int z = 5;\n",
+    # unicode inside comment and string (removed/abstracted before \\b rules)
+    '# комментарий\ns = "函数" + tail\n',
+    # empty-ish and whitespace-only
+    "\n\n   \t\n",
+    # placeholder-shaped identifiers in the source
+    "N = S + ID\n",
+]
+
+
+@pytest.fixture(scope="module")
+def sample_texts():
+    corpus = generate(n_files=40, seed=1234)
+    rng = random.Random(99)
+    texts = [r["content"] for r in corpus.rows[:40]]
+    texts += [format_variant(t, rng) for t in texts[:8]]
+    texts += [rename_variant(t, rng, KEYWORDS) for t in texts[8:16]]
+    texts += EDGE_CASES
+    return texts
+
+
+@pytest.mark.parametrize("level", ["type1", "type2"])
+def test_python_vs_duckdb(sample_texts, level):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, c VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(sample_texts))
+    )
+    got = dict(
+        con.execute(
+            f"SELECT i, {normalize_sql_expr('c', level)} FROM t ORDER BY i"
+        ).fetchall()
+    )
+    for i, text in enumerate(sample_texts):
+        assert got[i] == norm_py(text, level), (level, i, repr(text[:120]))
+
+
+@pytest.mark.parametrize("level", ["type1", "type2"])
+def test_python_vs_spark(spark, sample_texts, level):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        list(enumerate(sample_texts)), schema="i long, c string"
+    )
+    got = {
+        r["i"]: r["nf"]
+        for r in df.select(
+            "i", normalize_code_col(F.col("c"), level).alias("nf")
+        ).collect()
+    }
+    for i, text in enumerate(sample_texts):
+        assert got[i] == norm_py(text, level), (level, i, repr(text[:120]))
+
+
+def _t1(t):
+    return norm_py(t, "type1")
+
+
+def _t2(t):
+    return norm_py(t, "type2")
+
+
+def test_format_variant_is_type1_and_type2_clone():
+    corpus = generate(n_files=20, seed=7)
+    rng = random.Random(3)
+    for r in corpus.rows[:12]:
+        v = format_variant(r["content"], rng)
+        assert v != r["content"]
+        assert _t1(v) == _t1(r["content"])
+        assert _t2(v) == _t2(r["content"])
+
+
+def test_rename_variant_is_type2_only_clone():
+    corpus = generate(n_files=20, seed=8)
+    rng = random.Random(4)
+    n_t1_breaks = 0
+    for r in corpus.rows[:12]:
+        v = rename_variant(r["content"], rng, KEYWORDS)
+        assert v != r["content"]
+        assert _t2(v) == _t2(r["content"])
+        if _t1(v) != _t1(r["content"]):
+            n_t1_breaks += 1
+    # renaming must actually change the type-1 form in the typical case
+    assert n_t1_breaks >= 10
+
+
+def test_structurally_different_files_do_not_collide():
+    # type-2 abstraction is deliberately coarse on same-shaped code (the
+    # planted corpus's generated functions are structurally identical, so
+    # whole files collide when their function counts match — that IS
+    # type-2 semantics); files with different statement sequences must
+    # stay distinct
+    cases = [
+        "def f(a):\n    return a + 1\n",
+        "def f(a):\n    return a * a\n",          # different operator
+        "def f(a):\n    a += 1\n    return a\n",  # extra statement
+        "def f(a, b):\n    return a + 1\n",       # extra parameter
+        "def f(a):\n    if a: return a\n    return 0\n",
+        "def f(a):\n    while a: a -= 1\n    return 0\n",
+    ]
+    fps = {_t2(t) for t in cases}
+    assert len(fps) == len(cases)
+
+
+def test_keywords_preserved_distinguish_control_flow():
+    a = "for (i = 0; i < n; i++) { total += i; }"
+    b = "while (i < n) { total += i; i++; }"
+    assert _t2(a) != _t2(b)
+    # but renaming within the same construct collides
+    c = "for (j = 9; j < m; j++) { acc += j; }"
+    assert _t2(a) == _t2(c)
+
+
+def test_abstraction_targets():
+    t = 'count = offset + 12 * 0x1F; msg = "hi"; # trailing\n'
+    out = _t2(t)
+    assert "12" not in out and "0x1F" not in out and "hi" not in out
+    assert "count" not in out and "offset" not in out
+    assert "trailing" not in out
+    assert "ID = ID + N * N; ID = S;" == out
+
+
+def test_clone_key_matches_python_hash(spark):
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    texts = EDGE_CASES
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="i long, c string"
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select(
+            "i", clone_key_col(F.col("c"), "type2").alias("k")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = hashlib.sha256(norm_py(t, "type2").encode()).hexdigest()
+        assert got[i] == expect
+
+
+def test_driver_query_matches_duckdb_oracle(spark):
+    """End-to-end: q_clone_clusters vs its generated DuckDB oracle."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r["doc_id"], r["group_t1"], r["group_t2"])
+        for r in entry.q_clone_clusters(spark, "").collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in duckdb.connect().execute(entry._clone_oracle_sql()).fetchall()
+    )
+    assert got == want
+    # the planted variants guarantee real (non-singleton) clusters exist
+    # at both levels, and type-2 groups at least as coarsely as type-1
+    n_t1_dups = sum(1 for d, g1, _ in got if g1 != d)
+    n_t2_dups = sum(1 for d, _, g2 in got if g2 != d)
+    assert n_t1_dups >= 20
+    assert n_t2_dups >= n_t1_dups
+
+
+def test_repo_fork_candidates_ground_truth(spark):
+    """Planted forks must be detected; the pair list must match the
+    DuckDB oracle; boilerplate-only repo pairs must not flood the list."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    got = {
+        (r["repo_a"], r["repo_b"]): (r["n_shared"], r["sim"])
+        for r in entry.q_repo_fork_candidates(spark, "").collect()
+    }
+    want = {
+        (a, b): (int(n), float(s))
+        for a, b, n, s in duckdb.connect().execute(entry._fork_oracle_sql()).fetchall()
+    }
+    assert got == want
+    # every planted fork pair is present with high similarity
+    n_repos = (len(entry._clone_fixture_rows()) + entry._FORK_FILES_PER_REPO - 1) \
+        // entry._FORK_FILES_PER_REPO
+    planted = [
+        tuple(sorted((f"repo{r}", f"repo{r}_fork")))
+        for r in range(0, n_repos, entry._FORK_EVERY)
+    ]
+    for pair in planted:
+        assert pair in got, pair
+        assert got[pair][1] >= 0.9, (pair, got[pair])

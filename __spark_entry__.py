@@ -1539,6 +1539,100 @@ DEFAULT_BM25_K1 = 1.2
 DEFAULT_BM25_B = 0.75
 
 
+_CCNET_TILES = 3
+_CCNET_BUCKETS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    trigram-LM mean NLL WITHIN its language and cut each language into
+    head/middle/tail thirds — the standard quality gate that keeps "head"
+    for training and holds "tail" for inspection.  Composes the
+    oracle-green lm_nll scores with one ntile window per language;
+    ordering ties break on doc_id so the cut is deterministic in both
+    engines.  Docs too short to have a trigram (n_grams = 0) carry no
+    defensible perplexity and are labeled 'unscored' rather than silently
+    dropped or bucketed."""
+    from pyspark.sql import Window
+
+    from fuzzysearch_spark.operators.lm_score import lm_nll_scores
+
+    docs = _docs(spark, sf_dir)
+    with _scratch_frames() as scratch:
+        scores = lm_nll_scores(docs, scratch=scratch)
+        joined = docs.select("doc_id", "lang").join(scores, "doc_id")
+        # the ntile window must see ONLY scored docs: an unscored row
+        # inside the partition would shift every tile boundary
+        scored = joined.where(F.col("n_grams") > 0)
+        w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+        tiled = scored.withColumn("__tile", F.ntile(_CCNET_TILES).over(w))
+        bucket = None
+        for t, name in _CCNET_BUCKETS.items():
+            cond = F.col("__tile") == t
+            bucket = (
+                F.when(cond, F.lit(name))
+                if bucket is None
+                else bucket.when(cond, F.lit(name))
+            )
+        out = tiled.select(
+            "doc_id", "lang", "nll", bucket.alias("bucket")
+        ).unionByName(
+            joined.where(F.col("n_grams") == 0).select(
+                "doc_id", "lang", "nll", F.lit("unscored").alias("bucket")
+            )
+        )
+        return _materialized(spark, out)
+
+
+_TEMP_SAMPLE_ALPHA = 0.5
+_TEMP_SAMPLE_SALT = "temp-sample-r4"
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the GPT-3/PaLM data-mixing
+    move): downsample each source toward relative mass n_s^alpha by
+    keeping a document from source s with probability
+    (n_min / n_s)^(1 - alpha) — the smallest source keeps everything,
+    dominant sources shed mass, and the expected sampled distribution
+    follows the tempered one.  The keep decision is the engine's
+    deterministic content-keyed coin (functions/splits.py: sha256 hex
+    window as a uniform in [0,1)), so re-crawled exact duplicates get the
+    SAME verdict and the sample is reproducible without any stored state.
+    Fully distributed: one tiny per-source aggregate joined back
+    (broadcast-sized by construction: one row per source), no collect, no
+    window over the corpus."""
+    from fuzzysearch_spark.functions.splits import (
+        SAMPLE_WINDOW,
+        split_key_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("m"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        F.pow(F.col("m") / F.col("n_s"), 1.0 - _TEMP_SAMPLE_ALPHA).alias(
+            "keep_rate"
+        ),
+    )
+    start, width = SAMPLE_WINDOW
+    u = F.conv(
+        F.substring(split_key_col(F.col("text"), _TEMP_SAMPLE_SALT), start, width),
+        16,
+        10,
+    ).cast("double") / float(16**width)
+    return (
+        docs.select("doc_id", "source", u.alias("__u"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            (F.col("__u") < F.col("keep_rate")).alias("keep"),
+        )
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 batch retrieval: top-5 scored documents per query, the query
     table being a deterministic slice of every 40th document (tokens
@@ -1862,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": q_span_scrub,
         "bm25_topk": q_bm25_topk,
         "lm_nll": q_lm_nll,
+        "ccnet_buckets": q_ccnet_buckets,
+        "temperature_sample": q_temperature_sample,
         "repetition_scores": q_repetition_scores,
         "filter_decisions": q_filter_decisions,
         "split_assign": q_split_assign,
@@ -2640,6 +2736,75 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, g
 """
 
 
+def _ccnet_buckets_oracle_sql() -> str:
+    """Mirror of q_ccnet_buckets: the lm_nll CTE chain (already
+    oracle-green standalone) + per-language ntile over scored docs only,
+    unscored docs appended unbucketed."""
+    return f"""
+        WITH grams AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+          FROM documents, unnest(range(1, len(text) - 1)) AS r(i)
+        ),
+        counts AS (SELECT g, COUNT(*) AS n FROM grams GROUP BY g),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM grams),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_grams,
+                 ROUND(-SUM(ln(n / t.total)) / COUNT(*), 6) AS nll
+          FROM grams JOIN counts USING (g), tot t
+          GROUP BY doc_id
+        ),
+        base AS (
+          SELECT d.doc_id, d.lang, COALESCE(s.n_grams, 0) AS n_grams, s.nll
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        ),
+        tiled AS (
+          SELECT doc_id, lang, nll,
+                 ntile({_CCNET_TILES}) OVER (
+                   PARTITION BY lang ORDER BY nll, doc_id) AS t
+          FROM base WHERE n_grams > 0
+        )
+        SELECT doc_id, lang, nll,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+        FROM tiled
+        UNION ALL
+        SELECT doc_id, lang, nll, 'unscored' AS bucket
+        FROM base WHERE n_grams = 0
+    """
+
+
+def _temperature_sample_oracle_sql() -> str:
+    """Mirror of q_temperature_sample: per-source tempered keep rates
+    recomputed relationally, the deterministic coin re-derived from
+    sha256 in SQL (hex window -> uniform via UBIGINT cast)."""
+    from fuzzysearch_spark.functions.splits import SAMPLE_WINDOW
+
+    start, width = SAMPLE_WINDOW
+    denom = float(16**width)
+    return f"""
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+        ),
+        m AS (SELECT MIN(n_s) AS n_min FROM counts),
+        rates AS (
+          SELECT source,
+                 POWER(n_min * 1.0 / n_s, {1.0 - _TEMP_SAMPLE_ALPHA}) AS kr
+          FROM counts, m
+        ),
+        keys AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(
+                   sha256(text || '{_TEMP_SAMPLE_SALT}'),
+                   {start}, {width})) AS UBIGINT) / {denom} AS u
+          FROM documents
+        )
+        SELECT k.doc_id, k.source,
+               ROUND(r.kr, 6) AS keep_rate,
+               k.u < r.kr AS keep
+        FROM keys k JOIN rates r USING (source)
+    """
+
+
 def _clone_oracle_sql() -> str:
     """DuckDB mirror of q_clone_clusters: the identical ordered rule
     table rendered as RE2 regexp_replace chains over the content fixture
@@ -3383,4 +3548,6 @@ def _build_oracle_sql() -> dict[str, str]:
         "frame_features": _media_oracle_sql("frames"),
         "clone_clusters": _clone_oracle_sql(),
         "repo_fork_candidates": _fork_oracle_sql(),
+        "ccnet_buckets": _ccnet_buckets_oracle_sql(),
+        "temperature_sample": _temperature_sample_oracle_sql(),
     }

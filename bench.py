@@ -112,6 +112,7 @@ def main():
     bench_queries = [
         "curate",
         "clone_clusters",
+        "repo_fork_candidates",
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",
         "jaccard_join_prefix",
@@ -137,6 +138,8 @@ def main():
         "span_scrub",
         "bm25_topk",
         "lm_nll",
+        "ccnet_buckets",
+        "temperature_sample",
         "repetition_scores",
         "filter_decisions",
         "split_assign",

@@ -253,3 +253,59 @@ def test_repo_fork_candidates_ground_truth(spark):
     for pair in planted:
         assert pair in got, pair
         assert got[pair][1] >= 0.9, (pair, got[pair])
+
+
+def _fuzz_strings(n: int, seed: int) -> list[str]:
+    """Seeded code-ish fuzz corpus: random printable-ASCII plus drawn
+    rule-trigger fragments.  \\x0b/\\f are excluded — RE2's \\s is
+    [\\t\\n\\f\\r ] while Java/Python include \\x0b, the one documented
+    dialect divergence (same ASCII-validity argument as scrub.py)."""
+    rng = random.Random(seed)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789_ \t\n\r" + "+-*/=<>(){}[];:,.!&|^%~?@$"
+    )
+    fragments = [
+        '"', "'", "//", "/*", "*/", "#", "\\\\", '\\"', "\\'",
+        "0x", "1e5", "3.14", "0if0", "0N0", "0S0", "ID", "N", "S",
+    ] + list(KEYWORDS)
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(0, 40)):
+            if rng.random() < 0.3:
+                parts.append(rng.choice(fragments))
+            else:
+                parts.append(
+                    "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                )
+            parts.append(rng.choice([" ", "", "\n", "\t"]))
+        out.append("".join(parts))
+    return out
+
+
+@pytest.mark.parametrize("level", ["type1", "type2"])
+def test_fuzz_three_engine_parity(spark, level):
+    import pyspark.sql.functions as F
+
+    texts = _fuzz_strings(300, seed=20260821)
+    expect = [norm_py(t, level) for t in texts]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, c VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    duck = dict(
+        con.execute(
+            f"SELECT i, {normalize_sql_expr('c', level)} FROM t ORDER BY i"
+        ).fetchall()
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema="i long, c string")
+    jvm = {
+        r["i"]: r["nf"]
+        for r in df.select(
+            "i", normalize_code_col(F.col("c"), level).alias("nf")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert duck[i] == expect[i], (level, i, repr(t[:120]))
+        assert jvm[i] == expect[i], (level, i, repr(t[:120]))

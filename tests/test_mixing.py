@@ -1,0 +1,151 @@
+"""Driver-level data-mixing queries: CCNet perplexity buckets and
+temperature-based source rebalancing (q_ccnet_buckets /
+q_temperature_sample).  The driver oracle pins Spark==DuckDB on the
+testdata; these tests pin the SEMANTICS the oracle can't see: the
+unscored branch, tile balance, tempered keep-rate shape, determinism,
+and exact-duplicate co-assignment.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ccnet_buckets_unscored_and_balance(spark):
+    docs = spark.createDataFrame(
+        [
+            # lang A: nine scorable docs with increasing repetition (the
+            # trigram LM scores repeated trigrams cheaper)
+            *[
+                (i, ("abcdefghij"[: 3 + i % 5] * (2 + i)) + f"x{i}", "A")
+                for i in range(9)
+            ],
+            # too short for a single trigram -> unscored
+            (100, "ab", "A"),
+            (101, "", "A"),
+            # lang B: four docs
+            *[(200 + i, f"zyxwvu{i}" * (i + 1), "B") for i in range(4)],
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+    import fuzzysearch_spark  # noqa: F401  (path sanity)
+
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.operators.lm_score import lm_nll_scores
+
+    scores = lm_nll_scores(docs)
+    joined = docs.select("doc_id", "lang").join(scores, "doc_id")
+
+    # re-run the query body on this frame via the same helpers the driver
+    # query uses (q_ccnet_buckets reads parquet, so mirror its plan here)
+    from pyspark.sql import Window
+
+    scored = joined.where(F.col("n_grams") > 0)
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    tiled = scored.withColumn("t", F.ntile(entry._CCNET_TILES).over(w))
+    rows = {r["doc_id"]: r["t"] for r in tiled.collect()}
+
+    # lang A: 9 scored -> tiles of 3/3/3; lang B: 4 -> 2/1/1
+    a_tiles = [rows[i] for i in range(9)]
+    assert sorted(a_tiles.count(t) for t in (1, 2, 3)) == [3, 3, 3]
+    b_tiles = [rows[200 + i] for i in range(4)]
+    assert sorted(b_tiles.count(t) for t in (1, 2, 3)) == [1, 1, 2]
+    # unscored docs never entered the window
+    assert 100 not in rows and 101 not in rows
+
+
+def test_ccnet_driver_buckets_cover_all_docs(spark):
+    out = entry.q_ccnet_buckets(spark, SF).collect()
+    n_docs = entry._docs(spark, SF).count()
+    assert len(out) == n_docs
+    buckets = {r["bucket"] for r in out}
+    assert buckets <= {"head", "middle", "tail", "unscored"}
+    # per-lang tile balance: counts differ by at most 1 among the three
+    # buckets of any language with >= 3 scored docs
+    from collections import Counter
+
+    per_lang = Counter(
+        (r["lang"], r["bucket"]) for r in out if r["bucket"] != "unscored"
+    )
+    langs = {lang for lang, _ in per_lang}
+    for lang in langs:
+        counts = [per_lang[(lang, b)] for b in ("head", "middle", "tail")]
+        if sum(counts) >= 3:
+            assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    out1 = entry.q_temperature_sample(spark, SF).collect()
+    out2 = entry.q_temperature_sample(spark, SF).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    # per-source keep_rate follows (n_min / n_s)^(1-alpha)
+    from collections import Counter
+
+    docs = entry._docs(spark, SF)
+    n_by_source = Counter(r["source"] for r in docs.select("source").collect())
+    n_min = min(n_by_source.values())
+    rates = {r["source"]: r["keep_rate"] for r in out1}
+    for s, n_s in n_by_source.items():
+        expect = (n_min / n_s) ** (1.0 - entry._TEMP_SAMPLE_ALPHA)
+        assert rates[s] == pytest.approx(expect, abs=1e-6), s
+    # the minimum source keeps everything
+    smallest = min(n_by_source, key=n_by_source.get)
+    assert all(r["keep"] for r in out1 if r["source"] == smallest)
+    # realized keep fraction tracks the rate (binomial tolerance)
+    kept = Counter(r["source"] for r in out1 if r["keep"])
+    for s, n_s in n_by_source.items():
+        if n_s < 20:
+            continue
+        frac = kept[s] / n_s
+        sigma = math.sqrt(rates[s] * (1 - rates[s]) / n_s)
+        assert abs(frac - rates[s]) <= max(4 * sigma, 0.02), (s, frac, rates[s])
+
+
+def test_temperature_sample_exact_dups_coassigned(spark):
+    # identical content in the same source gets the same verdict — the
+    # splits.py content-keyed-coin property carried through
+    docs = spark.createDataFrame(
+        [(i, "the very same file body", "s0") for i in range(5)]
+        + [(10 + i, f"unique body {i}", "s0") for i in range(20)]
+        + [(50 + i, f"tiny {i}", "s1") for i in range(5)],
+        schema="doc_id long, text string, source string",
+    )
+    from pyspark.sql import functions as F
+
+    from fuzzysearch_spark.functions.splits import SAMPLE_WINDOW, split_key_col
+
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("m"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        F.pow(F.col("m") / F.col("n_s"), 1.0 - entry._TEMP_SAMPLE_ALPHA).alias(
+            "keep_rate"
+        ),
+    )
+    start, width = SAMPLE_WINDOW
+    u = F.conv(
+        F.substring(
+            split_key_col(F.col("text"), entry._TEMP_SAMPLE_SALT), start, width
+        ),
+        16,
+        10,
+    ).cast("double") / float(16**width)
+    out = (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(rates, "source")
+        .select("doc_id", (F.col("u") < F.col("keep_rate")).alias("keep"))
+        .collect()
+    )
+    dup_verdicts = {r["keep"] for r in out if r["doc_id"] < 5}
+    assert len(dup_verdicts) == 1

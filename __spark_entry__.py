@@ -1606,14 +1606,17 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_key_col,
     )
 
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
-    n_min = counts.agg(F.min("n_s").alias("m"))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
+    # global min over the already-aggregated per-source frame (one row
+    # per source): an unpartitioned window over a tiny input, instead of
+    # a 1-row crossJoin that plans as a nested-loop join
+    m = F.min("n_s").over(Window.partitionBy())
+    rates = counts.select(
         "source",
-        F.pow(F.col("m") / F.col("n_s"), 1.0 - _TEMP_SAMPLE_ALPHA).alias(
-            "keep_rate"
-        ),
+        F.pow(m / F.col("n_s"), 1.0 - _TEMP_SAMPLE_ALPHA).alias("keep_rate"),
     )
     start, width = SAMPLE_WINDOW
     u = F.conv(

@@ -1584,6 +1584,64 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialized(spark, out)
 
 
+def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the per-(source, lang) rollup a curation run
+    publishes alongside the cleaned corpus (the datasheet numbers) —
+    document and token mass, exact-duplicate rate, composite quality
+    keep-rate, trigram-LM NLL mean, and exact length percentiles.  Each
+    ingredient is an independently oracle-green query (exact_dup_clusters,
+    filter_decisions, lm_nll, doc_stats_by_lang); the card is one
+    composed scan + one groupBy, and the oracle recomposes every column
+    in SQL.  Percentiles are EXACT interpolated (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) — approx sketches would not oracle-diff.
+    """
+    from pyspark.sql import Window
+
+    from fuzzysearch_spark.functions.text import (
+        filter_decision_cols,
+        token_count_col,
+    )
+    from fuzzysearch_spark.operators.lm_score import lm_nll_scores
+
+    docs = _docs(spark, sf_dir)
+    with _scratch_frames() as scratch:
+        nll = lm_nll_scores(docs, scratch=scratch)
+        w = Window.partitionBy(F.md5("text"))
+        per_doc = (
+            docs.select(
+                "doc_id",
+                "source",
+                "lang",
+                "n_chars",
+                token_count_col(F.col("text")).alias("__n_tok"),
+                filter_decision_cols(F.col("text"))["keep"].alias("__keep"),
+                (F.min("doc_id").over(w) != F.col("doc_id")).alias("__is_dup"),
+            )
+            .join(nll.select(F.col("doc_id"), "nll"), "doc_id")
+        )
+        out = (
+            per_doc.groupBy("source", "lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("__n_tok").alias("total_tokens"),
+                F.round(F.avg(F.col("__is_dup").cast("double")), 4).alias(
+                    "exact_dup_rate"
+                ),
+                F.round(F.avg(F.col("__keep").cast("double")), 4).alias(
+                    "quality_keep_rate"
+                ),
+                F.round(F.avg("nll"), 4).alias("mean_nll"),
+                F.round(
+                    F.expr("percentile(n_chars, 0.5)"), 2
+                ).alias("p50_chars"),
+                F.round(
+                    F.expr("percentile(n_chars, 0.9)"), 2
+                ).alias("p90_chars"),
+            )
+        )
+        return _materialized(spark, out)
+
+
 _TEMP_SAMPLE_ALPHA = 0.5
 _TEMP_SAMPLE_SALT = "temp-sample-r4"
 
@@ -1961,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_nll": q_lm_nll,
         "ccnet_buckets": q_ccnet_buckets,
         "temperature_sample": q_temperature_sample,
+        "datacard": q_datacard,
         "repetition_scores": q_repetition_scores,
         "filter_decisions": q_filter_decisions,
         "split_assign": q_split_assign,
@@ -2737,6 +2796,52 @@ FROM grp
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, g
     ORDER BY dist, "end" - start DESC, start, "end") = 1
 """
+
+
+def _datacard_oracle_sql() -> str:
+    """Mirror of q_datacard: the filter-decision CTE body, the lm_nll
+    CTE chain, the md5 dup window, and the shared token-count convention
+    recomposed into one per-(source, lang) rollup.  ``quantile_cont`` is
+    DuckDB's exact interpolated percentile — the same definition as
+    Spark's ``percentile``."""
+    return f"""
+        WITH {_FILTER_DEC_BODY},
+        grams2 AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+          FROM documents, unnest(range(1, len(text) - 1)) AS r(i)
+        ),
+        counts2 AS (SELECT g, COUNT(*) AS n FROM grams2 GROUP BY g),
+        tot2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM grams2),
+        nllsc AS (
+          SELECT doc_id,
+                 ROUND(-SUM(ln(n / t.total)) / COUNT(*), 6) AS nll
+          FROM grams2 JOIN counts2 USING (g), tot2 t
+          GROUP BY doc_id
+        ),
+        perdoc AS (
+          SELECT d.doc_id, d.source, d.lang, d.n_chars,
+                 {_WS_TOKEN_COUNT_SQL} AS n_tok,
+                 (dec.reasons = '') AS keep,
+                 (MIN(d.doc_id) OVER (PARTITION BY md5(d.text))
+                    != d.doc_id) AS is_dup,
+                 s.nll
+          FROM documents d
+          JOIN dec USING (doc_id)
+          LEFT JOIN nllsc s USING (doc_id)
+        )
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               ROUND(AVG(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 4)
+                   AS exact_dup_rate,
+               ROUND(AVG(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4)
+                   AS quality_keep_rate,
+               ROUND(AVG(nll), 4) AS mean_nll,
+               ROUND(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+               ROUND(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+        FROM perdoc
+        GROUP BY source, lang
+    """
 
 
 def _ccnet_buckets_oracle_sql() -> str:
@@ -3553,4 +3658,5 @@ def _build_oracle_sql() -> dict[str, str]:
         "repo_fork_candidates": _fork_oracle_sql(),
         "ccnet_buckets": _ccnet_buckets_oracle_sql(),
         "temperature_sample": _temperature_sample_oracle_sql(),
+        "datacard": _datacard_oracle_sql(),
     }

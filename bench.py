@@ -140,6 +140,7 @@ def main():
         "lm_nll",
         "ccnet_buckets",
         "temperature_sample",
+        "datacard",
         "repetition_scores",
         "filter_decisions",
         "split_assign",

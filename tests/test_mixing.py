@@ -149,3 +149,36 @@ def test_temperature_sample_exact_dups_coassigned(spark):
     )
     dup_verdicts = {r["keep"] for r in out if r["doc_id"] < 5}
     assert len(dup_verdicts) == 1
+
+
+def test_datacard_composition(spark):
+    out = {
+        (r["source"], r["lang"]): r
+        for r in entry.q_datacard(spark, SF).collect()
+    }
+    docs = entry._docs(spark, SF)
+    from collections import Counter
+
+    groups = Counter(
+        (r["source"], r["lang"])
+        for r in docs.select("source", "lang").collect()
+    )
+    assert set(out) == set(groups)
+    for key, n in groups.items():
+        card = out[key]
+        assert card["n_docs"] == n
+        assert 0.0 <= card["exact_dup_rate"] <= 1.0
+        assert 0.0 <= card["quality_keep_rate"] <= 1.0
+        assert card["p50_chars"] <= card["p90_chars"]
+        assert card["total_tokens"] > 0
+    # dup mass ties out against the exact-dup clustering query
+    dups = sum(
+        1
+        for r in entry.q_exact_dup_clusters(spark, SF).collect()
+        if r["cluster_id"] != r["doc_id"]
+    )
+    card_dups = sum(
+        round(out[k]["exact_dup_rate"] * groups[k]) for k in groups
+    )
+    # per-group rounding to 4 decimals can shift each group by < 0.5 docs
+    assert abs(card_dups - dups) <= len(groups) / 2

@@ -258,6 +258,40 @@ def q_clone_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clone_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-3 clone detection — the full code-dedup recipe: normalize
+    content with the type-2 abstraction (comments/whitespace out,
+    identifiers/literals to placeholders, keywords kept), THEN run exact
+    12-gram Jaccard >= 0.7 over the normalized text via the
+    prefix-filtered join.  Renaming no longer hides an edited copy: a
+    near-dup that also renamed its identifiers shares almost no RAW
+    grams (raw Jaccard misses it) but almost all NORMALIZED grams.  The
+    corpus is the clone fixture, whose rename variants of generate()'s
+    planted edit near-dups create exactly those pairs.  At 100 TB this
+    composes two already-scale-shaped stages: a scan-only JVM regexp
+    normalize and the AllPairs/PPJoin exact rung.
+
+    Oracle: the same normalize chain (shared rule table) feeding the
+    same gram-Jaccard SQL over the fixture parquet."""
+    from fuzzysearch_spark.functions.clone_norm import normalize_code_col
+    from fuzzysearch_spark.operators.dedup_extra import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rows = _clone_fixture_rows()
+    docs = spark.createDataFrame(rows, schema="doc_id long, content string")
+    norm = docs.select(
+        "doc_id", normalize_code_col(F.col("content"), "type2").alias("text")
+    )
+    with _scratch_frames() as scratch:
+        return _materialized(
+            spark,
+            prefix_filtered_jaccard_pairs(
+                norm, n=12, min_jaccard=0.7, scratch=scratch
+            ),
+        )
+
+
 _FORK_FILES_PER_REPO = 8
 _FORK_EVERY = 3           # every 3rd base repo gets a planted fork
 _FORK_MAX_GID_DF = 40     # fingerprints shared by more repos are boilerplate
@@ -1978,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "clone_clusters": q_clone_clusters,
         "repo_fork_candidates": q_repo_fork_candidates,
+        "clone_near_dups": q_clone_near_dups,
         "curate": q_curate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "jaccard_join_prefix": q_jaccard_join_prefix,
@@ -2936,6 +2971,37 @@ def _clone_oracle_sql() -> str:
     """
 
 
+def _clone_near_dups_oracle_sql() -> str:
+    """Mirror of q_clone_near_dups: type-2 normalize chain (shared rule
+    table) -> exact 12-gram Jaccard >= 0.7, relational, over the clone
+    fixture parquet."""
+    from fuzzysearch_spark.functions.clone_norm import normalize_sql_expr
+
+    path = _clone_fixture_path()
+    f2 = normalize_sql_expr("content", "type2")
+    return f"""
+        WITH src AS (
+          SELECT doc_id, {f2} AS text FROM '{path}'
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS gram
+          FROM src, unnest(range(1, greatest(length(text) - 10, 2))) AS t(i)
+        ),
+        card AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ix
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               ROUND(ix * 1.0 / (ca.c + cb.c - ix), 4) AS jaccard
+        FROM inter
+        JOIN card ca ON ca.doc_id = a_id
+        JOIN card cb ON cb.doc_id = b_id
+        WHERE ROUND(ix * 1.0 / (ca.c + cb.c - ix), 4) >= 0.7
+    """
+
+
 def _fork_oracle_sql() -> str:
     """DuckDB mirror of q_repo_fork_candidates over the fork fixture:
     same normalize chain, same df cap, same min-cardinality similarity."""
@@ -3656,6 +3722,7 @@ def _build_oracle_sql() -> dict[str, str]:
         "frame_features": _media_oracle_sql("frames"),
         "clone_clusters": _clone_oracle_sql(),
         "repo_fork_candidates": _fork_oracle_sql(),
+        "clone_near_dups": _clone_near_dups_oracle_sql(),
         "ccnet_buckets": _ccnet_buckets_oracle_sql(),
         "temperature_sample": _temperature_sample_oracle_sql(),
         "datacard": _datacard_oracle_sql(),

@@ -112,6 +112,7 @@ def main():
     bench_queries = [
         "curate",
         "clone_clusters",
+        "clone_near_dups",
         "repo_fork_candidates",
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",

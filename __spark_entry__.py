@@ -37,6 +37,30 @@ def _tmpdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
 
 
+def _atomic_write_parquet(table, path: str) -> None:
+    """Publish an oracle-fixture parquet atomically.
+
+    The fixture paths are digest-keyed but live at FIXED names under
+    /tmp, and two processes (pytest and bench / check_oracle) can reach
+    the write branch concurrently — an in-place write would let one read
+    a partially written file.  Writing to a unique sibling and
+    ``os.replace``-ing it in makes the publish atomic (same filesystem);
+    the digest key makes last-writer-wins safe, since every writer
+    produces byte-equivalent content for a given path."""
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table at >= defaultParallelism partitions.
 
@@ -211,13 +235,12 @@ def _clone_fixture_path() -> str:
     import hashlib
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     rows = _clone_fixture_rows()
     digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
     path = f"/tmp/fsw_clone_oracle_{len(rows)}_{digest}.parquet"
     if _CLONE_FIXTURE_CACHE.get("path") != path or not os.path.exists(path):
-        pq.write_table(
+        _atomic_write_parquet(
             pa.table(
                 {
                     "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -294,8 +317,26 @@ def q_clone_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FORK_FILES_PER_REPO = 8
 _FORK_EVERY = 3           # every 3rd base repo gets a planted fork
-_FORK_MAX_GID_DF = 40     # fingerprints shared by more repos are boilerplate
+# Fingerprints shared by more repos than this are boilerplate and are
+# dropped before the pair join.  The fixture's organic (generator)
+# fingerprint document frequencies top out at 16 repos, and the planted
+# boilerplate file below lands in ALL repos — so this cap provably drops
+# the boilerplate while leaving every organic fingerprint alone, and the
+# ground-truth test pins the counterfactual (cap lifted -> pair list
+# floods) in both engines.
+_FORK_MAX_GID_DF = 30
 _FORK_MIN_SIM = 0.5
+# One byte-identical "license stub" planted into EVERY repo (base and
+# fork): real code, not just comments (comments normalize away), with a
+# 5-element list literal shape the generator never emits — so its type-2
+# fingerprint is its own, shared by all 38 repos, df > _FORK_MAX_GID_DF.
+_FORK_BOILERPLATE = (
+    "# SPDX-License-Identifier: Apache-2.0\n"
+    'LICENSE = "Apache-2.0"\n'
+    "COPYRIGHT_YEARS = [2019, 2020, 2021, 2022, 2023]\n"
+    "def license_text():\n"
+    '    return LICENSE + " " + str(COPYRIGHT_YEARS)\n'
+)
 _FORK_FIXTURE_CACHE: dict[str, str] = {}
 
 
@@ -330,6 +371,11 @@ def _fork_fixture_rows() -> list[tuple[int, str, str]]:
                 content = rename_variant(content, rng, KEYWORDS)
             rows.append((next_id, f"repo{r}_fork", content))
             next_id += 1
+    # the boilerplate stub goes into every repo LAST, so all pre-existing
+    # doc_ids are stable across this plant
+    for repo in sorted({row[1] for row in rows}):
+        rows.append((next_id, repo, _FORK_BOILERPLATE))
+        next_id += 1
     return rows
 
 
@@ -338,13 +384,12 @@ def _fork_fixture_path() -> str:
     import hashlib
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     rows = _fork_fixture_rows()
     digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
     path = f"/tmp/fsw_fork_oracle_{len(rows)}_{digest}.parquet"
     if _FORK_FIXTURE_CACHE.get("path") != path or not os.path.exists(path):
-        pq.write_table(
+        _atomic_write_parquet(
             pa.table(
                 {
                     "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -1687,43 +1732,56 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_min / n_s)^(1 - alpha) — the smallest source keeps everything,
     dominant sources shed mass, and the expected sampled distribution
     follows the tempered one.  The keep decision is the engine's
-    deterministic content-keyed coin (functions/splits.py: sha256 hex
-    window as a uniform in [0,1)), so re-crawled exact duplicates get the
-    SAME verdict and the sample is reproducible without any stored state.
-    Fully distributed: one tiny per-source aggregate joined back
+    deterministic content-keyed coin, expressed in the splits.py
+    lexicographic hex convention end to end: the per-source rate is
+    rendered as a fixed-width hex threshold string (hex_threshold_col)
+    and compared against the SAMPLE_WINDOW substring of the sha256 key —
+    no hex-to-integer conversion of the key in either engine.  With
+    alpha = 0.5 the exponent is exactly 1/2, so the rate itself is
+    sqrt(n_min / n_s): division and sqrt are IEEE-754 correctly-rounded
+    in both the JVM and DuckDB, making the rate (and hence the
+    threshold string) bit-identical across engines — unlike pow, whose
+    last ulp is libm-dependent.  Re-crawled exact duplicates get the
+    SAME verdict and the sample is reproducible without any stored
+    state.  Fully distributed: one tiny per-source aggregate joined back
     (broadcast-sized by construction: one row per source), no collect, no
     window over the corpus."""
     from fuzzysearch_spark.functions.splits import (
         SAMPLE_WINDOW,
+        hex_threshold_col,
         split_key_col,
     )
 
     from pyspark.sql import Window
 
+    # the sqrt form below IS the tempered rate only at alpha = 0.5; a new
+    # alpha needs a correctly-rounded rendering of its own (see
+    # hex_threshold_col's contract) — fail loudly rather than drift
+    assert _TEMP_SAMPLE_ALPHA == 0.5, "rate derivation assumes exponent 1/2"
     docs = _docs(spark, sf_dir)
     counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
     # global min over the already-aggregated per-source frame (one row
     # per source): an unpartitioned window over a tiny input, instead of
     # a 1-row crossJoin that plans as a nested-loop join
     m = F.min("n_s").over(Window.partitionBy())
+    start, width = SAMPLE_WINDOW
+    rate = F.sqrt(m / F.col("n_s"))
     rates = counts.select(
         "source",
-        F.pow(m / F.col("n_s"), 1.0 - _TEMP_SAMPLE_ALPHA).alias("keep_rate"),
+        F.round(rate, 6).alias("keep_rate"),
+        hex_threshold_col(rate, width).alias("__thr"),
     )
-    start, width = SAMPLE_WINDOW
-    u = F.conv(
-        F.substring(split_key_col(F.col("text"), _TEMP_SAMPLE_SALT), start, width),
-        16,
-        10,
-    ).cast("double") / float(16**width)
+    key = F.substring(
+        split_key_col(F.col("text"), _TEMP_SAMPLE_SALT), start, width
+    )
     return (
-        docs.select("doc_id", "source", u.alias("__u"))
+        docs.select("doc_id", "source", key.alias("__k"))
         .join(F.broadcast(rates), "source")
         .select(
             "doc_id",
             "source",
-            F.round("keep_rate", 6).alias("keep_rate"),
-            (F.col("__u") < F.col("keep_rate")).alias("keep"),
+            "keep_rate",
+            (F.col("__k") < F.col("__thr")).alias("keep"),
         )
     )
 
@@ -2585,7 +2643,6 @@ def _grams_fixture_path(docs: list[tuple[int, bytes]]) -> str:
 
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from fuzzysearch_spark.operators.substring import _positional_gram_hashes
 
@@ -2608,7 +2665,7 @@ def _grams_fixture_path(docs: list[tuple[int, bytes]]) -> str:
             ids.append(np.full(len(g), doc_id, dtype=np.int64))
             poss.append(np.arange(len(g), dtype=np.int64))
             grams.append(g)
-        pq.write_table(
+        _atomic_write_parquet(
             pa.table(
                 {
                     "doc_id": pa.array(np.concatenate(ids), pa.int64()),
@@ -2918,12 +2975,17 @@ def _ccnet_buckets_oracle_sql() -> str:
 
 def _temperature_sample_oracle_sql() -> str:
     """Mirror of q_temperature_sample: per-source tempered keep rates
-    recomputed relationally, the deterministic coin re-derived from
-    sha256 in SQL (hex window -> uniform via UBIGINT cast)."""
+    recomputed relationally as sqrt(n_min / n_s) (correctly-rounded in
+    both engines at alpha = 0.5 — no pow), rendered as the same
+    fixed-width lowercase hex threshold string as hex_threshold_col, and
+    compared LEXICOGRAPHICALLY against the raw SAMPLE_WINDOW hex
+    substring — the splits.py convention; no hex-to-integer conversion
+    anywhere."""
     from fuzzysearch_spark.functions.splits import SAMPLE_WINDOW
 
+    assert _TEMP_SAMPLE_ALPHA == 0.5, "rate derivation assumes exponent 1/2"
     start, width = SAMPLE_WINDOW
-    denom = float(16**width)
+    scale = float(16**width)
     return f"""
         WITH counts AS (
           SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
@@ -2931,19 +2993,24 @@ def _temperature_sample_oracle_sql() -> str:
         m AS (SELECT MIN(n_s) AS n_min FROM counts),
         rates AS (
           SELECT source,
-                 POWER(n_min * 1.0 / n_s, {1.0 - _TEMP_SAMPLE_ALPHA}) AS kr
+                 sqrt(n_min * 1.0 / n_s) AS kr,
+                 CASE WHEN sqrt(n_min * 1.0 / n_s) >= 1.0
+                      THEN '{"g" * width}'
+                      ELSE lpad(lower(to_hex(CAST(round(
+                             sqrt(n_min * 1.0 / n_s) * {scale})
+                           AS UBIGINT))), {width}, '0')
+                 END AS thr
           FROM counts, m
         ),
         keys AS (
           SELECT doc_id, source,
-                 CAST(('0x' || substr(
-                   sha256(text || '{_TEMP_SAMPLE_SALT}'),
-                   {start}, {width})) AS UBIGINT) / {denom} AS u
+                 substr(sha256(text || '{_TEMP_SAMPLE_SALT}'),
+                        {start}, {width}) AS k
           FROM documents
         )
         SELECT k.doc_id, k.source,
                ROUND(r.kr, 6) AS keep_rate,
-               k.u < r.kr AS keep
+               k.k < r.thr AS keep
         FROM keys k JOIN rates r USING (source)
     """
 
@@ -3053,7 +3120,6 @@ def _media_oracle_sql(kind: str) -> str:
     import hashlib
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from fuzzysearch_spark.multimodal import synthetic_media_rows
 
@@ -3070,7 +3136,7 @@ def _media_oracle_sql(kind: str) -> str:
         digest.update(bytes(r[5]))
     path = f"/tmp/fsw_media_oracle_{n}_{seed}_{digest.hexdigest()[:12]}.parquet"
     if not os.path.exists(path):
-        pq.write_table(
+        _atomic_write_parquet(
             pa.table(
                 {
                     "media_id": pa.array([r[0] for r in rows], pa.int64()),

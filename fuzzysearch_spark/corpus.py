@@ -264,12 +264,31 @@ def rename_variant(content: str, rng: random.Random, keywords: tuple[str, ...]) 
 
     renamed = _re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\b", _ren, content)
     shift = rng.randint(1, 8)
-    renumbered = _re.sub(
-        r"\b[0-9]+\b",
-        lambda m: str((int(m.group(0)) + shift) % (10 ** len(m.group(0)))),
-        renamed,
-    )
-    return renumbered
+
+    # String-literal spans, matched with the SAME patterns and order as
+    # clone_norm's _STRING_RULES (dq first, then sq over the remainder;
+    # matched regions masked with same-length filler so coordinates stay
+    # aligned).  A digit run touching a literal's boundary (e.g. x=1"s")
+    # is NOT abstracted by the number rule after string abstraction —
+    # "s" -> 0S0 glues a word char onto the digits, so the rule's \b
+    # fails and the raw digits stay in the type-2 fingerprint.  Rewriting
+    # such digits would therefore break the planted base/variant
+    # fingerprint equality; leave them byte-identical instead.
+    starts: set[int] = set()
+    ends: set[int] = set()
+    masked = renamed
+    for pat in (r'"(\\.|[^"\\\n])*"', r"'(\\.|[^'\\\n])*'"):
+        for m in _re.finditer(pat, masked):
+            starts.add(m.start())
+            ends.add(m.end())
+        masked = _re.sub(pat, lambda m: "\x00" * len(m.group(0)), masked)
+
+    def _renum(m: "_re.Match[str]") -> str:
+        if m.end() in starts or m.start() in ends:
+            return m.group(0)
+        return str((int(m.group(0)) + shift) % (10 ** len(m.group(0))))
+
+    return _re.sub(r"\b[0-9]+\b", _renum, renamed)
 
 
 def plant_clone_variants(

@@ -60,6 +60,30 @@ def hex_threshold(frac: float, width: int = 8) -> str:
     return format(int(round(frac * (16**width))), f"0{width}x")
 
 
+def hex_threshold_col(rate_col: Column, width: int = 8) -> Column:
+    """Column form of :func:`hex_threshold` for RUNTIME-computed rates.
+
+    Renders ``round(rate * 16**width)`` as a fixed-width lowercase hex
+    string (the ``>= 1`` case collapsing to the all-``'g'`` sentinel), so
+    a data-dependent keep rate — e.g. a per-source tempered sampling rate
+    — can drive the same lexicographic hex-window comparison as the
+    static thresholds, with no hex-to-integer conversion of the key in
+    either engine. The only cross-engine numeric step is
+    ``round(rate * 2**(4*width))`` on a double; callers must derive
+    ``rate_col`` from correctly-rounded operations only (``/``, ``sqrt``
+    — NOT ``pow``, which IEEE 754 does not require to be correctly
+    rounded and which may differ between the JVM and C++ libm in the
+    last ulp). The DuckDB mirror is
+    ``CASE WHEN r >= 1.0 THEN 'gg…' ELSE
+    lpad(lower(to_hex(CAST(round(r * 16^width) AS UBIGINT))), width, '0')
+    END``.
+    """
+    scaled = F.round(rate_col * float(16**width)).cast("bigint")
+    return F.when(rate_col >= 1.0, F.lit("g" * width)).otherwise(
+        F.lpad(F.lower(F.hex(scaled)), width, "0")
+    )
+
+
 def split_key_col(content_col: Column, salt: str = "") -> Column:
     """64-hex-char sha256 decision key over content (+ optional salt).
 

@@ -146,6 +146,33 @@ def test_rename_variant_is_type2_only_clone():
     assert n_t1_breaks >= 10
 
 
+def test_rename_variant_digit_adjacent_to_string_literal():
+    # A digit glued to a string literal (x=1"s") is NOT abstracted by the
+    # type-2 number rule: string abstraction ("s" -> 0S0) puts a word
+    # char right after the digits, so the rule's trailing \b fails and
+    # the raw digits stay in the fingerprint.  rename_variant must
+    # therefore leave such digits byte-identical or the planted
+    # base/variant truth silently corrupts (ADVICE r4 #2).
+    base = (
+        "def f(a):\n"
+        "    x = 1\"s\"\n"        # digit | dq-literal
+        "    y = 'tag'2 + 3\n"    # sq-literal | digit; free digit 3
+        "    z = \"n 42 m\" + 7\n"  # digit inside a literal; free digit 7
+        "    return x\n"
+    )
+    for seed in range(5):
+        v = rename_variant(base, random.Random(seed), KEYWORDS)
+        assert _t2(v) == _t2(base), f"seed {seed}: type-2 fingerprint drifted"
+        # the quote-adjacent digits must be untouched...
+        assert '1"' in v and "'" in v and v.count("'") == 2
+        assert _t2(v).count("1") >= 1  # the leaked raw digit is in both
+    # ...while free digits still get rewritten for at least some seeds
+    assert any(
+        " + 3\n" not in rename_variant(base, random.Random(s), KEYWORDS)
+        for s in range(5)
+    )
+
+
 def test_structurally_different_files_do_not_collide():
     # type-2 abstraction is deliberately coarse on same-shaped code (the
     # planted corpus's generated functions are structurally identical, so
@@ -253,6 +280,32 @@ def test_repo_fork_candidates_ground_truth(spark):
     for pair in planted:
         assert pair in got, pair
         assert got[pair][1] >= 0.9, (pair, got[pair])
+
+    # the boilerplate df-cap must actually bite (ADVICE r4 #3): the
+    # planted license stub is in every repo, so lifting the cap must
+    # flood the candidate list — in the oracle AND in the engine
+    n_all_repos = len({r[1] for r in entry._fork_fixture_rows()})
+    assert entry._FORK_MAX_GID_DF < n_all_repos
+    uncapped_sql = entry._fork_oracle_sql().replace(
+        f"<= {entry._FORK_MAX_GID_DF}", f"<= {n_all_repos}"
+    )
+    assert uncapped_sql != entry._fork_oracle_sql()
+    uncapped_want = {
+        (a, b): (int(n), float(s))
+        for a, b, n, s in duckdb.connect().execute(uncapped_sql).fetchall()
+    }
+    assert uncapped_want != want
+    assert len(uncapped_want) > len(want)
+    old_cap = entry._FORK_MAX_GID_DF
+    try:
+        entry._FORK_MAX_GID_DF = n_all_repos
+        uncapped_got = {
+            (r["repo_a"], r["repo_b"]): (r["n_shared"], r["sim"])
+            for r in entry.q_repo_fork_candidates(spark, "").collect()
+        }
+    finally:
+        entry._FORK_MAX_GID_DF = old_cap
+    assert uncapped_got == uncapped_want
 
 
 def _fuzz_strings(n: int, seed: int) -> list[str]:

@@ -1671,8 +1671,13 @@ def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingredient is an independently oracle-green query (exact_dup_clusters,
     filter_decisions, lm_nll, doc_stats_by_lang); the card is one
     composed scan + one groupBy, and the oracle recomposes every column
-    in SQL.  Percentiles are EXACT interpolated (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``) — approx sketches would not oracle-diff.
+    in SQL.  Percentiles are EXACT interpolated (== DuckDB
+    ``quantile_cont``) but computed the scale-safe way: the
+    length-HISTOGRAM route (operators/stats.py), whose aggregation
+    buffers hold counters bounded by the distinct-length domain — never
+    the built-in ``percentile`` TypedImperativeAggregate, which buffers
+    every group member and OOMs an executor when a handful of
+    (source, lang) groups span a 100 TB corpus.
     """
     from pyspark.sql import Window
 
@@ -1681,6 +1686,7 @@ def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_col,
     )
     from fuzzysearch_spark.operators.lm_score import lm_nll_scores
+    from fuzzysearch_spark.operators.stats import histogram_percentiles
 
     docs = _docs(spark, sf_dir)
     with _scratch_frames() as scratch:
@@ -1698,6 +1704,12 @@ def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(nll.select(F.col("doc_id"), "nll"), "doc_id")
         )
+        pct = histogram_percentiles(
+            docs.select("source", "lang", "n_chars"),
+            ["source", "lang"],
+            "n_chars",
+            {"__p50": 0.5, "__p90": 0.9},
+        )
         out = (
             per_doc.groupBy("source", "lang")
             .agg(
@@ -1710,12 +1722,20 @@ def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "quality_keep_rate"
                 ),
                 F.round(F.avg("nll"), 4).alias("mean_nll"),
-                F.round(
-                    F.expr("percentile(n_chars, 0.5)"), 2
-                ).alias("p50_chars"),
-                F.round(
-                    F.expr("percentile(n_chars, 0.9)"), 2
-                ).alias("p90_chars"),
+            )
+            # one row per (source, lang) on both sides — a broadcast-sized
+            # join, never a per-row fan-out
+            .join(F.broadcast(pct), ["source", "lang"])
+            .select(
+                "source",
+                "lang",
+                "n_docs",
+                "total_tokens",
+                "exact_dup_rate",
+                "quality_keep_rate",
+                "mean_nll",
+                F.round("__p50", 2).alias("p50_chars"),
+                F.round("__p90", 2).alias("p90_chars"),
             )
         )
         return _materialized(spark, out)

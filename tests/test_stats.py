@@ -1,0 +1,74 @@
+"""histogram_percentiles must be bit-equal to Spark's exact
+``percentile`` aggregate while never planning the per-group
+value-buffering TypedImperativeAggregate (the datacard 100 TB hazard,
+VERDICT r4 "What's wrong #2")."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.operators.stats import histogram_percentiles
+
+
+def _both(df, keys, value, ps):
+    got = {
+        tuple(r[: len(keys)]): tuple(r[len(keys):])
+        for r in histogram_percentiles(df, keys, value, ps).collect()
+    }
+    want_aggs = [
+        F.expr(f"percentile({value}, {p})").alias(name)
+        for name, p in ps.items()
+    ]
+    want = {
+        tuple(r[: len(keys)]): tuple(r[len(keys):])
+        for r in df.groupBy(*keys).agg(*want_aggs).collect()
+    }
+    return got, want
+
+
+def test_matches_builtin_exact_percentile(spark):
+    rng = random.Random(11)
+    rows = [
+        (rng.choice("abcd"), rng.choice("xyz"), rng.randint(0, 80))
+        for _ in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, n int")
+    got, want = _both(
+        df,
+        ["source", "lang"],
+        "n",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    assert got == want
+
+
+def test_edge_groups_and_extreme_fractions(spark):
+    rows = (
+        [("solo", 7)]                      # single-member group
+        + [("duo", 1), ("duo", 4)]         # interpolation across 2 values
+        + [("tie", 5)] * 9                 # all-equal group
+        + [("two", v) for v in (3, 3, 3, 9)]  # skewed histogram
+    )
+    df = spark.createDataFrame(rows, "g string, n int")
+    got, want = _both(
+        df, ["g"], "n", {"p0": 0.0, "p50": 0.5, "p100": 1.0, "p33": 1 / 3}
+    )
+    assert got == want
+
+
+def test_plan_never_buffers_group_values(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, n int")
+    plan = (
+        histogram_percentiles(df, ["g"], "n", {"p50": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile" not in plan.lower()
+
+
+def test_rejects_out_of_range_fraction(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, n int")
+    with pytest.raises(ValueError, match="outside"):
+        histogram_percentiles(df, ["g"], "n", {"bad": 1.5})

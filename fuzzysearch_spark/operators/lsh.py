@@ -32,18 +32,21 @@ band table plus a light pair-key dedup shuffle:
     sane geometry such a bucket means near-identical content that
     exact-dedup should have removed, and its pair set would be quadratic
     in a way no partitioning can amortize. Nothing is dropped silently.
-  Memory posture: a bucket's member list materializes once, in a single
-  aggregation buffer (Spark's sort-based fallback spills BETWEEN groups,
-  not within one), at 8 bytes per member — so an excluded mega-bucket
-  costs one straggler task holding size(bucket)*8 B of heap (10^8 members
-  ~= 800 MB), linear in its shuffle-read and never a quadratic expansion.
-  That is a practical bound, not a hard no-OOM guarantee: a bucket orders
-  of magnitude past ``salt_cap`` can still pressure an executor, and the
-  defense in depth is upstream exact dedup collapsing the identical-content
-  mass that creates such buckets (PySpark cannot cap a collect_list inside
-  the aggregation buffer; capping would need a custom TypedImperativeAggregate
-  or a pre-pass, and the pre-pass is the two-traversal design this operator
-  exists to avoid);
+  Memory posture — a HARD bound, not a practical one: tier decisions come
+  from a counter-only size aggregation (bounded buffers by construction),
+  and the member-list ``collect_list`` runs only AFTER a broadcast
+  anti-join has removed every over-``salt_cap`` bucket's rows — so the
+  largest possible aggregation buffer is ``salt_cap`` ids (8 B each;
+  400 KB at the defaults) no matter how large an excluded bucket grows,
+  and a 10^8-member mega-bucket's ids are never materialized ANYWHERE:
+  its rows die at the anti-join probe, and only its (bk, size) counter
+  row survives into the skew report. On the pinned path both
+  aggregations and the anti-join sit above the SAME explicit
+  ``repartition(bk)`` exchange (broadcast joins preserve partitioning),
+  so the band table still crosses the wire exactly once; the extra cost
+  is one counter-aggregation read of the shuffled rows, which is what
+  buys the bound without the two-traversal pre-pass this operator was
+  redesigned to avoid;
 * bucket keys are xxhash64(band_idx, band_key): 8 shuffled bytes per band
   row instead of 12, at the cost that a 64-bit collision MERGES two
   buckets. A merge can only add candidate pairs (verify rejects them) or
@@ -173,17 +176,32 @@ def lsh_pairs_from_keys(
         n_parts = 4 * kv.sparkSession.sparkContext.defaultParallelism
         kv = kv.repartition(n_parts, "bk")
 
-    # ONE aggregation gathers each bucket's member list AND its exact size;
-    # every tier decision below reads this. It has three consumers (normal
-    # expansion, salted slice, skew report), and the collect_list agg over
-    # the full band table is the stage's dominant compute (measured ~7 s at
-    # 16 cores on 10^6 files — re-running it per consumer doubled the
-    # stage), so under caller-owned ``scratch`` the agg output persists
-    # once (MEMORY_AND_DISK: at corpus scale it spills rather than OOMs,
-    # one materialization instead of N agg re-runs). Without scratch the
-    # consumers re-traverse; ReuseExchange still dedupes the shuffle write.
+    # Exact bucket sizes from a COUNTER-only aggregation: bounded buffers
+    # by construction, and on the pinned path it reads the same exchange
+    # the member-list aggregation below reuses. This is what de-fangs the
+    # mega-bucket: the over-salt_cap bucket keys (a handful of rows by
+    # design — anything more means upstream exact dedup was skipped) are
+    # broadcast anti-joined out of the band table BEFORE any collect, so
+    # no list buffer can ever exceed salt_cap ids and an excluded
+    # bucket's ids are never materialized at all.
+    sizes = kv.groupBy("bk").agg(F.count("*").alias("bucket_size"))
+    excluded_bks = (
+        sizes.where(F.col("bucket_size") > salt_cap).select("bk")
+    )
+    kv_ok = kv.join(F.broadcast(excluded_bks), "bk", "left_anti")
+
+    # ONE aggregation gathers each surviving bucket's member list AND its
+    # exact size; the normal/salted tier decisions below read this. It
+    # has two consumers (normal expansion, salted slice), and the
+    # collect_list agg over the full band table is the stage's dominant
+    # compute (measured ~7 s at 16 cores on 10^6 files — re-running it
+    # per consumer doubled the stage), so under caller-owned ``scratch``
+    # the agg output persists once (MEMORY_AND_DISK: at corpus scale it
+    # spills rather than OOMs, one materialization instead of N agg
+    # re-runs). Without scratch the consumers re-traverse; ReuseExchange
+    # still dedupes the shuffle write.
     grouped = (
-        kv.groupBy("bk")
+        kv_ok.groupBy("bk")
         .agg(F.collect_list("doc_id").alias("ids"))
         .where(F.size("ids") > 1)
     )
@@ -226,14 +244,9 @@ def lsh_pairs_from_keys(
     oversized_src = grouped.where(F.size("ids") > max_bucket)
     if scratch is not None:
         oversized_src = oversized_src.coalesce(max(2, n_block_parts // 8))
-    oversized = oversized_src.withColumn(
-        "bucket_size", F.size("ids")
-    ).withColumn(
-        "action",
-        F.when(F.col("bucket_size") > salt_cap, F.lit("excluded")).otherwise(
-            F.lit("salted")
-        ),
-    )
+    # everything surviving the anti-join is <= salt_cap: salted by
+    # definition (the excluded tier exists only in the size table now)
+    oversized = oversized_src.withColumn("bucket_size", F.size("ids"))
 
     # SALTED tier (max_bucket < size <= salt_cap, rare): the bucket's member
     # list is cut into ceil(size/max_bucket) slices and every (slice_i,
@@ -249,7 +262,7 @@ def lsh_pairs_from_keys(
     # (event logs showed the join formulation's empty exchange/sort stages
     # costing 3-10 s of pure scheduling per run).
     blocks = (
-        oversized.where(F.col("action") == F.lit("salted"))
+        oversized
         .select(
             F.explode(
                 F.expr(
@@ -299,5 +312,13 @@ def lsh_pairs_from_keys(
     )
 
     pairs = pairs_normal.unionByName(pairs_salted).distinct()
-    report = oversized.select("bk", "bucket_size", "action")
+    # the report reads the counter aggregation, so an excluded bucket
+    # costs one (bk, size) row — its member list exists nowhere
+    report = sizes.where(F.col("bucket_size") > max_bucket).select(
+        "bk",
+        "bucket_size",
+        F.when(F.col("bucket_size") > salt_cap, F.lit("excluded"))
+        .otherwise(F.lit("salted"))
+        .alias("action"),
+    )
     return pairs, report

@@ -108,8 +108,12 @@ def main():
     pipeline_wall, n_files = bench_pipeline(spark)
     timings["dedup_pipeline"] = round(pipeline_wall, 3)
 
-    qs = entrymod.queries()
+    # bench covers the full surface: driver-checked queries() plus the
+    # retired-but-still-verified extra_queries() demos
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
     bench_queries = [
+        "bpe_real_token_counts",
         "curate",
         "clone_clusters",
         "clone_near_dups",
@@ -160,6 +164,14 @@ def main():
         _evaluate(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
+    # Draw key (untimed): bench totals are draw-sensitive through the
+    # quadratic ground-truth rungs (59 -> 117-136 -> 131-248 s across the
+    # three r2-r4 sf0.1 draws for DRAW reasons, not engine reasons), so
+    # every record carries the corpus digest + planted-truth mass and
+    # per-query deltas are only ever printed against same-digest history.
+    docs_md5 = _file_md5(os.path.join(SF_DIR, "documents.parquet"))[:12]
+    n_truth_pairs = qs["jaccard_join_prefix"](spark, SF_DIR).count()
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "dedup_bench_total",
@@ -170,9 +182,55 @@ def main():
         "cpus": CPUS,
         "files_per_sec": round(n_files / pipeline_wall, 2),
         "n_files": n_files,
+        "docs_md5": docs_md5,
+        "n_truth_pairs": n_truth_pairs,
     }
+    baseline = _same_draw_baseline(docs_md5)
+    if baseline is not None:
+        fname, prev = baseline
+        result["deltas_vs"] = fname
+        result["query_deltas"] = {
+            k: round(timings[k] - prev[k], 3)
+            for k in timings
+            if k in prev
+        }
     spark.stop()
     print(json.dumps(result))
+
+
+def _file_md5(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _same_draw_baseline(docs_md5: str):
+    """Latest recorded BENCH_r*.json with the SAME corpus digest, if any
+    — cross-draw comparisons are meaningless (see draw-key note above)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if rec.get("docs_md5") != docs_md5:
+            continue
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+        rank = int(m.group(1)) if m else -1
+        if best is None or rank > best[0]:
+            best = (rank, os.path.basename(path), rec.get("queries", {}))
+    if best is None:
+        return None
+    return best[1], best[2]
 
 
 if __name__ == "__main__":

@@ -1,0 +1,186 @@
+"""Real BPE tokenization: corpus-trained merge table, JVM-side apply.
+
+``bpe_token_count_col`` (functions/text.py) counts GPT-2-style
+PRETOKENIZER pieces — a useful budget proxy, but real token budgets are
+denominated in merged-vocabulary BPE tokens.  This module closes that
+gap the same way IVF closes its quantizer gap (operators/ivf.py): a
+deterministic trainer over a seeded, hash-ordered, bounded corpus sample
+runs DRIVER-side (constant cost regardless of corpus size), and the
+learned merge table is applied DISTRIBUTED as a pure JVM expression
+chain — no Python in the row path, no shuffle, scan-only.
+
+Apply trick — merges as delimiter-aware string replaces
+--------------------------------------------------------
+Each pretokenizer piece is rendered with every symbol OWNING both of
+its fences: ``abc`` -> ``|a||b||c|`` (``|`` standing in for the actual
+fence char, U+0001).  A learned merge ``(a, b) -> ab`` is then EXACTLY
+the literal replacement ``|a||b|`` -> ``|ab|``:
+
+* fences guarantee whole-symbol matches — the pattern's leading fence
+  can only align on a real fence, and a closing fence is always
+  followed by another fence or a boundary, never by symbol text, so a
+  pattern can neither start mid-symbol nor straddle one;
+* each symbol owning BOTH its fences means adjacent occurrences of the
+  same pair share no characters, so left-to-right non-overlapping
+  ``replace`` (Spark/Java, DuckDB, Python all agree) reproduces BPE's
+  all-occurrence merge pass exactly: ``|b||ca||b||ca|`` --(b,ca)-->
+  ``|bca||bca|`` (a SINGLE shared fence, the first cut of this design,
+  provably under-merges exactly there — see test_bpe.py's fuzz case);
+* applying the merges once each, in learned-rank order, is equivalent
+  to the canonical lowest-rank-first loop: a merge of rank r builds its
+  components from ranks < r, so no earlier rule can ever apply to a
+  later rule's output (pinned by tests/test_bpe.py against a canonical
+  reference encoder).
+
+Pieces are joined by a DISTINCT piece separator (U+0002), which no
+``|a||b|`` pattern can cross.  The token count is then simply
+``(#fences) / 2``.  Input U+0001/U+0002 bytes are remapped to a space
+before tokenization (both engines, documented lossy fallback — the
+counting convention, not the content, is what ships).
+
+Scale shape: training cost is bounded by ``sample_docs``; apply is one
+codegen'd/interpreted JVM projection per row, O(n_merges × len) with no
+exchange, and the merge table travels in the query plan itself (a few KB
+of literals — the same inlined-literal pattern the IVF oracle uses).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.text import BPE_ISH_PATTERN
+
+# U+0001 fences every symbol (both sides); U+0002 separates pieces.
+# Neither appears in tokenized input by construction (remapped to ' ')
+SEP = "\x01"
+PIECE_SEP = "\x02"
+
+BPE_N_MERGES = 120
+BPE_SAMPLE_DOCS = 300
+
+
+def _escape(text: str) -> str:
+    return text.replace(SEP, " ").replace(PIECE_SEP, " ")
+
+
+def pretokenize(text: str) -> list[str]:
+    """Python mirror of the engine's pretokenizer (shared pattern)."""
+    return re.findall(BPE_ISH_PATTERN, _escape(text))
+
+
+def train_bpe_merges(
+    texts: list[str], n_merges: int = BPE_N_MERGES
+) -> list[tuple[str, str]]:
+    """Classic frequency-weighted BPE merge learning, fully deterministic.
+
+    Pair counts are piece-frequency weighted; the argmax tie-break is
+    (count DESC, pair ASC) so any two runs — and any two engines calling
+    this same function — learn the identical ordered merge list.  Stops
+    early when no pair repeats (count < 2).
+    """
+    piece_freq = Counter()
+    for t in texts:
+        piece_freq.update(pretokenize(t))
+    # vocabulary as symbol tuples; merges operate on these
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(p): f for p, f in piece_freq.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += f
+        if not pairs:
+            break
+        best, best_n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_n < 2:
+            break
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def encode_py(piece: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Canonical BPE encoder (lowest-rank-applicable-first loop) — the
+    REFERENCE the sequential-replace apply is tested against."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    sym = list(piece)
+    while len(sym) > 1:
+        best_i, best_rank = -1, len(ranks)
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]), len(ranks))
+            if r < best_rank:
+                best_i, best_rank = i, r
+        if best_i < 0 or best_rank >= len(ranks):
+            break
+        a, b = sym[best_i], sym[best_i + 1]
+        # merge ALL occurrences of this pair, left to right
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def token_count_py(text: str, merges: list[tuple[str, str]]) -> int:
+    """Pure-Python token count via the canonical encoder (test oracle)."""
+    return sum(len(encode_py(p, merges)) for p in pretokenize(text))
+
+
+def _fenced_pieces_col(text: Column) -> Column:
+    """text -> ``|a||b||c|`` pieces joined by the piece separator."""
+    esc = F.replace(
+        F.replace(text, F.lit(SEP), F.lit(" ")),
+        F.lit(PIECE_SEP),
+        F.lit(" "),
+    )
+    pieces = F.regexp_extract_all(esc, F.lit(BPE_ISH_PATTERN), 0)
+    fenced = F.transform(
+        pieces,
+        # every char -> |c| ((?s): ws pieces contain newlines); Java
+        # replacement syntax uses $1
+        lambda p: F.regexp_replace(p, "(?s)(.)", SEP + "$1" + SEP),
+    )
+    return F.array_join(fenced, PIECE_SEP)
+
+
+def bpe_real_token_count_col(
+    text: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Merged-vocabulary BPE token count as one JVM expression chain."""
+    s = _fenced_pieces_col(text)
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(SEP + a + SEP + SEP + b + SEP),
+            F.lit(SEP + a + b + SEP),
+        )
+    n_fences = F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))
+    return (n_fences / 2).cast("long")

@@ -65,8 +65,13 @@ def main():
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # the local gate is STRICTER than the driver's 50-row record: the
+    # retired extra_queries() demos are checked here too
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if hasattr(entrymod, "extra_queries"):
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
     only = set(sys.argv[1:])
     failures = []
     for name, fn in qs.items():

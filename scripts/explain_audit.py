@@ -57,7 +57,9 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    if hasattr(entrymod, "extra_queries"):
+        qs.update(entrymod.extra_queries())
     names = sys.argv[1:] or list(qs)
     bad = 0
     for name in names:

@@ -1,0 +1,119 @@
+"""Real-BPE tokenization: trainer determinism, canonical-encoder
+equivalence of the fenced-replace apply chain (Spark AND the pure-Python
+left-to-right mirror), and engine/oracle training-sample equality."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzysearch_spark.functions.bpe import (
+    BPE_SAMPLE_DOCS,
+    SEP,
+    bpe_real_token_count_col,
+    encode_py,
+    pretokenize,
+    token_count_py,
+    train_bpe_merges,
+)
+
+
+def _sample_texts(sf_dir: str) -> list[str]:
+    return [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            f"LIMIT {BPE_SAMPLE_DOCS}"
+        ).fetchall()
+    ]
+
+
+def test_trainer_is_deterministic():
+    texts = _sample_texts("/root/testdata/sf0.001")
+    a = train_bpe_merges(texts, 60)
+    b = train_bpe_merges(list(texts), 60)
+    assert a == b
+    assert len(a) == 60
+    # components of a merge must predate it (the rank argument that makes
+    # sequential replay == canonical lowest-rank-first encoding)
+    symbols = {c for t in texts for p in pretokenize(t) for c in p}
+    for i, (x, y) in enumerate(a):
+        for part in (x, y):
+            assert part in symbols or any(
+                "".join(m) == part for m in a[:i]
+            ), (i, x, y)
+
+
+def test_sequential_replay_equals_canonical_on_fuzz():
+    rng = random.Random(42)
+    corpus = [
+        "".join(rng.choice("ab c.x") for _ in range(rng.randint(0, 60)))
+        for _ in range(200)
+    ]
+    merges = train_bpe_merges(corpus, 40)
+
+    def sequential_count(text: str) -> int:
+        total = 0
+        for p in pretokenize(text):
+            s = "".join(SEP + c + SEP for c in p)
+            for a, b in merges:
+                s = s.replace(
+                    SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP
+                )
+            total += s.count(SEP) // 2
+        return total
+
+    for t in corpus + ["", "aaaa", "a" * 50, " .a.a.a. "]:
+        assert sequential_count(t) == token_count_py(t, merges), repr(t)
+
+
+def test_encode_py_reconstructs_pieces():
+    merges = train_bpe_merges(["the cat sat on the mat"] * 3, 20)
+    for piece in ["the", " cat", " aardvark", "", "x"]:
+        assert "".join(encode_py(piece, merges)) == piece
+
+
+def test_spark_chain_matches_canonical(spark):
+    texts = _sample_texts("/root/testdata/sf0.001")[:40]
+    merges = train_bpe_merges(texts, 80)
+    cases = texts[:15] + [
+        "",
+        "aaa aaa aaaa",
+        'x=1"s"\n\n',
+        SEP + "sep in input" + SEP,
+        "ünïcode tëst ünïcode",
+        "tabs\tand\nnewlines  and   runs",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_real_token_count_col(F.col("text"), merges).alias("n")
+        ).collect()
+    }
+    want = {i: token_count_py(t, merges) for i, t in enumerate(cases)}
+    assert got == want
+
+
+def test_engine_and_oracle_draw_the_same_training_sample(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    via_spark = entry._bpe_sample_texts_spark(spark, sf)
+    via_duck = _sample_texts(sf)
+    assert via_spark == via_duck
+    assert len(via_spark) > 0
+
+
+def test_merges_cache_is_per_sf_dir(spark):
+    import __spark_entry__ as entry
+
+    entry._BPE_MERGES_CACHE.clear()
+    m1 = entry._bpe_merges_for(spark, "/root/testdata/sf0.001")
+    m2 = entry._bpe_merges_for(spark, "/root/testdata/sf0.001")
+    assert m1 is m2
+    assert len(m1) > 0

@@ -1,0 +1,67 @@
+"""Driver-grade compare gate for the retired extra_queries() surface.
+
+The driver's CORRECTNESS record caps at 50 rows, so queries() holds the
+50 engine-defining entries and the generic/derivative demos moved to
+extra_queries() — they must NOT lose verification in the move.  This
+test replays scripts/check_oracle.py's exact normalization (sorted
+columns, rounded floats, order-insensitive rows) for every extra entry
+at the driver's own compare scale (ORACLE_SF_DIR), because several of
+their oracles (grams fixture, inlined literals) are built against it."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("float", "Float")):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(entry.ORACLE_SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def test_every_extra_query_has_an_oracle():
+    assert set(entry.extra_queries()) == set(entry.extra_oracle_sql())
+
+
+def test_registries_are_disjoint_and_main_is_exactly_50():
+    assert len(entry.queries()) == 50
+    assert not set(entry.queries()) & set(entry.extra_queries())
+
+
+@pytest.mark.parametrize("name", sorted(entry.extra_queries()))
+def test_extra_query_matches_oracle(spark, oracle_con, name):
+    sdf = entry.extra_queries()[name](spark, entry.ORACLE_SF_DIR).toPandas()
+    odf = oracle_con.sql(entry.extra_oracle_sql()[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns)
+    assert len(s) == len(o)
+    if len(s):
+        pd.testing.assert_frame_equal(s, o, check_dtype=False)

@@ -1613,13 +1613,19 @@ def _bpe_sample_texts_spark(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    if sf_dir not in _BPE_MERGES_CACHE:
+    # cache key includes the parquet's (mtime, size): the driver
+    # regenerates testdata between rounds, and a path-only key would let
+    # a long-lived process train on the OLD draw while the oracle
+    # (content-digest-memoized) retrains on the new one
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    if key not in _BPE_MERGES_CACHE:
         from fuzzysearch_spark.functions.bpe import train_bpe_merges
 
-        _BPE_MERGES_CACHE[sf_dir] = train_bpe_merges(
+        _BPE_MERGES_CACHE[key] = train_bpe_merges(
             _bpe_sample_texts_spark(spark, sf_dir)
         )
-    return _BPE_MERGES_CACHE[sf_dir]
+    return _BPE_MERGES_CACHE[key]
 
 
 def q_bpe_real_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,6 +222,9 @@ def _same_draw_baseline(docs_md5: str):
                 rec = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
+        # the driver wraps bench.py's JSON line under "parsed"
+        if "parsed" in rec and isinstance(rec["parsed"], dict):
+            rec = rec["parsed"]
         if rec.get("docs_md5") != docs_md5:
             continue
         m = re.search(r"BENCH_r(\d+)", os.path.basename(path))

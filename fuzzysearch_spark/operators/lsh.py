@@ -185,8 +185,16 @@ def lsh_pairs_from_keys(
     # no list buffer can ever exceed salt_cap ids and an excluded
     # bucket's ids are never materialized at all.
     sizes = kv.groupBy("bk").agg(F.count("*").alias("bucket_size"))
+    # only the > max_bucket slice is ever consumed again (anti-join keys
+    # are its > salt_cap subset; the skew report is exactly this frame) —
+    # persist THAT under caller-owned scratch so report evaluation stays
+    # a cache scan instead of a second count pass over the band table
+    oversized_sizes = sizes.where(F.col("bucket_size") > max_bucket)
+    if scratch is not None:
+        oversized_sizes = oversized_sizes.persist()
+        scratch.append(oversized_sizes)
     excluded_bks = (
-        sizes.where(F.col("bucket_size") > salt_cap).select("bk")
+        oversized_sizes.where(F.col("bucket_size") > salt_cap).select("bk")
     )
     kv_ok = kv.join(F.broadcast(excluded_bks), "bk", "left_anti")
 
@@ -314,7 +322,7 @@ def lsh_pairs_from_keys(
     pairs = pairs_normal.unionByName(pairs_salted).distinct()
     # the report reads the counter aggregation, so an excluded bucket
     # costs one (bk, size) row — its member list exists nowhere
-    report = sizes.where(F.col("bucket_size") > max_bucket).select(
+    report = oversized_sizes.select(
         "bk",
         "bucket_size",
         F.when(F.col("bucket_size") > salt_cap, F.lit("excluded"))

@@ -49,12 +49,18 @@ def histogram_percentiles(
     Output: one row per group with the key columns plus one double
     column per requested percentile, bit-equal to Spark's exact
     ``percentile(value, p)`` / DuckDB's ``quantile_cont(value, p)``.
+    Null values are ignored, like the built-in; a group whose values are
+    ALL null yields no output row (the built-in would yield nulls) —
+    callers joining the result keep such groups out or outer-join.
     """
     for name, p in percentiles.items():
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
 
     keys = list(keys)
+    # the built-in percentile aggregate IGNORES nulls; a null histogram
+    # row would instead enter the rank math — drop them to match
+    df = df.where(F.col(value).isNotNull())
     hist = df.groupBy(*keys, value).agg(F.count("*").alias("__c"))
     w_run = Window.partitionBy(*keys).orderBy(value)
     w_grp = Window.partitionBy(*keys)

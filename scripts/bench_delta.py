@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Delta-fold vs full-recompute benchmark at a credible base size.
+
+Round 4's delta table stopped at a 160k-file base (3.8x); this measures
+the same comparison at 10^6 files (the bench_scaling corpus size), the
+point VERDICT r4 asked for: epoch-0 the base once, then time
+
+  * the DELTA FOLD: ``delta_dedup`` of a 1k-file batch against the
+    epoch-0 checkpoints (only delta-touched buckets re-pair; prior
+    content scanned once for surviving pair members), vs
+  * the FULL RECOMPUTE: a fresh ``DedupPipeline.run`` over base+delta.
+
+Protocol mirrors the r4 rows (BENCH/BASELINE.md §2): planted corpus
+family, local[DELTA_CPUS], parquet checkpoints on /dev/shm, repeats with
+the first discarded as warmup. Exactness is NOT re-argued here — it is
+pinned by tests/test_delta.py's 2/3-epoch equality and the
+delta_recall_audit oracle; this script measures cost only (and asserts
+the two cluster outputs have equal row counts as a smoke guard).
+
+Env: DELTA_BASE (default 1000000), DELTA_NEW (1000), DELTA_CPUS (16),
+DELTA_REPEATS (2 timed, +1 warmup), DELTA_OUT (BENCH/delta_1m.json).
+"""
+
+from __future__ import annotations
+
+import os
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import json
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = int(os.environ.get("DELTA_BASE", "1000000"))
+NEW = int(os.environ.get("DELTA_NEW", "1000"))
+CPUS = int(os.environ.get("DELTA_CPUS", "16"))
+REPEATS = int(os.environ.get("DELTA_REPEATS", "2"))
+OUT = os.environ.get("DELTA_OUT", os.path.join(REPO, "BENCH", "delta_1m.json"))
+SHM = "/dev/shm/fsw-delta"
+
+
+def write_corpus(path: str, rows, lo: int, hi: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {
+        k: [r[k] for r in rows[lo:hi]]
+        for k in ("repo", "path", "commit", "lang", "content")
+    }
+    pq.write_table(
+        pa.table(cols), path, row_group_size=20_000, compression="zstd"
+    )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from fuzzysearch_spark import corpus as C
+    from fuzzysearch_spark.delta import delta_dedup
+    from fuzzysearch_spark.pipeline import DedupConfig, DedupPipeline
+
+    os.makedirs(SHM, exist_ok=True)
+    base_path = os.path.join(SHM, f"base_{BASE}.parquet")
+    delta_path = os.path.join(SHM, f"delta_{NEW}.parquet")
+    if not (os.path.exists(base_path) and os.path.exists(delta_path)):
+        t0 = time.time()
+        planted = C.generate(
+            n_files=BASE + NEW, seed=42, max_l_dist=4, funcs_per_file=(20, 60)
+        )
+        write_corpus(base_path, planted.rows, 0, BASE)
+        write_corpus(delta_path, planted.rows, BASE, BASE + NEW)
+        print(f"generated {BASE + NEW} files in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        del planted
+
+    shuffle_dir = os.path.join(SHM, "shuffle")
+    os.makedirs(shuffle_dir, exist_ok=True)
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("fsw-bench-delta")
+        .config("spark.sql.shuffle.partitions", str(4 * CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.local.dir", shuffle_dir)
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base_df = spark.read.parquet(base_path)
+    delta_df = spark.read.parquet(delta_path)
+    both_df = base_df.unionByName(delta_df)
+
+    def cfg(wd: str) -> DedupConfig:
+        return DedupConfig(workdir=wd, resume=False)
+
+    # epoch 0 over the base, once (the state every fold below chains from)
+    wd0 = os.path.join(SHM, "wd_epoch0")
+    shutil.rmtree(wd0, ignore_errors=True)
+    t0 = time.time()
+    DedupPipeline(spark, cfg(wd0)).run(base_df).count()
+    epoch0_wall = round(time.time() - t0, 1)
+    print(f"epoch0 (base {BASE}): {epoch0_wall}s", file=sys.stderr)
+
+    folds, fulls = [], []
+    n_fold = n_full = None
+    for rep in range(REPEATS + 1):  # first repeat = warmup, discarded
+        wd1 = os.path.join(SHM, f"wd_fold_{rep}")
+        shutil.rmtree(wd1, ignore_errors=True)
+        t0 = time.time()
+        out = delta_dedup(spark, delta_df, [wd0], cfg(wd1))
+        n_fold = out.count()
+        folds.append(round(time.time() - t0, 1))
+        shutil.rmtree(wd1, ignore_errors=True)
+
+        wdf = os.path.join(SHM, f"wd_full_{rep}")
+        shutil.rmtree(wdf, ignore_errors=True)
+        t0 = time.time()
+        out = DedupPipeline(spark, cfg(wdf)).run(both_df)
+        n_full = out.count()
+        fulls.append(round(time.time() - t0, 1))
+        shutil.rmtree(wdf, ignore_errors=True)
+        print(f"rep {rep}: fold {folds[-1]}s full {fulls[-1]}s",
+              file=sys.stderr)
+
+    assert n_fold == n_full == BASE + NEW, (n_fold, n_full)
+    rec = {
+        "what": "delta fold vs full recompute, 10^6-scale base",
+        "base_files": BASE,
+        "delta_files": NEW,
+        "cpus": CPUS,
+        "epoch0_wall_sec": epoch0_wall,
+        "fold_walls_sec": folds,
+        "full_walls_sec": fulls,
+        "warmup_discarded": 1,
+        "fold_median_warm": sorted(folds[1:])[len(folds[1:]) // 2],
+        "full_median_warm": sorted(fulls[1:])[len(fulls[1:]) // 2],
+        "speedup": round(
+            sorted(fulls[1:])[len(fulls[1:]) // 2]
+            / sorted(folds[1:])[len(folds[1:]) // 2],
+            2,
+        ),
+    }
+    spark.stop()
+    with open(OUT, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,7 @@ def test_edge_groups_and_extreme_fractions(spark):
         + [("duo", 1), ("duo", 4)]         # interpolation across 2 values
         + [("tie", 5)] * 9                 # all-equal group
         + [("two", v) for v in (3, 3, 3, 9)]  # skewed histogram
+        + [("duo", None), ("solo", None)]  # nulls: ignored like built-in
     )
     df = spark.createDataFrame(rows, "g string, n int")
     got, want = _both(

@@ -1,5 +1,10 @@
 """Real BPE tokenization: corpus-trained merge table, JVM-side apply.
 
+Algorithm: byte-pair encoding as introduced for NMT subword units by
+Sennrich, Haddow & Birch (arXiv:1508.07909) — frequency-weighted merge
+learning over pretokenizer pieces, greedy lowest-rank-first encoding —
+restated for a distributed engine.
+
 ``bpe_token_count_col`` (functions/text.py) counts GPT-2-style
 PRETOKENIZER pieces — a useful budget proxy, but real token budgets are
 denominated in merged-vocabulary BPE tokens.  This module closes that

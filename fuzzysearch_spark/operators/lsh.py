@@ -7,16 +7,25 @@ band key; colliding pairs are *candidates* that downstream verification
 confirms — the same cheap-filter-then-verify architecture as the reference's
 byte-sum memmem filter (/root/reference/src/fuzzysearch/memmem.c:75-87).
 
-Scale notes (100 TB posture) — the whole operator is ONE exchange of the
-band table plus a light pair-key dedup shuffle:
+Scale notes (100 TB posture) — the whole operator is TWO exchanges of
+the band table (one for the counter-only size aggregation that buys the
+hard memory bound below, one for the member-list aggregation) plus the
+pair-key dedup shuffle, which dominates the shuffled volume anyway
+(event-log measured on a 2M-row band table: 10.4 + 10.4 MB for the two
+band exchanges vs 66.7 MB for the pair dedup; Catalyst does NOT
+currently collapse the two band exchanges even under an explicit
+repartition — verified in the executed plan, so the cost is stated, not
+assumed away):
 
-* the band table crosses the wire exactly ONCE: a single groupBy on the
-  (hashed) bucket key gathers each bucket's member list, and skew
-  *detection*, the pair expansion, and the skew report all read that one
-  aggregation — there is no separate detection pass, no sampled pre-scan,
-  no broadcast tag join (round-2's three-job structure measured as the s3
-  scaling bottleneck; fusing them removed two full band-table traversals
-  and every serial pre-job);
+* a single groupBy on the (hashed) bucket key gathers each surviving
+  bucket's member list, and skew *detection* (the counter aggregation),
+  the pair expansion, and the skew report are the only readers — there
+  is no sampled pre-scan and no per-consumer re-traversal of content
+  (round-2's three-job structure measured as the s3 scaling bottleneck;
+  the counter pass deliberately re-adds ONE cheap band exchange because
+  it is what makes the mega-bucket memory bound hard instead of
+  practical, and the same-draw bench reads the operator FASTER than the
+  round-4 single-exchange form — 3.3 s vs 4.1 s at sf0.1);
 * explicit skew control, decided on the EXACT bucket size inside the same
   aggregation, in three tiers:
   - bucket_size <= max_bucket: in-place JVM pair expansion of the
@@ -40,13 +49,11 @@ band table plus a light pair-key dedup shuffle:
   400 KB at the defaults) no matter how large an excluded bucket grows,
   and a 10^8-member mega-bucket's ids are never materialized ANYWHERE:
   its rows die at the anti-join probe, and only its (bk, size) counter
-  row survives into the skew report. On the pinned path both
-  aggregations and the anti-join sit above the SAME explicit
-  ``repartition(bk)`` exchange (broadcast joins preserve partitioning),
-  so the band table still crosses the wire exactly once; the extra cost
-  is one counter-aggregation read of the shuffled rows, which is what
-  buys the bound without the two-traversal pre-pass this operator was
-  redesigned to avoid;
+  row survives into the skew report. The price is the second band-table
+  exchange feeding the counter aggregation (measured above — a minority
+  of the operator's shuffled bytes, and map-side partial counting keeps
+  its rows at 16 B); that one cheap exchange is what buys a HARD bound
+  without a sampled pre-scan;
 * bucket keys are xxhash64(band_idx, band_key): 8 shuffled bytes per band
   row instead of 12, at the cost that a 64-bit collision MERGES two
   buckets. A merge can only add candidate pairs (verify rejects them) or
@@ -177,8 +184,10 @@ def lsh_pairs_from_keys(
         kv = kv.repartition(n_parts, "bk")
 
     # Exact bucket sizes from a COUNTER-only aggregation: bounded buffers
-    # by construction, and on the pinned path it reads the same exchange
-    # the member-list aggregation below reuses. This is what de-fangs the
+    # by construction, at the cost of a second band-table exchange
+    # (Catalyst does not collapse it with the member-list aggregation's —
+    # see the module docstring for the measured byte split). This is what
+    # de-fangs the
     # mega-bucket: the over-salt_cap bucket keys (a handful of rows by
     # design — anything more means upstream exact dedup was skipped) are
     # broadcast anti-joined out of the band table BEFORE any collect, so

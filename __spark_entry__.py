@@ -315,6 +315,180 @@ def q_clone_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# deterministic license-header plant over the clone fixture: doc_id % 7
+# selects the header; 5 is a decoy ("license"-adjacent words that match
+# no rule -> 'unknown'), 6 gets no header at all. Phrases are kept on
+# ONE line each so the single-line rule patterns match them literally.
+_LICENSE_HEADERS: dict[int, tuple[str, str]] = {
+    0: ("Apache-2.0", "# SPDX-License-Identifier: Apache-2.0\n"),
+    1: (
+        "MIT",
+        "# Permission is hereby granted, free of charge, to any person"
+        " obtaining a copy\n# of this software and associated"
+        " documentation files.\n",
+    ),
+    2: (
+        "GPL-3.0",
+        "# This program is free software: you can redistribute it under"
+        " the terms of the\n# GNU General Public License as published by"
+        " the Free Software Foundation.\n",
+    ),
+    3: (
+        "BSD-3-Clause",
+        "# Redistribution and use in source and binary forms, with or"
+        " without modification, are permitted.\n",
+    ),
+    4: (
+        "MPL-2.0",
+        "# This Source Code Form is subject to the terms of the Mozilla"
+        " Public License, v. 2.0.\n",
+    ),
+    5: ("unknown", "# All rights reserved. See the LICENSE file.\n"),
+}
+_LICENSE_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _license_fixture_rows() -> list[tuple[int, str, str]]:
+    """(doc_id, expected_license, content) — clone-fixture files with
+    deterministically planted license headers; expected_license is the
+    plant's ground truth (pytest pins detection == plant).  The corpus
+    generator itself emits license-phrase comment lines in some file
+    headers, so those are scrubbed (per-line, same rule table) BEFORE
+    planting — otherwise the pre-existing phrase, not the plant, decides
+    the file's license and the truth is corrupt."""
+    import re as _re
+
+    from fuzzysearch_spark.functions.license import LICENSE_RULES
+
+    pats = [_re.compile(p) for _, p in LICENSE_RULES]
+    rows = []
+    for doc_id, content in _clone_fixture_rows():
+        clean = "\n".join(
+            ln
+            for ln in content.split("\n")
+            if not any(p.search(ln) for p in pats)
+        )
+        lic, header = _LICENSE_HEADERS.get(doc_id % 7, ("unknown", ""))
+        rows.append((doc_id, lic, header + clean))
+    return rows
+
+
+def _license_fixture_path() -> str:
+    """Oracle fixture parquet, digest-keyed like the clone fixture."""
+    import hashlib
+
+    import pyarrow as pa
+
+    rows = _license_fixture_rows()
+    digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
+    path = f"/tmp/fsw_license_oracle_{len(rows)}_{digest}.parquet"
+    if _LICENSE_FIXTURE_CACHE.get("path") != path or not os.path.exists(path):
+        _atomic_write_parquet(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "content": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        _LICENSE_FIXTURE_CACHE["path"] = path
+    return path
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection — the gate a code-corpus curation run applies
+    BEFORE dedup (The Stack / BigCode keep-by-license policy): an ordered
+    rule table (explicit SPDX tags outrank license-text phrases)
+    evaluated as one JVM CASE/rlike chain over the bounded file head,
+    plus the default permissive-policy keep flag
+    (functions/license.py).  Scan-only: no UDF, no shuffle, O(head)
+    per row regardless of file size.
+
+    Oracle: the SAME rule table rendered as a DuckDB CASE chain of RE2
+    ``regexp_matches`` over the fixture parquet — rule order, the (?i)
+    convention, and the head-window bound are all under cross-dialect
+    test (Java here, RE2 there, Python ``re`` in pytest against the
+    planted ground truth)."""
+    from fuzzysearch_spark.functions.license import license_col, permissive_col
+
+    rows = _license_fixture_rows()
+    docs = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], schema="doc_id long, content string"
+    )
+    lic = license_col(F.col("content"))
+    return docs.select(
+        "doc_id",
+        lic.alias("license"),
+        permissive_col(lic).alias("keep_permissive"),
+    )
+
+
+def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-file (function-level) duplication profile — dedup at the
+    granularity code corpora actually repeat at: files are split into
+    function units on the literal ``\\ndef `` boundary, each unit is
+    type-2 normalized (the clone_norm rule table, so renamed copies
+    collapse) and fingerprinted, and a unit is DUPLICATED when its
+    fingerprint appears in >= 2 distinct files.  Output: per-file
+    function count, duplicated-function count, and the duplication
+    ratio — the signal sub-file dedup policies (strip duplicated
+    functions, drop mostly-boilerplate files) act on.
+
+    Scale shape: one scan + explode, one fingerprint groupBy
+    (map-side combined), one join back on the fingerprint, one per-doc
+    groupBy — all JVM expressions, no UDF; the literal split keeps the
+    unit boundary dialect-portable (Java regex split on a
+    metachar-free pattern == DuckDB string_split == Python str.split,
+    no lookarounds, which RE2 lacks)."""
+    from fuzzysearch_spark.functions.clone_norm import normalize_code_col
+
+    rows = _clone_fixture_rows()
+    docs = spark.createDataFrame(rows, schema="doc_id long, content string")
+    parts = F.split(
+        F.concat(F.lit("\n"), F.col("content")), "\ndef ", -1
+    )
+    units = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+            ).alias("__p"),
+        )
+        .select(
+            "doc_id",
+            F.sha2(
+                normalize_code_col(
+                    F.concat(F.lit("def "), F.col("__p")), "type2"
+                ),
+                256,
+            ).alias("fp"),
+        )
+    )
+    dfreq = units.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("__nd")
+    )
+    per_unit = units.join(dfreq, "fp")
+    per_doc = per_unit.groupBy("doc_id").agg(
+        F.count("*").alias("n_funcs"),
+        F.sum((F.col("__nd") >= 2).cast("long")).alias("n_dup_funcs"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_funcs", F.lit(0)).alias("n_funcs"),
+            F.coalesce("n_dup_funcs", F.lit(0)).alias("n_dup_funcs"),
+            F.when(F.coalesce("n_funcs", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_dup_funcs") / F.col("n_funcs"), 4)
+            )
+            .alias("dup_ratio"),
+        )
+    )
+
+
 _FORK_FILES_PER_REPO = 8
 _FORK_EVERY = 3           # every 3rd base repo gets a planted fork
 # Fingerprints shared by more repos than this are boilerplate and are
@@ -2230,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clone_clusters": q_clone_clusters,
         "repo_fork_candidates": q_repo_fork_candidates,
         "clone_near_dups": q_clone_near_dups,
+        "function_dedup": q_function_dedup,
+        "license_detect": q_license_detect,
         "curate": q_curate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "jaccard_join_prefix": q_jaccard_join_prefix,
@@ -2262,14 +2438,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
-        "doc_stats_by_lang": q_doc_stats_by_lang,
         "cross_source_overlap": q_cross_source_overlap,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
         "bm25_topk": q_bm25_topk,
         "lm_nll": q_lm_nll,
-        "ccnet_buckets": q_ccnet_buckets,
         "temperature_sample": q_temperature_sample,
         "datacard": q_datacard,
         "repetition_scores": q_repetition_scores,
@@ -2300,6 +2474,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "stratified_sample": q_stratified_sample,
         "top_terms_per_lang": q_top_terms_per_lang,
+        # moved out in late round 5 to make room for the code-axis
+        # operators (function_dedup, license_detect): thin tile layer
+        # over the still-driver-checked lm_nll, and a generic rollup
+        "ccnet_buckets": q_ccnet_buckets,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
         "event_sessions": q_event_sessions,
         "top_value_users": q_top_value_users,
         "pricing_summary": q_pricing_summary,
@@ -3193,6 +3372,65 @@ def _temperature_sample_oracle_sql() -> str:
     """
 
 
+def _license_oracle_sql() -> str:
+    """DuckDB mirror of q_license_detect: the identical ordered rule
+    table rendered as an RE2 CASE chain over the license fixture
+    parquet (functions/license.py: license_sql_expr is generated from
+    LICENSE_RULES, so a rule edit cannot drift the oracle)."""
+    from fuzzysearch_spark.functions.license import (
+        PERMISSIVE,
+        license_sql_expr,
+    )
+
+    path = _license_fixture_path()
+    case = license_sql_expr("content")
+    keep = ", ".join(f"'{x}'" for x in sorted(PERMISSIVE))
+    return f"""
+        SELECT doc_id,
+               {case} AS license,
+               ({case}) IN ({keep}) AS keep_permissive
+        FROM '{path}'
+    """
+
+
+def _function_dedup_oracle_sql() -> str:
+    """DuckDB mirror of q_function_dedup: literal chr(10)||'def ' split,
+    the shared type-2 normalize chain applied per unit, document
+    frequency over normalized unit text (string equality == fingerprint
+    equality, sha256 being injective here), per-doc rollup."""
+    from fuzzysearch_spark.functions.clone_norm import normalize_sql_expr
+
+    path = _clone_fixture_path()
+    norm = normalize_sql_expr("('def ' || p)", "type2")
+    return f"""
+        WITH src AS (SELECT doc_id, content FROM '{path}'),
+        units AS (
+          SELECT doc_id, {norm} AS nrm
+          FROM src,
+               unnest(list_slice(
+                 string_split(chr(10) || content, chr(10) || 'def '),
+                 2, 1000000000)) AS t(p)
+        ),
+        dfreq AS (
+          SELECT nrm, COUNT(DISTINCT doc_id) AS nd FROM units GROUP BY nrm
+        ),
+        per AS (
+          SELECT u.doc_id,
+                 COUNT(*) AS n_funcs,
+                 SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM units u JOIN dfreq d USING (nrm)
+          GROUP BY u.doc_id
+        )
+        SELECT s.doc_id,
+               CAST(COALESCE(per.n_funcs, 0) AS BIGINT) AS n_funcs,
+               CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_funcs,
+               CASE WHEN COALESCE(per.n_funcs, 0) = 0 THEN 0.0
+                    ELSE ROUND(per.n_dup * 1.0 / per.n_funcs, 4)
+               END AS dup_ratio
+        FROM src s LEFT JOIN per ON per.doc_id = s.doc_id
+    """
+
+
 def _clone_oracle_sql() -> str:
     """DuckDB mirror of q_clone_clusters: the identical ordered rule
     table rendered as RE2 regexp_replace chains over the content fixture
@@ -3736,6 +3974,8 @@ def _build_oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         "bpe_real_token_counts": _bpe_real_oracle_sql(),
+        "license_detect": _license_oracle_sql(),
+        "function_dedup": _function_dedup_oracle_sql(),
         # per-row list lambdas mirror functions/text.py repetition_cols:
         # blank text = one empty token (dtr 1.0); bigrams only when >= 2
         # tokens; dup lines = len - len(distinct)

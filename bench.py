@@ -118,6 +118,8 @@ def main():
         "clone_clusters",
         "clone_near_dups",
         "repo_fork_candidates",
+        "function_dedup",
+        "license_detect",
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",
         "jaccard_join_prefix",

@@ -1,0 +1,107 @@
+"""License detection over source files — the code-corpus curation gate.
+
+Large code-corpus efforts (The Stack / BigCode, CodeParrot) filter by
+detected license before anything else: an engine that dedups a code
+corpus must be able to say WHICH files it may keep.  This is the
+rule-table restatement of that gate: an ORDERED list of
+(license, pattern) rules — an explicit SPDX identifier tag first (the
+machine-readable ground truth when present), then distinctive phrases
+from the license texts themselves — evaluated as a single CASE chain of
+JVM ``rlike`` tests over the head of each file.
+
+Dialect portability is the design constraint, exactly as in scrub.py /
+clone_norm.py: every pattern runs under Java regex (engine), RE2 (the
+DuckDB oracle via ``regexp_matches``), and Python ``re`` (pytest
+mirror), so patterns avoid lookarounds and backreferences, and matching
+is case-insensitive via an explicit ``(?i)`` prefix, which all three
+dialects share.
+
+Scale shape: one codegen'd projection over the first ``head_chars`` of
+content — no UDF, no shuffle, pushdown-friendly.  Real detectors
+(askalono, go-license-detector) score full texts with Sørensen–Dice;
+this rule gate is the scan-side classifier a pipeline runs on every
+file, with ambiguous files routed to such a scorer downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# chars of file head scanned: license headers live at the top; bounding
+# the scan keeps per-row cost O(1) regardless of file size
+LICENSE_HEAD_CHARS = 2000
+
+# (license_id, pattern) in PRIORITY order: first match wins. The SPDX
+# tag rules outrank phrase rules — an explicit machine-readable
+# declaration beats phrase heuristics.
+LICENSE_RULES: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", r"(?i)SPDX-License-Identifier:\s*Apache-2\.0"),
+    ("MIT", r"(?i)SPDX-License-Identifier:\s*MIT"),
+    ("GPL-3.0", r"(?i)SPDX-License-Identifier:\s*GPL-3\.0"),
+    ("BSD-3-Clause", r"(?i)SPDX-License-Identifier:\s*BSD-3-Clause"),
+    ("MPL-2.0", r"(?i)SPDX-License-Identifier:\s*MPL-2\.0"),
+    ("Apache-2.0", r"(?i)Licensed under the Apache License,? Version 2\.0"),
+    (
+        "MIT",
+        r"(?i)Permission is hereby granted, free of charge, to any person",
+    ),
+    (
+        "GPL-3.0",
+        r"(?i)GNU General Public License as published by the Free Software"
+        r" Foundation",
+    ),
+    (
+        "BSD-3-Clause",
+        r"(?i)Redistribution and use in source and binary forms, with or"
+        r" without modification",
+    ),
+    (
+        "MPL-2.0",
+        r"(?i)subject to the terms of the Mozilla Public License,? v\.? ?2\.0",
+    ),
+)
+
+UNKNOWN = "unknown"
+
+# permissive set a default curation policy keeps (copyleft routed to a
+# human/policy decision, unknown held back)
+PERMISSIVE: frozenset[str] = frozenset({"Apache-2.0", "MIT", "BSD-3-Clause"})
+
+
+def license_col(content: Column) -> Column:
+    """First-matching license id over the file head (CASE chain)."""
+    head = F.substring(content, 1, LICENSE_HEAD_CHARS)
+    expr = None
+    for lic, pat in LICENSE_RULES:
+        cond = head.rlike(pat)
+        expr = F.when(cond, F.lit(lic)) if expr is None else expr.when(
+            cond, F.lit(lic)
+        )
+    return expr.otherwise(F.lit(UNKNOWN))
+
+
+def permissive_col(license_column: Column) -> Column:
+    """Keep-flag under the default permissive policy."""
+    return license_column.isin(*sorted(PERMISSIVE))
+
+
+def license_sql_expr(col_expr: str) -> str:
+    """The identical rule table as a DuckDB CASE chain (RE2)."""
+    head = f"substr({col_expr}, 1, {LICENSE_HEAD_CHARS})"
+    arms = "\n               ".join(
+        f"WHEN regexp_matches({head}, '{pat}') THEN '{lic}'"
+        for lic, pat in LICENSE_RULES
+    )
+    return f"CASE {arms} ELSE '{UNKNOWN}' END"
+
+
+def detect_license_py(content: str) -> str:
+    """Python ``re`` mirror (third regex dialect, pytest parity)."""
+    import re
+
+    head = content[:LICENSE_HEAD_CHARS]
+    for lic, pat in LICENSE_RULES:
+        if re.search(pat, head):
+            return lic
+    return UNKNOWN

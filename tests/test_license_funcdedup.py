@@ -1,0 +1,162 @@
+"""Ground truth for the two round-5 code-axis operators: license
+detection (planted headers, three regex dialects) and function-level
+dedup (planted clone variants MUST register as duplicated functions)."""
+
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from fuzzysearch_spark.corpus import generate
+from fuzzysearch_spark.functions.license import (
+    LICENSE_RULES,
+    PERMISSIVE,
+    detect_license_py,
+    license_sql_expr,
+)
+
+
+# --- license detection -------------------------------------------------------
+
+def test_planted_headers_detected_exactly(spark):
+    """Every planted header resolves to its license in the ENGINE, and
+    the decoy/no-header files resolve to 'unknown'."""
+    want = {r[0]: r[1] for r in entry._license_fixture_rows()}
+    got = {
+        r["doc_id"]: (r["license"], r["keep_permissive"])
+        for r in entry.q_license_detect(spark, "").collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, lic in want.items():
+        assert got[doc_id][0] == lic, (doc_id, got[doc_id], lic)
+        assert got[doc_id][1] == (lic in PERMISSIVE)
+    # the plant actually exercises every rule family + unknown
+    assert set(want.values()) == {
+        "Apache-2.0", "MIT", "GPL-3.0", "BSD-3-Clause", "MPL-2.0", "unknown",
+    }
+
+
+def test_three_dialect_parity_on_fuzz():
+    """Java (engine — via the oracle run in test_extra-style check),
+    RE2 (DuckDB) and Python re agree rule-for-rule on adversarial
+    heads: rule phrases split/joined, case flips, SPDX tags with odd
+    spacing, phrases beyond the head window."""
+    rng = random.Random(9)
+    phrases = [pat for _, pat in LICENSE_RULES]
+    frag_src = (
+        "SPDX-License-Identifier: Apache-2.0|MIT|"
+        "Permission is hereby granted, free of charge, to any person|"
+        "GNU General Public License as published by the Free Software"
+        " Foundation|Licensed under the Apache License, Version 2.0|"
+        "subject to the terms of the Mozilla Public License, v. 2.0|"
+        "Redistribution and use in source and binary forms, with or"
+        " without modification|license|LICENSE|copyright"
+    ).split("|")
+    cases = []
+    for _ in range(120):
+        n = rng.randint(0, 3)
+        body = "\n".join(
+            ("# " if rng.random() < 0.7 else "")
+            + (f.upper() if rng.random() < 0.3 else f)
+            for f in rng.sample(frag_src, k=max(n, 1))
+        )
+        pad = "x" * rng.choice([0, 10, 1990, 2100])
+        cases.append(pad + body)
+    cases += [
+        "",  # empty
+        "x" * 2500 + "\n# SPDX-License-Identifier: MIT",  # beyond head
+        "# spdx-license-identifier:  apache-2.0",  # case + spacing
+    ]
+    con = duckdb.connect()
+    case_sql = license_sql_expr("c")
+    for text in cases:
+        via_py = detect_license_py(text)
+        via_duck = con.execute(
+            f"SELECT {case_sql} FROM (SELECT ? AS c)", [text]
+        ).fetchone()[0]
+        assert via_py == via_duck, (repr(text[:80]), via_py, via_duck)
+
+
+def test_spdx_tag_outranks_phrases():
+    text = (
+        "# SPDX-License-Identifier: GPL-3.0\n"
+        "# Permission is hereby granted, free of charge, to any person\n"
+    )
+    assert detect_license_py(text) == "GPL-3.0"
+
+
+# --- function-level dedup ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def funcdedup_rows(spark):
+    return {
+        r["doc_id"]: r.asDict()
+        for r in entry.q_function_dedup(spark, "").collect()
+    }
+
+
+def test_clone_variants_register_as_duplicated_functions(funcdedup_rows):
+    """A planted clone (format or rename variant) shares its base's
+    type-2 function fingerprints, so BOTH files must show dup_ratio 1.0
+    (every function duplicated across the pair)."""
+    from fuzzysearch_spark.corpus import plant_clone_variants
+    from fuzzysearch_spark.functions.clone_norm import KEYWORDS
+
+    corpus = generate(
+        n_files=entry._CLONE_N_FILES, seed=entry._CLONE_SEED
+    )
+    truth = plant_clone_variants(
+        corpus,
+        n_variants=entry._CLONE_N_VARIANTS,
+        seed=entry._CLONE_SEED,
+        keywords=KEYWORDS,
+    )
+    checked = 0
+    for t in truth:
+        base, clone = t["base_doc_id"], t["clone_doc_id"]
+        for d in (base, clone):
+            row = funcdedup_rows[d]
+            if row["n_funcs"] == 0:
+                continue
+            assert row["dup_ratio"] == 1.0, (t, row)
+            checked += 1
+    assert checked >= 40
+
+
+def test_counts_are_consistent(funcdedup_rows):
+    assert len(funcdedup_rows) == len(entry._clone_fixture_rows())
+    for r in funcdedup_rows.values():
+        assert 0 <= r["n_dup_funcs"] <= r["n_funcs"]
+        if r["n_funcs"]:
+            assert abs(
+                r["dup_ratio"] - round(r["n_dup_funcs"] / r["n_funcs"], 4)
+            ) < 1e-9
+        else:
+            assert r["dup_ratio"] == 0.0
+
+
+def test_split_mirrors_python_str_split():
+    """The literal '\\ndef ' unit boundary counted three ways: Python
+    str.split here, Java regex split in the engine, DuckDB string_split
+    in the oracle (the latter two equal via the oracle gate); this pins
+    the Python expectation the other two are judged against."""
+    rows = entry._clone_fixture_rows()
+    want = {
+        doc_id: max(len(("\n" + content).split("\ndef ")) - 1, 0)
+        for doc_id, content in rows
+    }
+    import duckdb
+
+    path = entry._clone_fixture_path()
+    got = dict(
+        duckdb.sql(
+            "SELECT doc_id, len(string_split(chr(10) || content,"
+            f" chr(10) || 'def ')) - 1 FROM '{path}'"
+        ).fetchall()
+    )
+    assert got == want

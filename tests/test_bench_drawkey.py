@@ -1,0 +1,56 @@
+"""bench.py draw-key helpers: the same-draw baseline reader must accept
+both record formats (bench.py's own JSON line and the driver's
+{"parsed": {...}} wrapper) and never match across draw digests."""
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _bench_mod():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_same_draw_baseline_reads_both_formats(tmp_path, monkeypatch):
+    bench = _bench_mod()
+    here = tmp_path
+    # bare format, matching digest, lower round
+    (here / "BENCH_r03.json").write_text(json.dumps(
+        {"docs_md5": "abc123def456", "queries": {"q1": 1.0}}
+    ))
+    # driver-wrapped format, matching digest, higher round -> wins
+    (here / "BENCH_r04.json").write_text(json.dumps(
+        {"n": 1, "parsed": {"docs_md5": "abc123def456",
+                            "queries": {"q1": 2.0}}}
+    ))
+    # different draw: never a baseline
+    (here / "BENCH_r05.json").write_text(json.dumps(
+        {"docs_md5": "ffffffffffff", "queries": {"q1": 9.0}}
+    ))
+    # corrupt file: skipped, not fatal
+    (here / "BENCH_r02.json").write_text("{not json")
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(here)
+    )
+    got = bench._same_draw_baseline("abc123def456")
+    assert got is not None
+    fname, queries = got
+    assert fname == "BENCH_r04.json"
+    assert queries == {"q1": 2.0}
+    assert bench._same_draw_baseline("0000aaaabbbb") is None
+
+
+def test_file_md5_matches_hashlib(tmp_path):
+    bench = _bench_mod()
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"abc" * 100000)
+    import hashlib
+
+    assert bench._file_md5(str(p)) == hashlib.md5(b"abc" * 100000).hexdigest()

@@ -54,7 +54,11 @@ def pack_sequences(
     ``scratch``: caller-owned persist list for the sorted frame — pinned
     between the offset aggregate and the cumsum pass so both read the
     SAME range boundaries (AQE may re-sample an un-persisted exchange,
-    which would corrupt offsets; the ordering.py contract).
+    which would corrupt offsets; the ordering.py contract). NOTE: unlike
+    the pairs operators, the persist here is NOT optional — correctness
+    requires both passes to see one materialization — so a caller that
+    omits ``scratch`` leaves the sorted frame cached until session end;
+    always pass ``scratch`` outside one-shot jobs.
     """
     spark = docs_with_counts.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

@@ -138,6 +138,13 @@ def scrub_duplicated_spans(
     the hit join — pass it to make this ONE corpus scan; without it the
     corpus is scanned twice, which is still the documented floor of the
     dedup pipeline itself.
+
+    Convention note: an empty/whitespace-only document reports
+    ``n_tokens = 1`` (``split(trim(text))`` yields ``['']`` in Spark,
+    DuckDB, and Python alike — the oracle mirrors it), which differs
+    from the text-analysis counters' 0-for-empty convention
+    (``functions/text.py``); this column counts SPLIT SLOTS for span
+    accounting, not budgeted tokens.
     """
     base = docs.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks")

@@ -129,6 +129,33 @@ def main() -> None:
               file=sys.stderr)
 
     assert n_fold == n_full == BASE + NEW, (n_fold, n_full)
+
+    # epoch-2 fold: chain a SECOND delta over [epoch0, epoch1] — the
+    # cost must stay ~epoch-1-fold-shaped (prior-epoch state is read as
+    # light columns regardless of how many epochs carry it). The second
+    # delta reuses the delta file with shifted commits via a projection
+    # (distinct (repo,path,commit) is the delta contract).
+    wd1 = os.path.join(SHM, "wd_epoch1")
+    shutil.rmtree(wd1, ignore_errors=True)
+    delta_dedup(spark, delta_df, [wd0], cfg(wd1)).count()
+    from pyspark.sql import functions as F
+
+    delta2_df = delta_df.withColumn(
+        "commit", F.concat(F.lit("e2"), F.substring("commit", 3, 38))
+    )
+    epoch2 = []
+    for rep in range(2):
+        wd2 = os.path.join(SHM, f"wd_epoch2_{rep}")
+        shutil.rmtree(wd2, ignore_errors=True)
+        t0 = time.time()
+        out = delta_dedup(spark, delta2_df, [wd0, wd1], cfg(wd2))
+        n2 = out.count()
+        epoch2.append(round(time.time() - t0, 1))
+        shutil.rmtree(wd2, ignore_errors=True)
+        print(f"epoch2 rep {rep}: fold {epoch2[-1]}s ({n2} rows)",
+              file=sys.stderr)
+    assert n2 == BASE + 2 * NEW, n2
+
     rec = {
         "what": "delta fold vs full recompute, 10^6-scale base",
         "base_files": BASE,
@@ -145,6 +172,7 @@ def main() -> None:
             / sorted(folds[1:])[len(folds[1:]) // 2],
             2,
         ),
+        "epoch2_fold_walls_sec": epoch2,
     }
     spark.stop()
     with open(OUT, "w") as fh:

@@ -489,6 +489,92 @@ def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pathological files planted for the code-quality gate: each trips
+# exactly one Stack rule the generated corpus never trips on its own
+_CODE_QUALITY_PLANTS: tuple[tuple[str, str], ...] = (
+    (
+        "minified",  # one enormous line -> max_line_len rule
+        "var a=" + "x" * 1500 + ";\n",
+    ),
+    (
+        "autogen",  # banner -> is_autogen rule
+        "# This file is AUTO-GENERATED by protogen. DO NOT EDIT.\n"
+        "def f():\n    return 1\n",
+    ),
+    (
+        "blob",  # punctuation soup -> frac_alnum rule
+        ("#!*+~|" * 40 + "\n") * 12,
+    ),
+    (
+        "wide",  # many moderately long lines -> avg_line_len rule
+        ("y = '" + "ab-cd." * 20 + "'\n") * 30,
+    ),
+)
+_CODE_QUALITY_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _code_quality_fixture_rows() -> list[tuple[int, str]]:
+    """Clone-fixture code files plus the four planted pathological files
+    (appended last, so clone-fixture doc_ids are stable)."""
+    rows = list(_clone_fixture_rows())
+    next_id = len(rows)
+    for _, content in _CODE_QUALITY_PLANTS:
+        rows.append((next_id, content))
+        next_id += 1
+    return rows
+
+
+def _code_quality_fixture_path() -> str:
+    """Oracle fixture parquet, digest-keyed like the clone fixture."""
+    import hashlib
+
+    import pyarrow as pa
+
+    rows = _code_quality_fixture_rows()
+    digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
+    path = f"/tmp/fsw_codeq_oracle_{len(rows)}_{digest}.parquet"
+    if (
+        _CODE_QUALITY_FIXTURE_CACHE.get("path") != path
+        or not os.path.exists(path)
+    ):
+        _atomic_write_parquet(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "content": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        _CODE_QUALITY_FIXTURE_CACHE["path"] = path
+    return path
+
+
+def q_code_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack's file-level code-quality gate (Kocetkov et al.,
+    arXiv:2211.15533): per-file line-length stats, ASCII-alphanumeric
+    fraction, auto-generated-banner detection, and the composed keep
+    verdict — one codegen'd JVM projection, no UDF, no shuffle
+    (functions/code_quality.py).  The fixture plants one file per rule
+    (minified line, autogen banner, punctuation blob, wide lines) so
+    every rule provably fires; the oracle recomputes all six columns
+    rule-for-rule in DuckDB SQL, and pytest mirrors them in Python —
+    three dialects, one rule table."""
+    from fuzzysearch_spark.functions.code_quality import (
+        code_keep_col,
+        code_stat_cols,
+    )
+
+    rows = _code_quality_fixture_rows()
+    docs = spark.createDataFrame(rows, schema="doc_id long, content string")
+    stats = code_stat_cols(F.col("content"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in stats.items()],
+        code_keep_col(stats).alias("keep"),
+    )
+
+
 _FORK_FILES_PER_REPO = 8
 _FORK_EVERY = 3           # every 3rd base repo gets a planted fork
 # Fingerprints shared by more repos than this are boilerplate and are
@@ -2479,6 +2565,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the still-driver-checked lm_nll, and a generic rollup
         "ccnet_buckets": q_ccnet_buckets,
         "doc_stats_by_lang": q_doc_stats_by_lang,
+        "code_quality_filters": q_code_quality_filters,
         "event_sessions": q_event_sessions,
         "top_value_users": q_top_value_users,
         "pricing_summary": q_pricing_summary,
@@ -3372,6 +3459,19 @@ def _temperature_sample_oracle_sql() -> str:
     """
 
 
+def _code_quality_oracle_sql() -> str:
+    """DuckDB mirror of q_code_quality_filters: the generated stats +
+    keep select list (functions/code_quality.py: code_stats_sql — one
+    source of truth) over the fixture parquet."""
+    from fuzzysearch_spark.functions.code_quality import code_stats_sql
+
+    path = _code_quality_fixture_path()
+    return f"""
+        SELECT doc_id, {code_stats_sql("content")}
+        FROM '{path}'
+    """
+
+
 def _license_oracle_sql() -> str:
     """DuckDB mirror of q_license_detect: the identical ordered rule
     table rendered as an RE2 CASE chain over the license fixture
@@ -3976,6 +4076,7 @@ def _build_oracle_sql() -> dict[str, str]:
         "bpe_real_token_counts": _bpe_real_oracle_sql(),
         "license_detect": _license_oracle_sql(),
         "function_dedup": _function_dedup_oracle_sql(),
+        "code_quality_filters": _code_quality_oracle_sql(),
         # per-row list lambdas mirror functions/text.py repetition_cols:
         # blank text = one empty token (dtr 1.0); bigrams only when >= 2
         # tokens; dup lines = len - len(distinct)

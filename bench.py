@@ -120,6 +120,7 @@ def main():
         "repo_fork_candidates",
         "function_dedup",
         "license_detect",
+        "code_quality_filters",
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",
         "jaccard_join_prefix",
